@@ -1,0 +1,292 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Classification => C, DiffOptions, TableSpec}
+
+/** The diff dataflow, Spark-first.
+  *
+  * The reference hand-schedules this entire pipeline inside one Spark
+  * `map()` lambda: a token-range key scan (DiffCluster.java:110-148), a
+  * sorted-merge full-outer walk of the two key streams
+  * (RangeComparator.java:73-199), a per-partition row zip-join
+  * (PartitionComparator.java:51-84), null-safe cell comparison
+  * (PartitionComparator.java:116-134) and a hand-rolled partial/final
+  * counter reduce (RangeStats.java:157-178, DiffJob.java:172-184).
+  *
+  * Here the same semantics are one declarative plan:
+  *
+  * {{{
+  *   src ─┐
+  *        ├─ full_outer join on (pk ++ clustering)   // O4 + O5
+  *   tgt ─┘        │
+  *            per-row null-safe cell flags            // O6  (<=> per column)
+  *                 │
+  *        groupBy(pk): partition stats + class        // O7  (partial agg map-side)
+  *                 │
+  *        global agg → RangeStats row                 // O8  (final agg)
+  * }}}
+  *
+  * Catalyst picks sort-merge for the big join, does map-side partial
+  * aggregation before both shuffles, prunes columns to (keys ++ compared)
+  * at the parquet scan, and AQE handles skewed partitions — all of which
+  * the reference implements by hand or not at all.
+  *
+  * Scale notes (100 TB): the only wide shuffle is the join on the full
+  * primary key; the `groupBy(pk)` that follows ships only pre-aggregated
+  * per-partition counter rows (map-side combine), and the final RangeStats
+  * agg ships one row per shuffle partition. No driver-side iteration,
+  * no collect, no per-key point reads.
+  */
+object DiffEngine {
+
+  /** Internal column names (prefixed to never collide with user columns). */
+  private val InSrc = "__in_src"
+  private val InTgt = "__in_tgt"
+  private def srcCol(c: String) = s"__src_$c"
+  private def tgtCol(c: String) = s"__tgt_$c"
+  private def matchCol(c: String) = s"__match_$c"
+
+  /** Token of a partition key — the engine's unit of sharding/filtering.
+    * The reference computes the Cassandra partitioner token server-side
+    * (TokenHelper.java:24-68); over files we derive one. `xxhash64` is the
+    * codegen'd default; tests / oracle queries can use an identity token on
+    * a numeric pk for cross-engine reproducibility.
+    */
+  def defaultToken(pkCols: Seq[Column]): Column = xxhash64(pkCols: _*)
+
+  def identityToken(pkCols: Seq[Column]): Column = pkCols.head.cast("long")
+
+  /** O1: the "key scan" — distinct partition keys (+ token) of one side.
+    * Catalyst pushes the projection to the parquet reader; `distinct` is a
+    * partial-aggregated shuffle on pk.
+    */
+  def keyScan(df: DataFrame, spec: TableSpec,
+      token: Seq[Column] => Column = defaultToken): DataFrame =
+    df.select(spec.pk.map(col): _*).distinct()
+      .withColumn("token", token(spec.pk.map(col)))
+
+  /** O9 + O10: token accept/reject lists and deterministic sampling,
+    * applied to a side *before* the join. Returns the filtered frame.
+    * The skipped-partition count is produced by [[skippedPartitions]] so
+    * it can be folded into the stats row exactly as the reference counts
+    * skips inside its merge loop (RangeComparator.java:125-143).
+    */
+  def applyTokenFilters(df: DataFrame, spec: TableSpec, opts: DiffOptions,
+      token: Seq[Column] => Column): DataFrame = {
+    val tok = token(spec.pk.map(col))
+    var out = df
+    if (opts.specificTokens.nonEmpty)
+      out = out.filter(tok.isin(opts.specificTokens: _*))
+    if (opts.disallowedTokens.nonEmpty)
+      out = out.filter(!tok.isin(opts.disallowedTokens: _*))
+    if (opts.samplingEnabled)
+      out = out.filter(pmod(tok, lit(opts.samplingDen)) < lit(opts.samplingNum))
+    out
+  }
+
+  /** Distinct partitions (across BOTH sides) rejected by the disallowed
+    * list or the sampler — the reference's `skippedPartitions` counter
+    * (RangeComparator.java:125-143: a key seen in either stream that fails
+    * `SpecificTokens.test` or the sampler increments `skipped`).
+    */
+  def skippedPartitions(src: DataFrame, tgt: DataFrame, spec: TableSpec,
+      opts: DiffOptions, token: Seq[Column] => Column): DataFrame = {
+    val keys = keyScan(src, spec, token)
+      .unionByName(keyScan(tgt, spec, token)).distinct()
+    val tok = col("token")
+    var rejected: Column = lit(false)
+    if (opts.disallowedTokens.nonEmpty)
+      rejected = rejected || tok.isin(opts.disallowedTokens: _*)
+    if (opts.samplingEnabled)
+      rejected = rejected || pmod(tok, lit(opts.samplingDen)) >= lit(opts.samplingNum)
+    if (opts.specificTokens.nonEmpty)
+      rejected = rejected && tok.isin(opts.specificTokens: _*)
+    keys.filter(rejected)
+  }
+
+  /** O4 (partition-key level): full-outer join of the two key scans with
+    * null-side classification — the reference's lock-step iterator merge
+    * (RangeComparator.java:106-158) as a real join. Row-level detail is
+    * [[rowLevel]]; this is the partition-presence view.
+    *
+    * Output: pk columns, token, classification ∈ {ONLY_IN_SOURCE,
+    * ONLY_IN_TARGET, MATCHED} (MATCHED = present on both sides; value
+    * equality is judged by [[partitionStats]]).
+    */
+  def keyDiff(src: DataFrame, tgt: DataFrame, spec: TableSpec,
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val s = keyScan(src, spec, token).withColumn(InSrc, lit(true))
+    val t = keyScan(tgt, spec, token).drop("token").withColumn(InTgt, lit(true))
+    s.join(t, spec.pk, "full_outer")
+      .withColumn("token", token(spec.pk.map(col)))
+      .withColumn("classification",
+        when(col(InTgt).isNull, C.OnlyInSource)
+          .when(col(InSrc).isNull, C.OnlyInTarget)
+          .otherwise(C.Matched))
+      .drop(InSrc, InTgt)
+  }
+
+  /** O5 + O6: the row-level diff. Full-outer join on the FULL primary key
+    * (pk ++ clustering) — the reference's per-partition row zip-join
+    * (PartitionComparator.java:51-84) generalized to all partitions at
+    * once — plus one null-safe equality flag per regular column
+    * (`<=>`, exactly the reference's null==null rule,
+    * PartitionComparator.java:120-123).
+    *
+    * Output columns: primaryKey..., `__in_src`, `__in_tgt`,
+    * `__src_c`/`__tgt_c`/`__match_c` per regular column c.
+    */
+  def rowLevel(src: DataFrame, tgt: DataFrame, spec0: TableSpec): DataFrame = {
+    val spec = spec0.bind(src)
+    spec.validateSides(src, tgt)
+    val keys = spec.primaryKey
+    val s = src.select(keys.map(col) ++ spec.regular.map(c => col(c).as(srcCol(c))): _*)
+      .withColumn(InSrc, lit(true))
+    val t = tgt.select(keys.map(col) ++ spec.regular.map(c => col(c).as(tgtCol(c))): _*)
+      .withColumn(InTgt, lit(true))
+    val joined = s.join(t, keys, "full_outer")
+      .withColumn(InSrc, coalesce(col(InSrc), lit(false)))
+      .withColumn(InTgt, coalesce(col(InTgt), lit(false)))
+    spec.regular.foldLeft(joined) { (df, c) =>
+      df.withColumn(matchCol(c), col(srcCol(c)) <=> col(tgtCol(c)))
+    }
+  }
+
+  /** O7: per-partition stats — the reference's `PartitionStats`
+    * (PartitionStats.java:22-28) for every partition in one aggregation.
+    *
+    * Set-semantics note: the reference bails out of a partition at the
+    * first clustering mismatch and stops accumulating counters
+    * (PartitionComparator.java:67-69). A set-based engine reproduces the
+    * final classification exactly; the partial counters of a mismatched
+    * partition here reflect the WHOLE partition (documented difference,
+    * SURVEY §7.4 — self-consistent with the SQL oracle).
+    *
+    * Output: pk..., in_src, in_tgt, matched_rows, rows_only_in_source,
+    * rows_only_in_target, matched_values, mismatched_values,
+    * classification, token.
+    */
+  def partitionStats(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val spec = spec0.bind(src)
+    val rl = rowLevel(src, tgt, spec)
+    val bothHere = col(InSrc) && col(InTgt)
+    val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val valueMatches =
+      if (spec.regular.isEmpty) lit(0L)
+      else spec.regular.map(c => when(bothHere && col(matchCol(c)), 1L).otherwise(0L)).reduce(_ + _)
+    val valueMismatches =
+      if (spec.regular.isEmpty) lit(0L)
+      else spec.regular.map(c => when(bothHere && !col(matchCol(c)), 1L).otherwise(0L)).reduce(_ + _)
+    rl.groupBy(spec.pk.map(col): _*)
+      .agg(
+        max(col(InSrc)).as("in_src"),
+        max(col(InTgt)).as("in_tgt"),
+        one(bothHere).as("matched_rows"),
+        one(col(InSrc) && !col(InTgt)).as("rows_only_in_source"),
+        one(col(InTgt) && !col(InSrc)).as("rows_only_in_target"),
+        sum(valueMatches).as("matched_values"),
+        sum(valueMismatches).as("mismatched_values"))
+      .withColumn("classification",
+        when(!col("in_tgt"), C.OnlyInSource)
+          .when(!col("in_src"), C.OnlyInTarget)
+          .when(col("rows_only_in_source") + col("rows_only_in_target") > 0 ||
+            col("mismatched_values") > 0, C.PartitionMismatch)
+          .otherwise(C.Matched))
+      .withColumn("token", token(spec.pk.map(col)))
+  }
+
+  /** O8: the final RangeStats aggregation — one row of the nine counters
+    * (RangeStats.java:29-198; monoid merge at DiffJob.java:184). Spark
+    * runs this as partial+final HashAggregate automatically.
+    *
+    * Rows/values of one-sided partitions are not counted — the reference
+    * never runs a PartitionComparator for them (RangeComparator.java:115-123).
+    */
+  def rangeStats(src: DataFrame, tgt: DataFrame, spec: TableSpec,
+      opts: DiffOptions = DiffOptions(),
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val fs = applyTokenFilters(src, spec, opts, token)
+    val ft = applyTokenFilters(tgt, spec, opts, token)
+    val ps = partitionStats(fs, ft, spec, token)
+    val both = col("in_src") && col("in_tgt")
+    val skipped = skippedPartitions(src, tgt, spec, opts, token)
+      .agg(count(lit(1)).as("skipped_partitions"))
+    val stats = ps.agg(
+      sum(when(col("classification") === C.Matched, 1L).otherwise(0L)).as("matched_partitions"),
+      sum(when(col("classification") === C.PartitionMismatch, 1L).otherwise(0L)).as("mismatched_partitions"),
+      sum(when(col("classification") === C.OnlyInSource, 1L).otherwise(0L)).as("only_in_source"),
+      sum(when(col("classification") === C.OnlyInTarget, 1L).otherwise(0L)).as("only_in_target"),
+      sum(when(both, col("matched_rows")).otherwise(0L)).as("matched_rows"),
+      sum(when(both, col("matched_values")).otherwise(0L)).as("matched_values"),
+      sum(when(both, col("mismatched_values")).otherwise(0L)).as("mismatched_values"))
+    // tiny 1x1 cross join to attach the skipped counter — both sides are
+    // single-row aggregates, so this is a broadcast nested loop over 1 row
+    stats.crossJoin(skipped)
+      .withColumn("table_name", lit(spec.table))
+  }
+
+  /** O14: the mismatch sink — every non-MATCHED partition as a journal row
+    * `(table, token, pk..., mismatch_type)` (MismatchType.java:22-28;
+    * recorded at RangeComparator.java:201-209, 224-226). The reference
+    * writes these to Cassandra one CQL insert at a time; here the
+    * classified frame IS the sink — write it wherever wanted.
+    */
+  def mismatches(src: DataFrame, tgt: DataFrame, spec: TableSpec,
+      opts: DiffOptions = DiffOptions(),
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val fs = applyTokenFilters(src, spec, opts, token)
+    val ft = applyTokenFilters(tgt, spec, opts, token)
+    partitionStats(fs, ft, spec, token)
+      .filter(col("classification") =!= C.Matched)
+      .withColumn("table_name", lit(spec.table))
+      .withColumn("bucket", bucket(col("token"), opts.buckets))
+      .select(Seq(col("table_name"), col("bucket"), col("token"),
+        col("classification").as("mismatch_type")) ++ spec.pk.map(col): _*)
+  }
+
+  /** O11/O13: journal-sharding bucket of a token — the reference's
+    * `bucket = splitNumber % numBuckets` (DiffJob.java:245-267) re-keyed
+    * to the partition token so it is stable across any partitioning.
+    */
+  def bucket(token: Column, buckets: Int): Column = pmod(token, lit(buckets))
+
+  /** O13: per-bucket progress — running stats + highest completed token
+    * per (table, bucket), the reference's checkpoint row
+    * (RangeComparator.java:231-241, JobMetadataDb.java:292-315).
+    */
+  def bucketProgress(src: DataFrame, tgt: DataFrame, spec: TableSpec,
+      opts: DiffOptions = DiffOptions(),
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val ps = partitionStats(src, tgt, spec, token)
+    val both = col("in_src") && col("in_tgt")
+    ps.withColumn("bucket", bucket(col("token"), opts.buckets))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("classification") === C.Matched, 1L).otherwise(0L)).as("matched_partitions"),
+        sum(when(col("classification") === C.PartitionMismatch, 1L).otherwise(0L)).as("mismatched_partitions"),
+        sum(when(col("classification") === C.OnlyInSource, 1L).otherwise(0L)).as("only_in_source"),
+        sum(when(col("classification") === C.OnlyInTarget, 1L).otherwise(0L)).as("only_in_target"),
+        sum(when(both, col("matched_rows")).otherwise(0L)).as("matched_rows"),
+        sum(when(both, col("matched_values")).otherwise(0L)).as("matched_values"),
+        sum(when(both, col("mismatched_values")).otherwise(0L)).as("mismatched_values"),
+        max(col("token")).as("last_token"))
+      .withColumn("table_name", lit(spec.table))
+  }
+
+  /** O3: reverse-order read validation. The reference re-reads a sampled
+    * partition with all clustering orders flipped and re-compares
+    * (DiffCluster.java:253-274); the observable result is the partition's
+    * rows in reverse clustering order. Expressed as a window rank over
+    * descending clustering — used by the validation-mode query and tests.
+    */
+  def reverseRead(df: DataFrame, spec: TableSpec): DataFrame = {
+    require(spec.clustering.nonEmpty, "reverse read needs clustering columns (DiffCluster.java:253-257)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(spec.pk.map(col): _*)
+      .orderBy(spec.clustering.map(c => col(c).desc): _*)
+    df.withColumn("rev_rank", row_number().over(w))
+  }
+}

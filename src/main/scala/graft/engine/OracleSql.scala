@@ -1,0 +1,171 @@
+package graft.engine
+
+import graft.core.TableSpec
+
+/** Generates ANSI-SQL (DuckDB-compatible) oracles for the diff pipeline,
+  * from the same [[TableSpec]] that drives the Spark plan. Keeping the SQL
+  * generated — not hand-written per query — means the oracle and the engine
+  * can only diverge on semantics, never on column lists.
+  *
+  * All counter outputs are CAST to BIGINT so DuckDB's HUGEINT sums compare
+  * equal to Spark's LongType.
+  */
+object OracleSql {
+
+  /** The row-level full-outer join CTE body (reference semantics O4+O5+O6:
+    * presence flags + null-safe per-column equality,
+    * PartitionComparator.java:102-134).
+    *
+    * Emits CTEs `src`, `tgt`, `rl` — callers append their own final select.
+    */
+  def rowLevelCtes(spec: TableSpec, srcSql: String, tgtSql: String): String = {
+    val keys = spec.primaryKey
+    val on = keys.map(k => s"s.$k = t.$k").mkString(" AND ")
+    val keySel = keys.map(k => s"COALESCE(s.$k, t.$k) AS $k").mkString(", ")
+    val matches = spec.regular
+      .map(c => s"(s.$c IS NOT DISTINCT FROM t.$c) AS match_$c")
+    val srcVals = spec.regular.map(c => s"s.$c AS src_$c")
+    val tgtVals = spec.regular.map(c => s"t.$c AS tgt_$c")
+    val cols = (Seq(keySel, "(s.__one IS NOT NULL) AS in_src",
+      "(t.__one IS NOT NULL) AS in_tgt") ++ matches ++ srcVals ++ tgtVals)
+      .mkString(",\n         ")
+    s"""src AS ($srcSql),
+       |tgt AS ($tgtSql),
+       |rl AS (
+       |  SELECT $cols
+       |  FROM (SELECT *, 1 AS __one FROM src) s
+       |  FULL OUTER JOIN (SELECT *, 1 AS __one FROM tgt) t ON $on
+       |)""".stripMargin
+  }
+
+  /** Per-partition stats CTE `ps` + classification CTE `cls`
+    * (reference O7: PartitionStats.java:22-28).
+    */
+  def partitionCtes(spec: TableSpec, srcSql: String, tgtSql: String): String = {
+    val pk = spec.pk.mkString(", ")
+    val matchedVals =
+      if (spec.regular.isEmpty) "0"
+      else spec.regular.map(c => s"CASE WHEN match_$c THEN 1 ELSE 0 END").mkString(" + ")
+    val mismatchedVals =
+      if (spec.regular.isEmpty) "0"
+      else spec.regular.map(c => s"CASE WHEN match_$c THEN 0 ELSE 1 END").mkString(" + ")
+    s"""${rowLevelCtes(spec, srcSql, tgtSql)},
+       |ps AS (
+       |  SELECT $pk,
+       |         bool_or(in_src) AS in_src, bool_or(in_tgt) AS in_tgt,
+       |         CAST(SUM(CASE WHEN in_src AND in_tgt THEN 1 ELSE 0 END) AS BIGINT) AS matched_rows,
+       |         CAST(SUM(CASE WHEN in_src AND NOT in_tgt THEN 1 ELSE 0 END) AS BIGINT) AS rows_only_in_source,
+       |         CAST(SUM(CASE WHEN in_tgt AND NOT in_src THEN 1 ELSE 0 END) AS BIGINT) AS rows_only_in_target,
+       |         CAST(SUM(CASE WHEN in_src AND in_tgt THEN $matchedVals ELSE 0 END) AS BIGINT) AS matched_values,
+       |         CAST(SUM(CASE WHEN in_src AND in_tgt THEN $mismatchedVals ELSE 0 END) AS BIGINT) AS mismatched_values
+       |  FROM rl GROUP BY $pk
+       |),
+       |cls AS (
+       |  SELECT *,
+       |         CASE WHEN NOT in_tgt THEN 'ONLY_IN_SOURCE'
+       |              WHEN NOT in_src THEN 'ONLY_IN_TARGET'
+       |              WHEN rows_only_in_source + rows_only_in_target > 0
+       |                   OR mismatched_values > 0 THEN 'PARTITION_MISMATCH'
+       |              ELSE 'MATCHED' END AS classification
+       |  FROM ps
+       |)""".stripMargin
+  }
+
+  /** Full RangeStats oracle (O8) — one row, nine counters.
+    * `skippedSql` supplies the skipped-partition count subquery (defaults
+    * to 0 when no token filters are active).
+    */
+  def rangeStats(spec: TableSpec, srcSql: String, tgtSql: String,
+      skippedSql: String = "SELECT CAST(0 AS BIGINT) AS skipped_partitions"): String = {
+    s"""WITH ${partitionCtes(spec, srcSql, tgtSql)}
+       |SELECT
+       |  CAST(COALESCE(SUM(CASE WHEN classification = 'MATCHED' THEN 1 ELSE 0 END), 0) AS BIGINT) AS matched_partitions,
+       |  CAST(COALESCE(SUM(CASE WHEN classification = 'PARTITION_MISMATCH' THEN 1 ELSE 0 END), 0) AS BIGINT) AS mismatched_partitions,
+       |  CAST(COALESCE(SUM(CASE WHEN classification = 'ONLY_IN_SOURCE' THEN 1 ELSE 0 END), 0) AS BIGINT) AS only_in_source,
+       |  CAST(COALESCE(SUM(CASE WHEN classification = 'ONLY_IN_TARGET' THEN 1 ELSE 0 END), 0) AS BIGINT) AS only_in_target,
+       |  CAST(COALESCE(SUM(CASE WHEN in_src AND in_tgt THEN matched_rows ELSE 0 END), 0) AS BIGINT) AS matched_rows,
+       |  CAST(COALESCE(SUM(CASE WHEN in_src AND in_tgt THEN matched_values ELSE 0 END), 0) AS BIGINT) AS matched_values,
+       |  CAST(COALESCE(SUM(CASE WHEN in_src AND in_tgt THEN mismatched_values ELSE 0 END), 0) AS BIGINT) AS mismatched_values,
+       |  (SELECT skipped_partitions FROM ($skippedSql)) AS skipped_partitions,
+       |  '${spec.table}' AS table_name
+       |FROM cls""".stripMargin
+  }
+
+  /** Per-partition stats oracle — the `cls` CTE verbatim, with token
+    * (identity token on the first pk column, matching
+    * DiffEngine.identityToken used by oracle-checked queries).
+    */
+  def partitionStats(spec: TableSpec, srcSql: String, tgtSql: String): String =
+    s"""WITH ${partitionCtes(spec, srcSql, tgtSql)}
+       |SELECT ${spec.pk.mkString(", ")}, in_src, in_tgt, matched_rows,
+       |       rows_only_in_source, rows_only_in_target, matched_values,
+       |       mismatched_values, classification,
+       |       CAST(${spec.pk.head} AS BIGINT) AS token
+       |FROM cls""".stripMargin
+
+  /** Mismatch-sink oracle (O14). */
+  def mismatches(spec: TableSpec, srcSql: String, tgtSql: String, buckets: Int): String =
+    s"""WITH ${partitionCtes(spec, srcSql, tgtSql)}
+       |SELECT '${spec.table}' AS table_name,
+       |       CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket,
+       |       CAST(${spec.pk.head} AS BIGINT) AS token,
+       |       classification AS mismatch_type,
+       |       ${spec.pk.mkString(", ")}
+       |FROM cls WHERE classification <> 'MATCHED'""".stripMargin
+
+  /** Partition-key-level classification counts oracle (O1 + O4). */
+  def keyClassify(spec: TableSpec, srcSql: String, tgtSql: String): String = {
+    val pk = spec.pk.mkString(", ")
+    val on = spec.pk.map(k => s"s.$k = t.$k").mkString(" AND ")
+    s"""WITH src AS ($srcSql), tgt AS ($tgtSql),
+       |sk AS (SELECT DISTINCT $pk FROM src),
+       |tk AS (SELECT DISTINCT $pk FROM tgt),
+       |j AS (
+       |  SELECT CASE WHEN t.${spec.pk.head} IS NULL THEN 'ONLY_IN_SOURCE'
+       |              WHEN s.${spec.pk.head} IS NULL THEN 'ONLY_IN_TARGET'
+       |              ELSE 'MATCHED' END AS classification
+       |  FROM sk s FULL OUTER JOIN tk t ON $on
+       |)
+       |SELECT classification, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM j GROUP BY classification""".stripMargin
+  }
+
+  /** Row-level classification counts oracle (O5). */
+  def rowClassify(spec: TableSpec, srcSql: String, tgtSql: String): String =
+    s"""WITH ${rowLevelCtes(spec, srcSql, tgtSql)}
+       |SELECT
+       |  CAST(COALESCE(SUM(CASE WHEN in_src AND in_tgt THEN 1 ELSE 0 END), 0) AS BIGINT) AS matched_rows,
+       |  CAST(COALESCE(SUM(CASE WHEN in_src AND NOT in_tgt THEN 1 ELSE 0 END), 0) AS BIGINT) AS rows_only_in_source,
+       |  CAST(COALESCE(SUM(CASE WHEN in_tgt AND NOT in_src THEN 1 ELSE 0 END), 0) AS BIGINT) AS rows_only_in_target
+       |FROM rl""".stripMargin
+
+  /** Per-regular-column matched/mismatched value counts oracle (O6) —
+    * one output row per regular column via UNION ALL.
+    */
+  def cellValues(spec: TableSpec, srcSql: String, tgtSql: String): String = {
+    val perCol = spec.regular.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(COALESCE(SUM(CASE WHEN in_src AND in_tgt AND match_$c THEN 1 ELSE 0 END), 0) AS BIGINT) AS matched_values,
+         |  CAST(COALESCE(SUM(CASE WHEN in_src AND in_tgt AND NOT match_$c THEN 1 ELSE 0 END), 0) AS BIGINT) AS mismatched_values
+         |FROM rl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${rowLevelCtes(spec, srcSql, tgtSql)}\n$perCol"
+  }
+
+  /** Per-bucket progress oracle (O11 + O13): stats + highest token per
+    * bucket, identity token = first pk column.
+    */
+  def bucketProgress(spec: TableSpec, srcSql: String, tgtSql: String, buckets: Int): String =
+    s"""WITH ${partitionCtes(spec, srcSql, tgtSql)}
+       |SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket,
+       |  CAST(SUM(CASE WHEN classification = 'MATCHED' THEN 1 ELSE 0 END) AS BIGINT) AS matched_partitions,
+       |  CAST(SUM(CASE WHEN classification = 'PARTITION_MISMATCH' THEN 1 ELSE 0 END) AS BIGINT) AS mismatched_partitions,
+       |  CAST(SUM(CASE WHEN classification = 'ONLY_IN_SOURCE' THEN 1 ELSE 0 END) AS BIGINT) AS only_in_source,
+       |  CAST(SUM(CASE WHEN classification = 'ONLY_IN_TARGET' THEN 1 ELSE 0 END) AS BIGINT) AS only_in_target,
+       |  CAST(SUM(CASE WHEN in_src AND in_tgt THEN matched_rows ELSE 0 END) AS BIGINT) AS matched_rows,
+       |  CAST(SUM(CASE WHEN in_src AND in_tgt THEN matched_values ELSE 0 END) AS BIGINT) AS matched_values,
+       |  CAST(SUM(CASE WHEN in_src AND in_tgt THEN mismatched_values ELSE 0 END) AS BIGINT) AS mismatched_values,
+       |  CAST(MAX(${spec.pk.head}) AS BIGINT) AS last_token,
+       |  '${spec.table}' AS table_name
+       |FROM cls GROUP BY CAST(${spec.pk.head} % $buckets AS BIGINT)""".stripMargin
+}

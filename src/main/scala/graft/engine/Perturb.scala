@@ -1,0 +1,123 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TableSpec
+
+/** Deterministic perturbations that derive a "target" table from a source
+  * table, exercising every mismatch class of the reference
+  * (FIXTURES.md perturbation protocol; mismatch taxonomy
+  * MismatchType.java:22-28):
+  *
+  *  - drop whole partitions            → ONLY_IN_SOURCE
+  *  - insert new partitions            → ONLY_IN_TARGET
+  *  - drop one clustering row          → PARTITION_MISMATCH (row diff)
+  *  - mutate a cell value              → mismatchedValues
+  *  - value → null                     → mismatchedValues (null != value)
+  *
+  * Each perturbation exists twice — as a DataFrame transform and as the
+  * equivalent SQL text — so the DuckDB oracle sees the *same* target.
+  * All predicates are modulus tests on the numeric partition key: fully
+  * deterministic, no RNG, identical in both engines.
+  */
+object Perturb {
+
+  val DropPartitionMod = 53
+  val InsertPartitionMod = 59
+  val DropRowMod = 61
+  val MutateCellMod = 67
+  val NullCellMod = 71
+  val InsertKeyOffset = 3000000000L
+
+  /** Spark-side perturbed lineitem (wide shape: pk=l_orderkey,
+    * clustering=l_linenumber).
+    */
+  def lineitemTarget(li: DataFrame): DataFrame = {
+    val kept = li
+      .filter(col("l_orderkey") % DropPartitionMod =!= 0)
+      .filter(!(col("l_orderkey") % DropRowMod === 0 && col("l_linenumber") === 1))
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % MutateCellMod === 0, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+      .withColumn("l_returnflag",
+        when(col("l_orderkey") % NullCellMod === 0, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")))
+    val inserted = li
+      .filter(col("l_orderkey") % InsertPartitionMod === 0 && col("l_linenumber") === 1)
+      .withColumn("l_orderkey", col("l_orderkey") + InsertKeyOffset)
+    kept.unionByName(inserted)
+  }
+
+  /** SQL mirror of [[lineitemTarget]]. */
+  val lineitemTargetSql: String =
+    s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       |       CASE WHEN l_orderkey % $MutateCellMod = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+       |       l_extendedprice, l_discount, l_tax,
+       |       CASE WHEN l_orderkey % $NullCellMod = 0 THEN NULL ELSE l_returnflag END AS l_returnflag,
+       |       l_linestatus, l_shipdate
+       |FROM lineitem
+       |WHERE l_orderkey % $DropPartitionMod <> 0
+       |  AND NOT (l_orderkey % $DropRowMod = 0 AND l_linenumber = 1)
+       |UNION ALL
+       |SELECT l_orderkey + $InsertKeyOffset, l_partkey, l_suppkey, l_linenumber, l_quantity,
+       |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+       |FROM lineitem
+       |WHERE l_orderkey % $InsertPartitionMod = 0 AND l_linenumber = 1""".stripMargin
+
+  val lineitemSrcSql: String = "SELECT * FROM lineitem"
+
+  val lineitemSpec: TableSpec = TableSpec(
+    table = "lineitem",
+    pk = Seq("l_orderkey"),
+    clustering = Seq("l_linenumber"),
+    regular = Seq("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+
+  /** Spark-side perturbed orders (narrow shape: pk=o_orderkey, no
+    * clustering — the reference's `narrow1`, one row per partition).
+    */
+  def ordersTarget(o: DataFrame): DataFrame = {
+    val kept = o
+      .filter(col("o_orderkey") % DropPartitionMod =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % MutateCellMod === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % NullCellMod === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderstatus")))
+    val inserted = o
+      .filter(col("o_orderkey") % InsertPartitionMod === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + InsertKeyOffset)
+    kept.unionByName(inserted)
+  }
+
+  /** SQL mirror of [[ordersTarget]]. */
+  val ordersTargetSql: String =
+    s"""SELECT o_orderkey, o_custkey,
+       |       CASE WHEN o_orderkey % $NullCellMod = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+       |       CASE WHEN o_orderkey % $MutateCellMod = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+       |       o_orderdate, o_orderpriority
+       |FROM orders
+       |WHERE o_orderkey % $DropPartitionMod <> 0
+       |UNION ALL
+       |SELECT o_orderkey + $InsertKeyOffset, o_custkey, o_orderstatus, o_totalprice,
+       |       o_orderdate, o_orderpriority
+       |FROM orders
+       |WHERE o_orderkey % $InsertPartitionMod = 0""".stripMargin
+
+  val ordersSrcSql: String = "SELECT * FROM orders"
+
+  val ordersSpec: TableSpec = TableSpec(
+    table = "orders",
+    pk = Seq("o_orderkey"),
+    clustering = Nil,
+    regular = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority"))
+}
+
+/** Parquet table loading for the driver corpus (TESTDATA.md). */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the
+matching SQL from oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet, and compares: column names (sorted), row count, and
+values (rows sorted, NaN-safe, exact).
+"""
+import json, math, sys, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def values_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b or str(a) == str(b)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no Spark result dir"); n_fail += 1; continue
+        try:
+            got = canon(pd.read_parquet(res_dir))
+        except Exception as e:
+            print(f"FAIL {name}: cannot read Spark result: {e}"); n_fail += 1; continue
+        try:
+            want = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns got={list(got.columns)} want={list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows got={len(got)} want={len(want)}")
+            n_fail += 1; continue
+        bad = None
+        for i in range(len(got)):
+            for c in got.columns:
+                if not values_equal(got[c].iloc[i], want[c].iloc[i]):
+                    bad = (i, c, got[c].iloc[i], want[c].iloc[i]); break
+            if bad: break
+        if bad:
+            print(f"FAIL {name}: first diff row={bad[0]} col={bad[1]} got={bad[2]!r} want={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
