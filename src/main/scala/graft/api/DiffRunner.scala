@@ -1,0 +1,68 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DiffOptions, RangeStats, TableSpec}
+import graft.engine.DiffEngine
+import graft.journal.MetadataStore
+import graft.sources.SourceProvider
+
+/** One diff job over a set of tables — the reference's programmatic entry
+  * (`new DiffJob().run(config, sc)`, DiffJob.java:73-196) with the same
+  * two hook points (`addPreJobHook` / `addPostJobHook`,
+  * DiffJob.java:73-84).
+  *
+  * Lifecycle (mirrors SURVEY §3.1 steps 2-9, minus what Catalyst now owns):
+  *  1. acquire the run lock (O21)
+  *  2. per table: rangeStats + mismatches as ONE lazily-planned query each
+  *  3. journal: task_status (bucket progress), mismatches, job_results
+  *  4. release lock; post-hook gets the final per-table stats
+  */
+final case class DiffJobConfig(
+    jobId: String,
+    tables: Seq[TableSpec],
+    options: DiffOptions = DiffOptions(),
+    metadataRoot: String = "/tmp/graft-metadata",
+    rerun: Boolean = false)
+
+final class DiffRunner(
+    source: SourceProvider,
+    target: SourceProvider,
+    config: DiffJobConfig)(implicit spark: SparkSession) {
+
+  private var preJobHooks: List[() => Unit] = Nil
+  private var postJobHooks: List[Map[String, RangeStats] => Unit] = Nil
+
+  def addPreJobHook(f: () => Unit): DiffRunner = { preJobHooks ::= f; this }
+  def addPostJobHook(f: Map[String, RangeStats] => Unit): DiffRunner = { postJobHooks ::= f; this }
+
+  /** Run the whole job; returns final stats per table. */
+  def run(): Map[String, RangeStats] = {
+    val store = new MetadataStore(config.metadataRoot)
+    require(store.acquireRunLock(config.jobId),
+      s"job ${config.jobId} already running (running_jobs lock held)") // O21 LWT semantics
+    try {
+      preJobHooks.foreach(_())
+      val results = config.tables.map { spec =>
+        val src = source.table(spark, spec.table)
+        val tgt = target.table(spark, spec.table)
+        // journal sinks (O13 progress, O14 mismatches)
+        store.write("task_status",
+          DiffEngine.bucketProgress(src, tgt, spec, config.options)
+            .withColumn("status", lit("done"))
+            .withColumn("job_id", lit(config.jobId)))
+        store.write("mismatches",
+          DiffEngine.mismatches(src, tgt, spec, config.options)
+            .select("table_name", "bucket", "token", "mismatch_type")
+            .withColumn("job_id", lit(config.jobId)))
+        val statsDf = DiffEngine.rangeStats(src, tgt, spec, config.options)
+        store.writeResults(config.jobId, statsDf)
+        val row = statsDf.collect()(0) // single aggregated row per table
+        spec.table -> MetadataStore.toRangeStats(row)
+      }.toMap
+      postJobHooks.foreach(_(results))
+      results
+    } finally store.releaseRunLock(config.jobId)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.journal.MetadataStore
+
+/** The reference's 13 REST endpoints (DiffJobsResource.java:60-201,
+  * DBService.java:166-357) as DataFrame queries over the journal. The
+  * bucket fan-out with async gather (DBService.java:341-357) exists only
+  * to dodge Cassandra wide partitions — here every endpoint is a 1-5 line
+  * filter/group over one parquet dataset, and the "index tables"
+  * (by-cluster / by-keyspace / by-date duplicates) are pushed-down
+  * filters on job_summary.
+  */
+final class ResultsApi(store: MetadataStore)(implicit spark: SparkSession) {
+
+  private def summary: DataFrame = store.read("job_summary")
+  private def results: DataFrame = store.read("job_results")
+  private def status: DataFrame = store.read("task_status")
+  private def mismatch: DataFrame = store.read("mismatches")
+  private def errors: DataFrame = store.read("errors")
+
+  /** GET /jobs/running (DiffJobsResource.java:60-66). */
+  def runningJobs(): DataFrame = {
+    val dir = new java.io.File(s"${store.root}/running_jobs")
+    val ids = Option(dir.listFiles()).toSeq.flatten
+      .map(_.getName.stripSuffix(".lock"))
+    summary.filter(col("job_id").isin(ids: _*))
+  }
+
+  /** GET /jobs/recent — ≥10 jobs ordered newest-first
+    * (DiffJobsResource.java:79-92: "walk back 30 days"; here a plain
+    * top-k the optimizer turns into TakeOrderedAndProject).
+    */
+  def recentJobs(n: Int = 10): DataFrame =
+    summary.orderBy(col("start_time").desc).limit(n)
+
+  /** GET /jobs/{id} (DiffJobsResource.java:95-101). */
+  def job(jobId: String): DataFrame = summary.filter(col("job_id") === jobId)
+
+  /** GET /jobs/{id}/results (DiffJobsResource.java:104-110). */
+  def jobResults(jobId: String): DataFrame =
+    results.filter(col("job_id") === jobId)
+
+  /** GET /jobs/{id}/status — per (table, bucket) progress
+    * (DiffJobsResource.java:113-119).
+    */
+  def jobStatus(jobId: String): DataFrame =
+    status.filter(col("job_id") === jobId)
+      .select("job_id", "table_name", "bucket", "status", "last_token")
+
+  /** GET /jobs/{id}/mismatches (DiffJobsResource.java:122-128). */
+  def jobMismatches(jobId: String): DataFrame =
+    mismatch.filter(col("job_id") === jobId)
+
+  /** Mismatch counts per (table, type) — the group-merge the API server
+    * does client-side (DBService.java:215-228).
+    */
+  def mismatchSummary(jobId: String): DataFrame =
+    mismatch.filter(col("job_id") === jobId)
+      .groupBy("table_name", "mismatch_type")
+      .agg(count(lit(1)).as("n"))
+
+  /** GET /jobs/{id}/errors (DiffJobsResource.java:131-137). */
+  def jobErrors(jobId: String): DataFrame =
+    errors.filter(col("job_id") === jobId)
+
+  /** GET /jobs/{id}/errors/summary — error counts per table
+    * (DBService.java:230-247).
+    */
+  def errorSummary(jobId: String): DataFrame =
+    errors.filter(col("job_id") === jobId)
+      .groupBy("table_name").agg(count(lit(1)).as("n"))
+
+  /** GET /jobs/{id}/errors/ranges — distinct errored tokens per table
+    * (DBService.java:249-265).
+    */
+  def errorRanges(jobId: String): DataFrame =
+    errors.filter(col("job_id") === jobId)
+      .select("table_name", "token").distinct()
+
+  /** GET /jobs/by-start-date/{from}[/{to}] (DiffJobsResource.java:140-156;
+    * the day+hour index tables of JobMetadataDb.java:421-424 become a
+    * range filter).
+    */
+  def jobsByStartDate(from: String, to: String): DataFrame =
+    summary.filter(col("start_time") >= from && col("start_time") <= to)
+
+  /** GET /jobs/by-source-cluster/{c} (DiffJobsResource.java:159-165). */
+  def jobsBySourceCluster(c: String): DataFrame =
+    summary.filter(col("source_cluster") === c)
+
+  /** GET /jobs/by-target-cluster/{c} (DiffJobsResource.java:168-174). */
+  def jobsByTargetCluster(c: String): DataFrame =
+    summary.filter(col("target_cluster") === c)
+
+  /** GET /jobs/by-keyspace/{ks} (DiffJobsResource.java:177-183); tables
+    * are stored as an array column, so membership is `array_contains`.
+    */
+  def jobsByKeyspace(ks: String): DataFrame =
+    summary.filter(array_contains(col("keyspaces"), ks))
+}

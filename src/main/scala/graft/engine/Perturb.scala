@@ -120,4 +120,12 @@ object Perturb {
 object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as long
+    * nanoseconds — convert to a proper (microsecond) timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
 }

@@ -1,0 +1,85 @@
+package graft.journal
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.RangeStats
+
+/** The job journal — the reference's 12-table `cassandradiff` metadata
+  * keyspace (JobMetadataDb.java:493-652) as parquet tables under one root.
+  * Cassandra-specific artifacts (bucket fan-out to dodge wide partitions,
+  * per-index duplicate tables) disappear: each logical table is one
+  * partitioned parquet dataset and every "index" is a filter Spark pushes
+  * down.
+  *
+  * Layout:
+  *   <root>/job_summary/     job params + start metadata (job_summary +
+  *                           job_start_index tables, JobMetadataDb.java:496-544)
+  *   <root>/task_status/     per (table, bucket) progress: running stats +
+  *                           last_token watermark (job_status,
+  *                           JobMetadataDb.java:546-570; checkpoint
+  *                           RangeComparator.java:231-241)
+  *   <root>/mismatches/      one row per mismatched partition
+  *                           (JobMetadataDb.java:572-585)
+  *   <root>/errors/          per-partition error detail
+  *                           (JobMetadataDb.java:587-607)
+  *   <root>/job_results/     final per-table RangeStats
+  *                           (JobMetadataDb.java:609-617)
+  *   <root>/running_jobs/<job_id>.lock   the concurrency lock (O21)
+  */
+final class MetadataStore(val root: String)(implicit spark: SparkSession) {
+
+  private def path(table: String): String = s"$root/$table"
+
+  def write(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(table))
+  }
+
+  def read(table: String): DataFrame = spark.read.parquet(path(table))
+
+  def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
+
+  def readOrEmpty(table: String, schemaOf: => DataFrame): DataFrame =
+    if (exists(table)) read(table) else schemaOf.limit(0)
+
+  /** O21: the `running_jobs` LWT lock (`INSERT ... IF NOT EXISTS`,
+    * JobMetadataDb.java:359-376) emulated with an atomic file create.
+    * Returns true iff this caller acquired the lock.
+    */
+  def acquireRunLock(jobId: String): Boolean = {
+    val dir = Paths.get(root, "running_jobs")
+    Files.createDirectories(dir)
+    try { Files.createFile(dir.resolve(s"$jobId.lock")); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+  }
+
+  /** O21: `markNotRunning` / lock release (JobMetadataDb.java:461-490). */
+  def releaseRunLock(jobId: String): Unit =
+    Files.deleteIfExists(Paths.get(root, "running_jobs", s"$jobId.lock"))
+
+  def isRunning(jobId: String): Boolean =
+    Files.exists(Paths.get(root, "running_jobs", s"$jobId.lock"))
+
+  /** Final per-table stats row (job_results, JobMetadataDb.java:609-617). */
+  def writeResults(jobId: String, statsByTable: DataFrame): Unit =
+    write("job_results", statsByTable.withColumn("job_id", lit(jobId)))
+}
+
+object MetadataStore {
+  /** Typed view of a job_results/task_status counter row. */
+  def toRangeStats(row: org.apache.spark.sql.Row): RangeStats = RangeStats(
+    matchedPartitions = row.getAs[Long]("matched_partitions"),
+    mismatchedPartitions = row.getAs[Long]("mismatched_partitions"),
+    onlyInSource = row.getAs[Long]("only_in_source"),
+    onlyInTarget = row.getAs[Long]("only_in_target"),
+    matchedRows = row.getAs[Long]("matched_rows"),
+    matchedValues = row.getAs[Long]("matched_values"),
+    mismatchedValues = row.getAs[Long]("mismatched_values"),
+    skippedPartitions =
+      if (row.schema.fieldNames.contains("skipped_partitions"))
+        row.getAs[Long]("skipped_partitions") else 0L)
+}

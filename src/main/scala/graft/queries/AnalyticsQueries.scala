@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Analytical queries over the corpus — joins, aggregation, window, top-k.
+  * The reference has none of these in its data path (SURVEY §2.2); Spark
+  * provides them natively, and they double as the bench headline queries.
+  *
+  * Float discipline for the DuckDB oracle: every SUM over a double column
+  * goes through an exact DECIMAL cast (associative, order-independent)
+  * and the final value is cast back to DOUBLE — identical bits in both
+  * engines regardless of partitioning/aggregation order.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  private def dec(c: String) = col(c).cast("decimal(18,2)")
+
+  /** revenue term: exact decimal l_extendedprice * (1 - l_discount). */
+  private val revenue =
+    (dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+      .cast("decimal(28,6)")
+  private val revenueSql =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style scan+aggregate
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(revenue).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+    // TPC-H Q3-style 3-way join + top-k (TakeOrderedAndProject)
+    "q3_topk" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q5-style 6-way join with broadcast dims
+    "q5_join" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+          sup("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+    }),
+    // window function: deterministic running sum per supplier
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") % 100 === 0)
+        .withColumn("running_qty", sum(dec("l_quantity")).over(w).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    }),
+    // events table: time-bucketed aggregation (streaming-shaped, batch run)
+    "events_by_hour" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |       CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q5_join" ->
+      s"""SELECT n_name, CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey % 100 = 0""".stripMargin,
+    "events_by_hour" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+  )
+}

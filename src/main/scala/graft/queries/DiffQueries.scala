@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.DiffOptions
+import graft.engine.{DiffEngine, OracleSql, Perturb, Tables}
+
+/** Diff-engine operator queries (SURVEY §2 O1/O4-O8, O11, O13, O14), each
+  * with a DuckDB oracle generated from the same TableSpec.
+  */
+object DiffQueries {
+
+  import Perturb.{lineitemSpec, ordersSpec}
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+  private val idTok = DiffEngine.identityToken _
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O4+O5+O6+O7+O8: full RangeStats over the wide (clustered) shape
+    "diff_range_stats" -> ((s, dir) =>
+      DiffEngine.rangeStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, DiffOptions(), idTok)),
+    // same over the narrow shape (no clustering — reference narrow1)
+    "diff_range_stats_narrow" -> ((s, dir) =>
+      DiffEngine.rangeStats(ord(s, dir), Perturb.ordersTarget(ord(s, dir)),
+        ordersSpec, DiffOptions(), idTok)),
+    // O7: per-partition stats + classification
+    "diff_partition_stats" -> ((s, dir) =>
+      DiffEngine.partitionStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, idTok)),
+    // O14: mismatch journal rows
+    "diff_mismatches" -> ((s, dir) =>
+      DiffEngine.mismatches(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, DiffOptions(buckets = 100), idTok)),
+    // O1+O4: partition-key scan + presence classification counts
+    "diff_key_classify" -> ((s, dir) =>
+      DiffEngine.keyDiff(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, idTok)
+        .groupBy("classification").agg(count(lit(1)).as("n"))),
+    // O5: row-level presence counts
+    "diff_row_classify" -> ((s, dir) => {
+      val rl = DiffEngine.rowLevel(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec)
+      rl.agg(
+        sum(when(col("__in_src") && col("__in_tgt"), 1L).otherwise(0L)).as("matched_rows"),
+        sum(when(col("__in_src") && !col("__in_tgt"), 1L).otherwise(0L)).as("rows_only_in_source"),
+        sum(when(col("__in_tgt") && !col("__in_src"), 1L).otherwise(0L)).as("rows_only_in_target"))
+    }),
+    // O6: per-regular-column matched/mismatched value counts (single pass
+    // + stack unpivot)
+    "diff_cell_values" -> ((s, dir) => {
+      val rl = DiffEngine.rowLevel(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec)
+      val both = col("__in_src") && col("__in_tgt")
+      val aggs = lineitemSpec.regular.flatMap { c =>
+        Seq(
+          sum(when(both && col(s"__match_$c"), 1L).otherwise(0L)).as(s"m_$c"),
+          sum(when(both && !col(s"__match_$c"), 1L).otherwise(0L)).as(s"mm_$c"))
+      }
+      val one = rl.agg(aggs.head, aggs.tail: _*)
+      val stack = lineitemSpec.regular
+        .map(c => s"'$c', m_$c, mm_$c").mkString(", ")
+      one.selectExpr(s"stack(${lineitemSpec.regular.size}, $stack) as " +
+        "(column_name, matched_values, mismatched_values)")
+    }),
+    // O11+O13: per-bucket progress with highest-seen token
+    "diff_bucket_progress" -> ((s, dir) =>
+      DiffEngine.bucketProgress(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, DiffOptions(buckets = 16), idTok)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "diff_range_stats" -> OracleSql.rangeStats(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_range_stats_narrow" -> OracleSql.rangeStats(ordersSpec,
+      Perturb.ordersSrcSql, Perturb.ordersTargetSql),
+    "diff_partition_stats" -> OracleSql.partitionStats(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_mismatches" -> OracleSql.mismatches(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
+    "diff_key_classify" -> OracleSql.keyClassify(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_row_classify" -> OracleSql.rowClassify(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_cell_values" -> OracleSql.cellValues(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_bucket_progress" -> OracleSql.bucketProgress(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 16),
+  )
+}
