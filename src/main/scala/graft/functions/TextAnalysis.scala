@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting. All pure Column
+  * expressions (codegen-friendly, no UDFs), each with a deterministic SQL
+  * mirror so results are DuckDB-checkable.
+  *
+  * The language-ID stopword lists are the single source of truth for both
+  * the Spark expressions and the generated oracle SQL ([[langIdSql]]).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — corpus text is single-space separated. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: ~4 chars per subword token (public rule of
+    * thumb for byte-pair encoders).
+    */
+  def bpeTokenEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** Punctuation ratio via translate (identical semantics in DuckDB —
+    * avoids regex-flag differences between engines).
+    */
+  val PunctChars = ".,!?;:'\""
+  def punctRatio(text: Column): Column =
+    (length(text) - length(translate(text, PunctChars, ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Language → marker stopwords. Public high-frequency function words. */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "por"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour"))
+
+  val AllStopwords: Seq[String] = StopwordLists.flatMap(_._2).distinct
+
+  /** Count of tokens (with multiplicity) that are stopwords of any list. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t =>
+      AllStopwords.map(w => t === w).reduce(_ || _)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Per-language score: number of that language's marker words present
+    * (presence, not multiplicity — one CASE per word, mirrored 1:1 in
+    * [[langIdSql]]).
+    */
+  private def langScore(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(text)
+    words.map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  /** Heuristic language ID: argmax of marker-word scores, ties broken in
+    * [[StopwordLists]] order, all-zero ⇒ "unknown".
+    */
+  def langId(text: Column): Column = {
+    val scores = StopwordLists.map { case (lang, ws) => lang -> langScore(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unknown")) { case ((lang, s), els) =>
+      when(s === best && s > 0, lang).otherwise(els)
+    }
+  }
+
+  /** SQL mirror of [[langId]] + [[stopwordRatio]] building blocks,
+    * generated from the same lists. `toks` must be a VARCHAR[] column in
+    * scope.
+    */
+  def langScoreSql(toksExpr: String, words: Seq[String]): String =
+    words.map(w => s"CASE WHEN list_contains($toksExpr, '$w') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
+  def langIdSql(toksExpr: String): String = {
+    val scoreExprs = StopwordLists.map { case (lang, ws) =>
+      lang -> s"(${langScoreSql(toksExpr, ws)})"
+    }
+    val best = scoreExprs.map(_._2).reduceRight((a, b) => s"GREATEST($a, $b)")
+    val cases = scoreExprs.reverse.foldLeft("'unknown'") { case (els, (lang, s)) =>
+      s"CASE WHEN $s = $best AND $s > 0 THEN '$lang' ELSE $els END"
+    }
+    cases
+  }
+
+  def stopwordCountSql(toksExpr: String): String = {
+    val lst = AllStopwords.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($toksExpr, x -> list_contains([$lst], x)))"
+  }
+
+  /** Composite quality score in [0,1]: length component + stopword
+    * component, deterministic double arithmetic.
+    */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
+      stopwordRatio(text) * lit(0.5)
+
+  /** Content fingerprint: md5 of the lower-cased trimmed text (md5 hex is
+    * identical across engines). A rolling-hash variant lives in
+    * [[graft.functions.RollingHash]] as a native Catalyst expression.
+    */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.{Dedup, Multimodal, TextAnalysis => TA}
+
+/** Text-analysis + deduplication + multimodal queries over the
+  * `documents` table. Dedup queries run over a deterministically
+  * dup-injected corpus (exact copies + near-copies) mirrored 1:1 in the
+  * oracle SQL.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** corpus + exact dups (doc_id%10) + near dups with 3 extra tokens
+    * (doc_id%15).
+    */
+  def dupCorpus(d: DataFrame): DataFrame =
+    d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("source", lit("dup")))
+      .unionByName(
+        d.filter(col("doc_id") % 15 === 0)
+          .withColumn("doc_id", col("doc_id") + 2000000L)
+          .withColumn("text", concat(col("text"), lit(" graft extra token")))
+          .withColumn("source", lit("neardup")))
+
+  val dupCorpusSql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text, lang, 'dup', n_chars FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000, text || ' graft extra token', lang, 'neardup', n_chars
+      |FROM documents WHERE doc_id % 15 = 0""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting + quality scoring, one pass, pure expressions
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TA.bpeTokenEstimate(col("text")).as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TA.stopwordCount(col("text")).cast("long").as("stop_count"),
+        TA.punctRatio(col("text")).as("punct_ratio"),
+        TA.qualityScore(col("text")).as("quality"))),
+    // n-gram-heuristic language ID vs the labeled lang column
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TA.langId(col("text")).as("lang_pred"))),
+    // content fingerprint (md5 of normalized text)
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
+    // exact dedup: hash-groupBy over the dup-injected corpus
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDups(dupCorpus(docs(s, dir)), "doc_id", "text")),
+    // n-gram Jaccard near-dup pairs (shingle-blocked self-join)
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)),
+    // MinHash+LSH candidate pairs — scale path; not SQL-expressible, so
+    // driver records a rows-only check; ScalaTest asserts recall/precision
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashCandidatePairs(dupCorpus(docs(s, dir)), "doc_id", "text")),
+    // SimHash near-dups with hamming verify — rows-only + ScalaTest
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashNearDups(dupCorpus(docs(s, dir)), "doc_id", "text")),
+    // multimodal plumbing: binary blobs → batched stub decode
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.toBlobs(docs(s, dir), "doc_id", "text"))
+        .select("doc_id", "media_type", "n_bytes", "width", "height")),
+  )
+
+  def oracles: Map[String, String] = {
+    val toks = "string_split(text, ' ')"
+    Map(
+      "text_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len($toks) AS BIGINT) AS n_tokens,
+           |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens,
+           |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+           |  CAST(${TA.stopwordCountSql(toks)} AS BIGINT) AS stop_count,
+           |  CAST(length(text) - length(translate(text, '${TA.PunctChars.replace("'", "''")}', '')) AS DOUBLE)
+           |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+           |  LEAST(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+           |    (CAST(${TA.stopwordCountSql(toks)} AS DOUBLE)
+           |     / CAST(GREATEST(len($toks), 1) AS DOUBLE)) * 0.5 AS quality
+           |FROM documents""".stripMargin,
+      "text_langid" ->
+        s"""SELECT doc_id, lang, ${TA.langIdSql(toks)} AS lang_pred
+           |FROM documents""".stripMargin,
+      "text_fingerprint" ->
+        "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+      "dedup_exact" ->
+        s"""WITH corpus AS ($dupCorpusSql)
+           |SELECT md5(lower(trim(text))) AS content_hash,
+           |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+           |       MIN(doc_id) AS canonical_id
+           |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+      "dedup_ngram_pairs" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |sh AS (
+           |  SELECT DISTINCT doc_id AS id, unnest(
+           |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           |         ELSE list_transform(range(0, len(w) - 2),
+           |                i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) END
+           |  ) AS shingle
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+           |),
+           |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+           |inter AS (
+           |  SELECT x.id AS id_a, y.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+           |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+           |  GROUP BY 1, 2
+           |)
+           |SELECT id_a, id_b, n_common,
+           |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           |       CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE) AS jaccard
+           |FROM inter JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
+           |WHERE CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+      "multimodal_decode" ->
+        """SELECT doc_id, 'application/octet-stream' AS media_type,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+          |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+          |FROM documents""".stripMargin,
+    )
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Similarity
+
+/** Similarity-search queries over the `embeddings` table
+  * (`Array[Float]` column). Cosine scores are bit-exact against DuckDB
+  * (sequential double fold == `list_dot_product` over `DOUBLE[]`), so the
+  * brute-force paths are fully oracle-checked; the LSH path is the scale
+  * variant with a rows-only gate + ScalaTest recall assertions.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force top-5 cosine neighbors for 8 query vectors
+    "ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
+    }),
+    // embedding-cosine near-dup pairs over a deterministic subset
+    "embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(
+        emb(s, dir).filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", threshold = 0.4)),
+    // LSH-bucketed approximate top-k — the 100TB path (bucketed join,
+    // no cross product); rows-only gate + recall ScalaTest
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", k = 5)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8
+        |),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_dot_product(qv, cv) /
+        |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id
+        |),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "embed_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 4 = 0
+        |),
+        |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM v)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       list_dot_product(a.v, b.v) / (a.nn * b.nn) AS sim
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) > 0.4""".stripMargin,
+  )
+}
