@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.queries.TextQueries
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, Sf, "documents")
+  private lazy val corpus = TextQueries.dupCorpus(docs).cache()
+
+  test("exact dedup finds exactly the injected duplicate groups") {
+    val dups = Dedup.exactDups(corpus, "doc_id", "text")
+    val expected = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(dups.count() === expected)
+    assert(dups.filter(col("n_copies") =!= 2).count() === 0)
+    // canonical id is always the original (smallest) doc_id
+    assert(dups.filter(col("canonical_id") >= 1000000L).count() === 0)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (recall)") {
+    val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minHashCandidatePairs(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val missed = truth -- cand
+    assert(truth.nonEmpty)
+    assert(missed.isEmpty, s"LSH missed ${missed.size} of ${truth.size} true pairs")
+  }
+
+  test("simhash: exact duplicates have hamming distance 0") {
+    val pairs = Dedup.simHashNearDups(corpus, "doc_id", "text")
+      // injected exact dups only: original id (<1e6) vs its +1e6 copy
+      .filter(col("id_a") < 1000000L && col("id_b") === col("id_a") + 1000000L)
+    val n = pairs.count()
+    assert(n > 0)
+    assert(pairs.filter(col("hamming") =!= 0).count() === 0)
+  }
+
+  test("word shingles produce size-n windows and degenerate short docs") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.wordShingles(col("text"), 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    assert(rows(0) === Seq("a b c", "b c d"))
+    assert(rows(1) === Seq("a b"))
+  }
+
+  test("cosine: self-similarity is exactly 1 for unit consistency") {
+    val e = Tables.load(spark, Sf, "embeddings").limit(5)
+    val sims = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("s"))
+      .as[Double].collect()
+    sims.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("brute-force topk is ordered and excludes self") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    val tk = Similarity.bruteForceTopK(e.filter(col("vec_id") < 2), e,
+      "vec_id", "embedding", k = 3).collect()
+    assert(tk.length === 6)
+    tk.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sorted.reverse.sameElements(sims))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+  }
+
+  test("LSH topk: bucketed candidates agree with brute force on injected twins") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    // inject an exact twin of vec 1 at id 900000: must be its own bucket mate
+    val twin = e.filter(col("vec_id") === 1).withColumn("vec_id", lit(900000L))
+    val lsh = Similarity.lshTopK(e.unionByName(twin), "vec_id", "embedding", k = 5)
+    val got = lsh.filter(col("query_id") === 900000L && col("rank") === 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("neighbor_id") === 1L)
+    assert(math.abs(got(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
+  test("language id picks marker languages and falls back to unknown") {
+    val df = Seq(
+      ("der die das und ist klar", "de"),
+      ("the cat and the hat is it", "en"),
+      ("el y los las es una", "es"),
+      ("le et les est une dans", "fr"),
+      ("zzz qqq www", "unknown")).toDF("text", "want")
+    val bad = df.withColumn("got", TA.langId(col("text")))
+      .filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString(","))
+  }
+
+  test("multimodal stub decode: histogram normalized, bytes counted") {
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.toBlobs(docs.limit(10), "doc_id", "text"))
+    val r = feats.collect()
+    assert(r.length === 10)
+    r.foreach { row =>
+      val hist = row.getSeq[Double](row.fieldIndex("byte_hist"))
+      assert(math.abs(hist.sum - 1.0) < 1e-9)
+      assert(row.getAs[Long]("n_bytes") > 0)
+    }
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Classification => C, DiffOptions, TableSpec}
+import graft.engine.DiffEngine
+
+/** Operator-level diff semantics on hand-built tables — mirrors the
+  * reference's unit matrix (RangeComparatorTest / PartitionComparatorTest
+  * shapes: empty sides, only-in-source/target, row and value mismatches,
+  * null==null, 0/1/2 clustering columns).
+  */
+class DiffEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wideSpec = TableSpec("wide1", Seq("pk"), Seq("c1"), Seq("v1", "v2"))
+  private val narrowSpec = TableSpec("narrow1", Seq("pk"), Nil, Seq("v1", "v2"))
+  private val idTok = DiffEngine.identityToken _
+
+  // (pk, c1, v1, v2) rows — wide1 shape of the reference stress profile
+  private def wide(rows: (Long, Int, String, java.lang.Integer)*) =
+    rows.toDF("pk", "c1", "v1", "v2")
+
+  test("identical tables: everything matches") {
+    val t = wide((1L, 1, "a", 10), (1L, 2, "b", 20), (2L, 1, "c", 30))
+    val stats = DiffEngine.rangeStats(t, t, wideSpec, DiffOptions(), idTok).collect()(0)
+    assert(stats.getAs[Long]("matched_partitions") === 2)
+    assert(stats.getAs[Long]("mismatched_partitions") === 0)
+    assert(stats.getAs[Long]("matched_rows") === 3)
+    assert(stats.getAs[Long]("matched_values") === 6)
+    assert(stats.getAs[Long]("mismatched_values") === 0)
+    assert(stats.getAs[Long]("only_in_source") === 0)
+    assert(stats.getAs[Long]("only_in_target") === 0)
+  }
+
+  test("partition only in source / only in target") {
+    val src = wide((1L, 1, "a", 10), (2L, 1, "b", 20))
+    val tgt = wide((1L, 1, "a", 10), (3L, 1, "z", 99))
+    val stats = DiffEngine.rangeStats(src, tgt, wideSpec, DiffOptions(), idTok).collect()(0)
+    assert(stats.getAs[Long]("only_in_source") === 1)
+    assert(stats.getAs[Long]("only_in_target") === 1)
+    assert(stats.getAs[Long]("matched_partitions") === 1)
+    // one-sided partitions contribute no row/value counters
+    // (reference never runs a PartitionComparator for them)
+    assert(stats.getAs[Long]("matched_rows") === 1)
+    assert(stats.getAs[Long]("matched_values") === 2)
+  }
+
+  test("empty target: all partitions only-in-source (RangeComparatorTest empty-side)") {
+    val src = wide((1L, 1, "a", 10), (2L, 1, "b", 20))
+    val tgt = wide().filter(lit(false))
+    val stats = DiffEngine.rangeStats(src, tgt, wideSpec, DiffOptions(), idTok).collect()(0)
+    assert(stats.getAs[Long]("only_in_source") === 2)
+    assert(stats.getAs[Long]("matched_partitions") === 0)
+    assert(stats.getAs[Long]("matched_rows") === 0)
+  }
+
+  test("row present in one side only => PARTITION_MISMATCH") {
+    val src = wide((1L, 1, "a", 10), (1L, 2, "b", 20))
+    val tgt = wide((1L, 1, "a", 10))
+    val ps = DiffEngine.partitionStats(src, tgt, wideSpec, idTok).collect()(0)
+    assert(ps.getAs[String]("classification") === C.PartitionMismatch)
+    assert(ps.getAs[Long]("matched_rows") === 1)
+    assert(ps.getAs[Long]("rows_only_in_source") === 1)
+  }
+
+  test("cell mismatch counts per column; null==null is a match") {
+    val src = wide((1L, 1, "a", null), (1L, 2, "b", 20))
+    val tgt = wide((1L, 1, "X", null), (1L, 2, "b", 21))
+    val ps = DiffEngine.partitionStats(src, tgt, wideSpec, idTok).collect()(0)
+    // row1: v1 a!=X mismatch, v2 null<=>null match; row2: v1 match, v2 mismatch
+    assert(ps.getAs[Long]("matched_values") === 2)
+    assert(ps.getAs[Long]("mismatched_values") === 2)
+    assert(ps.getAs[String]("classification") === C.PartitionMismatch)
+  }
+
+  test("null vs value is a mismatch in both directions") {
+    val src = wide((1L, 1, "a", 10), (2L, 1, null, 20))
+    val tgt = wide((1L, 1, null, 10), (2L, 1, "b", 20))
+    val stats = DiffEngine.rangeStats(src, tgt, wideSpec, DiffOptions(), idTok).collect()(0)
+    assert(stats.getAs[Long]("mismatched_values") === 2)
+    assert(stats.getAs[Long]("matched_values") === 2)
+  }
+
+  test("narrow table (no clustering): one row per partition") {
+    val src = Seq((1L, "a", 10), (2L, "b", 20)).toDF("pk", "v1", "v2")
+    val tgt = Seq((1L, "a", 10), (2L, "B", 20)).toDF("pk", "v1", "v2")
+    val stats = DiffEngine.rangeStats(src, tgt, narrowSpec, DiffOptions(), idTok).collect()(0)
+    assert(stats.getAs[Long]("matched_partitions") === 1)
+    assert(stats.getAs[Long]("mismatched_partitions") === 1)
+    assert(stats.getAs[Long]("matched_rows") === 2)
+  }
+
+  test("disallowed tokens are skipped and excluded from comparison") {
+    val src = wide((1L, 1, "a", 10), (2L, 1, "b", 20), (3L, 1, "c", 30))
+    val tgt = wide((1L, 1, "a", 10), (2L, 1, "XX", 20), (3L, 1, "c", 30))
+    val stats = DiffEngine.rangeStats(src, tgt, wideSpec,
+      DiffOptions(disallowedTokens = Seq(2L)), idTok).collect()(0)
+    assert(stats.getAs[Long]("skipped_partitions") === 1)
+    assert(stats.getAs[Long]("mismatched_partitions") === 0)
+    assert(stats.getAs[Long]("matched_partitions") === 2)
+  }
+
+  test("sampling keeps only pmod(token, den) < num and skips the rest") {
+    val src = wide((0L to 9L).map(i => (i, 1, "a", Int.box(1))): _*)
+    val stats = DiffEngine.rangeStats(src, src, wideSpec,
+      DiffOptions(samplingNum = 3, samplingDen = 10), idTok).collect()(0)
+    assert(stats.getAs[Long]("matched_partitions") === 3)
+    assert(stats.getAs[Long]("skipped_partitions") === 7)
+  }
+
+  test("mismatches sink carries type + token + bucket") {
+    val src = wide((1L, 1, "a", 10), (2L, 1, "b", 20))
+    val tgt = wide((2L, 1, "bX", 20), (3L, 1, "c", 30))
+    val m = DiffEngine.mismatches(src, tgt, wideSpec, DiffOptions(buckets = 10), idTok)
+      .collect().map(r => (r.getAs[Long]("token"), r.getAs[String]("mismatch_type"))).toSet
+    assert(m === Set((1L, C.OnlyInSource), (2L, C.PartitionMismatch), (3L, C.OnlyInTarget)))
+  }
+
+  test("reverse read ranks rows by descending clustering") {
+    val t = wide((1L, 1, "a", 10), (1L, 2, "b", 20), (1L, 3, "c", 30))
+    val top = DiffEngine.reverseRead(t, wideSpec)
+      .filter(col("rev_rank") === 1).collect()(0)
+    assert(top.getAs[Int]("c1") === 3)
+  }
+
+  test("schema validation rejects mismatched regular columns") {
+    val src = wide((1L, 1, "a", 10))
+    val tgt = src.withColumnRenamed("v2", "v3")
+    assertThrows[IllegalArgumentException] {
+      DiffEngine.rowLevel(src, tgt, wideSpec.copy(regular = Nil))
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{DiffJobConfig, DiffRunner, ResultsApi}
+import graft.core.DiffOptions
+import graft.engine.Perturb
+import graft.journal.{MetadataStore, Resume}
+import graft.sources.{ParquetSource, SchemaOps, SourceProvider}
+
+class JournalApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-meta").toString
+
+  test("run lock: second acquire fails until released (LWT semantics)") {
+    implicit val s: SparkSession = spark
+    val store = new MetadataStore(tmpRoot())
+    assert(store.acquireRunLock("job1"))
+    assert(!store.acquireRunLock("job1"))
+    assert(store.isRunning("job1"))
+    store.releaseRunLock("job1")
+    assert(store.acquireRunLock("job1"))
+  }
+
+  test("resume: done buckets skipped, in-progress watermarked, rerun ignores journal") {
+    val work = (0L to 9L).map(t => (t, t % 2)).toDF("token", "bucket")
+    val journal = Seq(
+      (0L, Resume.StatusDone, Option.empty[Long]),
+      (1L, Resume.StatusInProgress, Some(5L))).toDF("bucket", "status", "last_token")
+    val pending = Resume.pending(work, journal).as[(Long, Long)].collect().toSet
+    // bucket 0 done -> gone; bucket 1 keeps tokens > 5
+    assert(pending === Set((7L, 1L), (9L, 1L)))
+    assert(Resume.pending(work, journal, rerun = true).count() === 10)
+  }
+
+  test("DiffRunner end-to-end: journals stats, mismatches and results; hooks fire") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val src = ParquetSource(Sf)
+    val tgt = new SourceProvider { // perturbed view of the same corpus
+      def table(sp: SparkSession, name: String): DataFrame =
+        Perturb.lineitemTarget(src.table(sp, name))
+      def listTables(sp: SparkSession): Seq[String] = src.listTables(sp)
+    }
+    var pre = false; var post = Option.empty[Long]
+    val results = new DiffRunner(src, tgt,
+      DiffJobConfig("job-e2e", Seq(Perturb.lineitemSpec),
+        DiffOptions(buckets = 8), metadataRoot = root))
+      .addPreJobHook(() => pre = true)
+      .addPostJobHook(r => post = Some(r("lineitem").mismatchedPartitions))
+      .run()
+    assert(pre)
+    val stats = results("lineitem")
+    assert(post.contains(stats.mismatchedPartitions))
+    assert(stats.matchedPartitions > 0)
+    assert(stats.onlyInSource > 0 && stats.onlyInTarget > 0)
+    // journal written and queryable through the ResultsApi
+    val store = new MetadataStore(root)
+    val api = new ResultsApi(store)
+    assert(api.jobResults("job-e2e").count() === 1)
+    assert(api.mismatchSummary("job-e2e").count() === 3) // 3 mismatch types
+    assert(api.jobStatus("job-e2e").count() === 8)       // one row per bucket
+    assert(!store.isRunning("job-e2e"))                  // lock released
+  }
+
+  test("concurrent run of the same job id is refused") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val store = new MetadataStore(root)
+    store.acquireRunLock("busy")
+    val src = ParquetSource(Sf)
+    val runner = new DiffRunner(src, src,
+      DiffJobConfig("busy", Seq(Perturb.ordersSpec), metadataRoot = root))
+    assertThrows[IllegalArgumentException](runner.run())
+  }
+
+  test("schema ops: intersect drops disallowed + asymmetric; difference reports both sides") {
+    val a = Seq("t1", "t2", "t3", "sys")
+    val b = Seq("t2", "t3", "t4", "sys")
+    assert(SchemaOps.intersect(a, b, Set("sys")) === Seq("t2", "t3"))
+    assert(SchemaOps.difference(a, b) === Seq("t1", "t4"))
+  }
+}
