@@ -41,38 +41,43 @@ object Dedup {
   private def perm(i: Int): (Long, Long) =
     (2L * i + 1, 104729L * (i + 1) % MinHashPrime) // odd multiplier, fixed offsets
 
-  /** k-wide MinHash signature of a shingle-array column. */
-  def minHashSignature(shingles: Column, k: Int): Column = {
-    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MinHashPrime)))
+  /** k-wide MinHash signature per document, computed the codegen-friendly
+    * way: explode shingles once, then k static `min` aggregates over the
+    * k permuted hashes — one whole-stage-codegen'd HashAggregate with
+    * map-side partial mins before the shuffle. (A higher-order-function
+    * formulation is ~20× slower: HOF lambdas are interpreted and the
+    * shingle hash array is recomputed per permutation.)
+    *
+    * Output: (id, mh0..mh{k-1}) plus an `sig` array column.
+    */
+  def withMinHashSignature(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleN)).as("shingle"))
+    val h = pmod(xxhash64(col("shingle")), lit(MinHashPrime))
     val mins = (0 until k).map { i =>
       val (a, b) = perm(i)
-      array_min(transform(hashed, h => pmod(h * a + b, lit(MinHashPrime))))
+      min(pmod(h * a + b, lit(MinHashPrime))).as(s"mh$i")
     }
-    array(mins: _*)
-  }
-
-  /** LSH banding: split the k-wide signature into `bands` bands of
-    * k/bands rows; bucket key per band = hash of that slice. Near-dup
-    * candidates collide in ≥1 band.
-    */
-  def lshBandBuckets(signature: Column, bands: Int, k: Int): Column = {
-    val rows = k / bands
-    array((0 until bands).map { b =>
-      xxhash64(lit(b), concat_ws(",", slice(signature, b * rows + 1, rows)))
-    }: _*)
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("sig", array((0 until k).map(i => col(s"mh$i")): _*))
   }
 
   /** Candidate near-dup pairs via LSH bucket self-join — the scale path:
     * the only shuffle is on (band, bucket), never all-pairs.
+    * bands=8/rows=2: P(collide) = 1-(1-j^2)^8 ≈ 0.9997 at j=0.8 — high
+    * recall; false-positive candidates are cheap (verified downstream).
     */
   def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
-    // bands=8/rows=2: P(collide) = 1-(1-j^2)^8 ≈ 0.9997 at j=0.8 —
-    // high recall; false-positive candidates are cheap (verified later)
-    val sig = df.select(col(idCol).as("id"),
-      minHashSignature(wordShingles(col(textCol), shingleN), k).as("sig"))
+    val rows = k / bands
+    val sig = withMinHashSignature(df, idCol, textCol, shingleN, k)
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+    }
     val buckets = sig.select(col("id"),
-        posexplode(lshBandBuckets(col("sig"), bands, k)).as(Seq("band", "bucket")))
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

@@ -41,20 +41,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** Random-hyperplane LSH sketch: bit i = sign of the projection onto a
-    * deterministic ±1 hyperplane (component j of plane i = parity of
-    * xxhash64(i, j)). No RNG, reproducible across runs and engines.
+  /** Deterministic ±1 hyperplane component (i = plane, j = dimension) via
+    * splitmix64 — no RNG state, reproducible across runs and engines.
     */
-  def hyperplaneSketch(vec: Column, bits: Int): Column = {
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def planeSign(i: Int, j: Int): Double =
+    if ((splitmix64(i.toLong * 1000003L + j) & 1L) == 0L) 1.0 else -1.0
+
+  /** Random-hyperplane LSH sketch per row: bit i = sign of the projection
+    * onto plane i. Computed the codegen-friendly way — posexplode the
+    * vector once, then `bits` static sum-aggregates against literal plane
+    * arrays (one HashAggregate, map-side partials; no interpreted
+    * higher-order lambdas). Per-group accumulation order follows the
+    * explode order, so projections are deterministic doubles.
+    *
+    * Output: (id, sketch: Long).
+    */
+  def withHyperplaneSketch(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dims: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("pos", "x")))
     val projections = (0 until bits).map { i =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") *
-            when(pmod(xxhash64(lit(i), j), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+      val plane = typedlit((0 until dims).map(j => planeSign(i, j)))
+      sum(col("x").cast("double") * element_at(plane, col("pos") + 1)).as(s"__p$i")
     }
-    projections.reduce((a, b) => a.bitwiseOR(b))
+    ex.groupBy(col("id"))
+      .agg(projections.head, projections.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(i =>
+          when(col(s"__p$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sketch"))
   }
 
   /** The scale path: LSH-bucketed approximate neighbors. Candidates =
@@ -63,12 +84,16 @@ object Similarity {
     * join. Recall is tunable via `bits` (fewer bits = bigger buckets).
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, bits: Int = 12, bands: Int = 3): DataFrame = {
+      k: Int, bits: Int = 24, bands: Int = 3, dims: Int = 64): DataFrame = {
+    // 8 bits/band: expected bucket size = n/256 per band — candidate set
+    // stays near-linear in n; raise bands (multi-probe) for recall,
+    // bits/band for speed
     import org.apache.spark.sql.expressions.Window
     val bitsPerBand = bits / bands
+    val sketches = withHyperplaneSketch(df, idCol, vecCol, bits, dims)
     val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sketch", hyperplaneSketch(col("v"), bits))
       .withColumn("n", norm(col("v")))
+      .join(sketches, "id")
     // band the sketch so near points collide in ≥1 band
     val banded = sk.select(col("id"), col("v"), col("n"),
       posexplode(array((0 until bands).map(b =>
