@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.core.{Classification => C}
+import graft.streaming.StreamingDiff
+import graft.streaming.StreamingDiff.{Change, PartitionState}
+
+class StreamingDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("classify covers the full taxonomy") {
+    assert(StreamingDiff.classify(PartitionState(Some(1L), None)) === C.OnlyInSource)
+    assert(StreamingDiff.classify(PartitionState(None, Some(1L))) === C.OnlyInTarget)
+    assert(StreamingDiff.classify(PartitionState(Some(1L), Some(1L))) === C.Matched)
+    assert(StreamingDiff.classify(PartitionState(Some(1L), Some(2L))) === C.PartitionMismatch)
+  }
+
+  test("stateful stream: verdicts evolve as both sides report") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Change]
+    val q = StreamingDiff.verdicts(input.toDS())
+      .writeStream.format("memory").queryName("verdicts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: only source has the partition
+      input.addData(Change("source", 10L, "k1", 100L, ts(1000)))
+      q.processAllAvailable()
+      val v1 = spark.table("verdicts").as[(String, Long, String)].collect()
+      assert(v1.toSet === Set(("k1", 10L, C.OnlyInSource)))
+
+      // batch 2: target catches up with the same row hash -> MATCHED
+      input.addData(Change("target", 10L, "k1", 100L, ts(2000)))
+      q.processAllAvailable()
+      val v2 = spark.table("verdicts").as[(String, Long, String)].collect()
+      assert(v2.contains(("k1", 10L, C.Matched)))
+
+      // batch 3: source mutates -> PARTITION_MISMATCH
+      input.addData(Change("source", 10L, "k1", 999L, ts(3000)))
+      q.processAllAvailable()
+      val v3 = spark.table("verdicts").as[(String, Long, String)].collect()
+      assert(v3.contains(("k1", 10L, C.PartitionMismatch)))
+    } finally q.stop()
+  }
+
+  test("snapshot adapter produces matching hashes for identical rows") {
+    val t = Seq((1L, 1, "a", 10), (2L, 1, "b", 20)).toDF("pk", "c1", "v1", "v2")
+    val spec = graft.core.TableSpec("t", Seq("pk"), Seq("c1"), Seq("v1", "v2"))
+    val src = StreamingDiff.snapshotAsChanges(t, spec, "source")
+    val tgt = StreamingDiff.snapshotAsChanges(t, spec, "target")
+    val joined = src.select($"pk", $"rowHash".as("sh"))
+      .join(tgt.select($"pk", $"rowHash".as("th")), "pk")
+    assert(joined.filter($"sh" =!= $"th").count() === 0)
+  }
+}
