@@ -17,12 +17,16 @@ import org.apache.spark.sql.functions._
   * @param clustering row-ordering columns within a partition (may be empty =
   *                   the reference's "narrow" shape, one row per partition)
   * @param regular    compared value columns; empty ⇒ inferred at bind time
+  * @param uniqueKey  declare that (pk ++ clustering) is unique — skips the
+  *                   duplicate-occurrence window (and its shuffle) in the
+  *                   row-level diff
   */
 final case class TableSpec(
     table: String,
     pk: Seq[String],
     clustering: Seq[String] = Nil,
-    regular: Seq[String] = Nil) {
+    regular: Seq[String] = Nil,
+    uniqueKey: Boolean = false) {
 
   /** Full primary key = row identity (pk ++ clustering). */
   def primaryKey: Seq[String] = pk ++ clustering

@@ -141,10 +141,12 @@ object DiffEngine {
   def rowLevel(src: DataFrame, tgt: DataFrame, spec0: TableSpec): DataFrame = {
     val spec = spec0.bind(src)
     spec.validateSides(src, tgt)
-    val keys = spec.primaryKey
-    val s = src.select(keys.map(col) ++ spec.regular.map(c => col(c).as(srcCol(c))): _*)
+    val keys = spec.primaryKey :+ Occ
+    val s = withOccurrence(src, spec)
+      .select(keys.map(col) ++ spec.regular.map(c => col(c).as(srcCol(c))): _*)
       .withColumn(InSrc, lit(true))
-    val t = tgt.select(keys.map(col) ++ spec.regular.map(c => col(c).as(tgtCol(c))): _*)
+    val t = withOccurrence(tgt, spec)
+      .select(keys.map(col) ++ spec.regular.map(c => col(c).as(tgtCol(c))): _*)
       .withColumn(InTgt, lit(true))
     val joined = s.join(t, keys, "full_outer")
       .withColumn(InSrc, coalesce(col(InSrc), lit(false)))
@@ -153,6 +155,29 @@ object DiffEngine {
       df.withColumn(matchCol(c), col(srcCol(c)) <=> col(tgtCol(c)))
     }
   }
+
+  /** Duplicate-full-PK disambiguation. The reference zips a partition's
+    * rows positionally in clustering order, so duplicate clustering keys
+    * pair 1st-with-1st (storage order); a set-based join would instead
+    * cross-product them (SURVEY §7.4 "must not dedupe"). We assign each
+    * duplicate a deterministic occurrence index — row_number over the
+    * full PK ordered by the regular columns (nulls first, same collation
+    * rules as the SQL oracle) — and make it part of the row identity.
+    * Identical sides therefore pair perfectly regardless of storage
+    * order. Tables declaring `uniqueKey` skip the window (and its
+    * shuffle) entirely.
+    */
+  private val Occ = "__occ"
+  private def withOccurrence(df: DataFrame, spec: TableSpec): DataFrame =
+    if (spec.uniqueKey) df.withColumn(Occ, lit(1))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val order =
+        if (spec.regular.nonEmpty) spec.regular.map(c => col(c).asc_nulls_first)
+        else spec.primaryKey.map(c => col(c).asc_nulls_first)
+      df.withColumn(Occ, row_number().over(
+        Window.partitionBy(spec.primaryKey.map(col): _*).orderBy(order: _*)))
+    }
 
   /** O7: per-partition stats — the reference's `PartitionStats`
     * (PartitionStats.java:22-28) for every partition in one aggregation.

@@ -20,7 +20,7 @@ object OracleSql {
     */
   def rowLevelCtes(spec: TableSpec, srcSql: String, tgtSql: String): String = {
     val keys = spec.primaryKey
-    val on = keys.map(k => s"s.$k = t.$k").mkString(" AND ")
+    val on = (keys.map(k => s"s.$k = t.$k") :+ "s.__occ = t.__occ").mkString(" AND ")
     val keySel = keys.map(k => s"COALESCE(s.$k, t.$k) AS $k").mkString(", ")
     val matches = spec.regular
       .map(c => s"(s.$c IS NOT DISTINCT FROM t.$c) AS match_$c")
@@ -29,12 +29,20 @@ object OracleSql {
     val cols = (Seq(keySel, "(s.__one IS NOT NULL) AS in_src",
       "(t.__one IS NOT NULL) AS in_tgt") ++ matches ++ srcVals ++ tgtVals)
       .mkString(",\n         ")
+    // duplicate-full-PK occurrence index — mirrors
+    // DiffEngine.withOccurrence (row_number over the full PK ordered by
+    // the regular columns, nulls first)
+    val occOrder =
+      (if (spec.regular.nonEmpty) spec.regular else keys)
+        .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+    val occ =
+      s"ROW_NUMBER() OVER (PARTITION BY ${keys.mkString(", ")} ORDER BY $occOrder) AS __occ"
     s"""src AS ($srcSql),
        |tgt AS ($tgtSql),
        |rl AS (
        |  SELECT $cols
-       |  FROM (SELECT *, 1 AS __one FROM src) s
-       |  FULL OUTER JOIN (SELECT *, 1 AS __one FROM tgt) t ON $on
+       |  FROM (SELECT *, 1 AS __one, $occ FROM src) s
+       |  FULL OUTER JOIN (SELECT *, 1 AS __one, $occ FROM tgt) t ON $on
        |)""".stripMargin
   }
 

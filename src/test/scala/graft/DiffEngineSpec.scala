@@ -124,6 +124,38 @@ class DiffEngineSpec extends SparkSpec {
     assert(top.getAs[Int]("c1") === 3)
   }
 
+  test("duplicate full-PK rows pair positionally: identical sides all match") {
+    // two rows with the SAME (pk, c1) but different values — a set join
+    // would cross-product these into spurious mismatches
+    val t = wide((1L, 1, "a", 10), (1L, 1, "b", 20), (1L, 1, "b", 20), (2L, 1, "c", 30))
+    val stats = DiffEngine.rangeStats(t, t, wideSpec, DiffOptions(), idTok).collect()(0)
+    assert(stats.getAs[Long]("matched_partitions") === 2)
+    assert(stats.getAs[Long]("mismatched_partitions") === 0)
+    assert(stats.getAs[Long]("matched_rows") === 4)
+    assert(stats.getAs[Long]("mismatched_values") === 0)
+  }
+
+  test("corpus regression: lineitem (has dup PKs) vs itself is fully matched") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val stats = DiffEngine.rangeStats(li, li, graft.engine.Perturb.lineitemSpec,
+      DiffOptions(), idTok).collect()(0)
+    assert(stats.getAs[Long]("mismatched_partitions") === 0)
+    assert(stats.getAs[Long]("only_in_source") === 0)
+    assert(stats.getAs[Long]("matched_partitions") > 0)
+  }
+
+  test("uniqueKey spec skips the occurrence window but still diffs correctly") {
+    val src = wide((1L, 1, "a", 10), (2L, 1, "b", 20))
+    val tgt = wide((1L, 1, "a", 10), (2L, 1, "B", 20))
+    val spec = wideSpec.copy(uniqueKey = true)
+    val stats = DiffEngine.rangeStats(src, tgt, spec, DiffOptions(), idTok).collect()(0)
+    assert(stats.getAs[Long]("matched_partitions") === 1)
+    assert(stats.getAs[Long]("mismatched_partitions") === 1)
+    // and the plan has no window exchange
+    val plan = DiffEngine.rowLevel(src, tgt, spec).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+
   test("schema validation rejects mismatched regular columns") {
     val src = wide((1L, 1, "a", 10))
     val tgt = src.withColumnRenamed("v2", "v3")
