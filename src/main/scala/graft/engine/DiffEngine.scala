@@ -237,8 +237,13 @@ object DiffEngine {
     val ft = applyTokenFilters(tgt, spec, opts, token)
     val ps = partitionStats(fs, ft, spec, token)
     val both = col("in_src") && col("in_tgt")
-    val skipped = skippedPartitions(src, tgt, spec, opts, token)
-      .agg(count(lit(1)).as("skipped_partitions"))
+    val noFilters = opts.disallowedTokens.isEmpty && !opts.samplingEnabled &&
+      opts.specificTokens.isEmpty
+    val skipped =
+      if (noFilters) // nothing can be skipped — avoid the extra dual scan
+        src.sparkSession.range(1).select(lit(0L).as("skipped_partitions"))
+      else skippedPartitions(src, tgt, spec, opts, token)
+        .agg(count(lit(1)).as("skipped_partitions"))
     val stats = ps.agg(
       sum(when(col("classification") === C.Matched, 1L).otherwise(0L)).as("matched_partitions"),
       sum(when(col("classification") === C.PartitionMismatch, 1L).otherwise(0L)).as("mismatched_partitions"),
@@ -251,6 +256,25 @@ object DiffEngine {
     // single-row aggregates, so this is a broadcast nested loop over 1 row
     stats.crossJoin(skipped)
       .withColumn("table_name", lit(spec.table))
+  }
+
+  /** Typed variant of [[rangeStats]]: per-partition rows fold through the
+    * [[graft.core.RangeStatsAggregator]] monoid into a
+    * `Dataset[RangeStats]` — the Dataset/Aggregator API surface
+    * (SURVEY §7.3). Skipped-partition accounting stays with the untyped
+    * path (it is not a per-partition property).
+    */
+  def rangeStatsTyped(src: DataFrame, tgt: DataFrame, spec: TableSpec,
+      token: Seq[Column] => Column = defaultToken)
+      : org.apache.spark.sql.Dataset[graft.core.RangeStats] = {
+    val ps = partitionStats(src, tgt, spec, token)
+    val session = ps.sparkSession
+    import session.implicits._
+    ps.select(col("in_src"), col("in_tgt"), col("matched_rows"),
+        col("rows_only_in_source"), col("rows_only_in_target"),
+        col("matched_values"), col("mismatched_values"), col("classification"))
+      .as[graft.core.PartitionStatsRow]
+      .select(graft.core.RangeStatsAggregator.toColumn)
   }
 
   /** O14: the mismatch sink — every non-MATCHED partition as a journal row

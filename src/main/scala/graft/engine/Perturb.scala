@@ -113,7 +113,47 @@ object Perturb {
     pk = Seq("o_orderkey"),
     clustering = Nil,
     regular = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
-      "o_orderpriority"))
+      "o_orderpriority"),
+    uniqueKey = true) // o_orderkey verified unique at every corpus scale
+
+  /** events (wide, TWO clustering columns): pk=user_id,
+    * clustering=(ts, event_id). `ts` stays the raw nanosecond long (reads
+    * as long under nanosAsLong; the oracle mirrors it with epoch_ns) so
+    * clustering identity is lossless in both engines.
+    */
+  def eventsTarget(ev: DataFrame): DataFrame = {
+    val kept = ev
+      .filter(col("user_id") % 23 =!= 0)
+      .filter(!(col("event_id") % 17 === 0))
+      .withColumn("value",
+        when(col("event_id") % 19 === 0, col("value") + 1).otherwise(col("value")))
+      .withColumn("props",
+        when(col("event_id") % 29 === 0, lit(null).cast("string")).otherwise(col("props")))
+    val inserted = ev
+      .filter(col("user_id") % 31 === 0)
+      .withColumn("user_id", col("user_id") + 5000000L)
+    kept.unionByName(inserted)
+  }
+
+  val eventsSrcSql: String =
+    "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props FROM events"
+
+  val eventsTargetSql: String =
+    s"""SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type,
+       |       CASE WHEN event_id % 19 = 0 THEN value + 1 ELSE value END AS value,
+       |       CASE WHEN event_id % 29 = 0 THEN NULL ELSE props END AS props
+       |FROM events
+       |WHERE user_id % 23 <> 0 AND NOT (event_id % 17 = 0)
+       |UNION ALL
+       |SELECT event_id, epoch_ns(ts) AS ts, user_id + 5000000, event_type, value, props
+       |FROM events WHERE user_id % 31 = 0""".stripMargin
+
+  val eventsSpec: TableSpec = TableSpec(
+    table = "events",
+    pk = Seq("user_id"),
+    clustering = Seq("ts", "event_id"),
+    regular = Seq("event_type", "value", "props"),
+    uniqueKey = true) // (user_id, ts, event_id) verified unique at every scale
 }
 
 /** Parquet table loading for the driver corpus (TESTDATA.md). */

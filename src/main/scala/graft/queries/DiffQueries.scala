@@ -69,6 +69,12 @@ object DiffQueries {
     "diff_bucket_progress" -> ((s, dir) =>
       DiffEngine.bucketProgress(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
         lineitemSpec, DiffOptions(buckets = 16), idTok)),
+    // wide shape with TWO clustering columns (ts nanos + event_id)
+    "diff_range_stats_events" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events") // ts stays raw nanos long
+      DiffEngine.rangeStats(ev, Perturb.eventsTarget(ev),
+        Perturb.eventsSpec, DiffOptions(), idTok)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -88,5 +94,7 @@ object DiffQueries {
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_bucket_progress" -> OracleSql.bucketProgress(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 16),
+    "diff_range_stats_events" -> OracleSql.rangeStats(Perturb.eventsSpec,
+      Perturb.eventsSrcSql, Perturb.eventsTargetSql),
   )
 }

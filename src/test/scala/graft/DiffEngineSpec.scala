@@ -156,6 +156,21 @@ class DiffEngineSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("typed Aggregator path equals the untyped RangeStats") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val tgt = graft.engine.Perturb.lineitemTarget(li)
+    val spec = graft.engine.Perturb.lineitemSpec
+    val untyped = DiffEngine.rangeStats(li, tgt, spec, DiffOptions(), idTok).collect()(0)
+    val typed = DiffEngine.rangeStatsTyped(li, tgt, spec, idTok).head()
+    assert(typed.matchedPartitions === untyped.getAs[Long]("matched_partitions"))
+    assert(typed.mismatchedPartitions === untyped.getAs[Long]("mismatched_partitions"))
+    assert(typed.onlyInSource === untyped.getAs[Long]("only_in_source"))
+    assert(typed.onlyInTarget === untyped.getAs[Long]("only_in_target"))
+    assert(typed.matchedRows === untyped.getAs[Long]("matched_rows"))
+    assert(typed.matchedValues === untyped.getAs[Long]("matched_values"))
+    assert(typed.mismatchedValues === untyped.getAs[Long]("mismatched_values"))
+  }
+
   test("schema validation rejects mismatched regular columns") {
     val src = wide((1L, 1, "a", 10))
     val tgt = src.withColumnRenamed("v2", "v3")
