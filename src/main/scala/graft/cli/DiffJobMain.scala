@@ -24,6 +24,7 @@ object DiffJobMain {
       .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
