@@ -44,9 +44,31 @@ final class DiffRunner(
       s"job ${config.jobId} already running (running_jobs lock held)") // O21 LWT semantics
     try {
       preJobHooks.foreach(_())
-      val results = config.tables.map { spec =>
-        val src = source.table(spark, spec.table)
-        val tgt = target.table(spark, spec.table)
+      // job_summary row: params + start metadata (JobMetadataDb.java:496-544;
+      // the reference's by-date/by-cluster index tables become pushed-down
+      // filters over these columns)
+      import spark.implicits._
+      store.write("job_summary", Seq((
+        config.jobId,
+        source.getClass.getSimpleName,
+        target.getClass.getSimpleName,
+        config.tables.map(_.table),
+        config.options.buckets,
+        java.time.Instant.now().toString)).toDF(
+        "job_id", "source_cluster", "target_cluster", "keyspaces",
+        "buckets", "start_time"))
+      val results = config.tables.map { spec0 =>
+        val spec = spec0.bind(source.table(spark, spec0.table))
+        // O15: quarantine structurally invalid rows per side (origin
+        // tagged), journal them, diff the clean remainder
+        val sq = graft.engine.Quarantine.split(source.table(spark, spec.table), spec, "source")
+        val tq = graft.engine.Quarantine.split(target.table(spark, spec.table), spec, "target")
+        store.write("errors",
+          sq.errors.unionByName(tq.errors)
+            .withColumn("table_name", lit(spec.table))
+            .withColumn("job_id", lit(config.jobId)))
+        val src = sq.valid
+        val tgt = tq.valid
         // journal sinks (O13 progress, O14 mismatches)
         store.write("task_status",
           DiffEngine.bucketProgress(src, tgt, spec, config.options)

@@ -66,6 +66,19 @@ class JournalApiSpec extends SparkSpec {
     assert(api.mismatchSummary("job-e2e").count() === 3) // 3 mismatch types
     assert(api.jobStatus("job-e2e").count() === 8)       // one row per bucket
     assert(!store.isRunning("job-e2e"))                  // lock released
+    // job_summary-backed endpoints (the reference's index-table queries)
+    assert(api.job("job-e2e").count() === 1)
+    assert(api.recentJobs().count() === 1)
+    assert(api.jobsByKeyspace("lineitem").count() === 1)
+    assert(api.jobsByKeyspace("nope").count() === 0)
+    assert(api.jobsBySourceCluster("ParquetSource").count() === 1)
+    assert(api.jobsByStartDate("2000-01-01", "2999-01-01").count() === 1)
+    assert(api.jobMismatches("job-e2e").count() > 0)
+    assert(api.runningJobs().count() === 0)
+    // errors journal exists (clean corpus => zero rows) and is queryable
+    assert(api.jobErrors("job-e2e").count() === 0)
+    assert(api.errorSummary("job-e2e").count() === 0)
+    assert(api.errorRanges("job-e2e").count() === 0)
   }
 
   test("concurrent run of the same job id is refused") {
