@@ -82,6 +82,28 @@ object AnalyticsQueries {
         .withColumn("running_qty", sum(dec("l_quantity")).over(w).cast("double"))
         .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     }),
+    // rollup (grouping sets) — absent in the reference (SURVEY §2.2),
+    // free from Spark; GROUPING() disambiguates the null super-rows
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+    // distinct aggregation
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+    // data-level set ops: keys dropped by the perturbation = EXCEPT
+    "q_setops" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem").select(col("l_orderkey")).distinct()
+      val tgt = graft.engine.Perturb.lineitemTarget(t(s, dir, "lineitem"))
+        .select(col("l_orderkey")).distinct()
+      src.except(tgt).unionByName(tgt.except(src).withColumn("l_orderkey", -col("l_orderkey")))
+    }),
     // events table: time-bucketed aggregation (streaming-shaped, batch run)
     "events_by_hour" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -131,6 +153,31 @@ object AnalyticsQueries {
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem WHERE l_suppkey % 100 = 0""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_setops" ->
+      s"""SELECT l_orderkey FROM (
+         |  SELECT DISTINCT l_orderkey FROM lineitem
+         |  EXCEPT
+         |  SELECT DISTINCT l_orderkey FROM (${graft.engine.Perturb.lineitemTargetSql})
+         |)
+         |UNION ALL
+         |SELECT -l_orderkey FROM (
+         |  SELECT DISTINCT l_orderkey FROM (${graft.engine.Perturb.lineitemTargetSql})
+         |  EXCEPT
+         |  SELECT DISTINCT l_orderkey FROM lineitem
+         |)""".stripMargin,
     "events_by_hour" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  COUNT(*) AS n,
