@@ -14,6 +14,18 @@ class BucketingSpec extends SparkSpec {
     val src = (1L to 1000L).map(i => (i, 1, s"v$i")).toDF("pk", "c1", "v1")
     val tgt = src.withColumn("v1",
       when(col("pk") % 10 === 0, lit("changed")).otherwise(col("v1")))
+    // clean any previous run's table + location (warehouse dir persists
+    // across JVMs while the in-memory catalog does not)
+    Seq("bspec_src", "bspec_tgt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+        }
+        rm(loc)
+      }
+    }
     Bucketing.writeBucketed(src, "bspec_src", Seq("pk", "c1"), 4)
     Bucketing.writeBucketed(tgt, "bspec_tgt", Seq("pk", "c1"), 4)
     val bs = Bucketing.readBucketed(spark, "bspec_src")
