@@ -16,6 +16,7 @@ object Verify {
       // reader rejects; read as long and convert in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
