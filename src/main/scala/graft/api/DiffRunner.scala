@@ -70,14 +70,18 @@ final class DiffRunner(
         val src = sq.valid
         val tgt = tq.valid
         // journal sinks (O13 progress, O14 mismatches)
+        // partition journal datasets by job_id so every ResultsApi
+        // endpoint's job filter prunes at the directory level
         store.write("task_status",
           DiffEngine.bucketProgress(src, tgt, spec, config.options)
             .withColumn("status", lit("done"))
-            .withColumn("job_id", lit(config.jobId)))
+            .withColumn("job_id", lit(config.jobId)),
+          partitionBy = Seq("job_id"))
         store.write("mismatches",
           DiffEngine.mismatches(src, tgt, spec, config.options)
             .select("table_name", "bucket", "token", "mismatch_type")
-            .withColumn("job_id", lit(config.jobId)))
+            .withColumn("job_id", lit(config.jobId)),
+          partitionBy = Seq("job_id"))
         val statsDf = DiffEngine.rangeStats(src, tgt, spec, config.options)
         store.writeResults(config.jobId, statsDf)
         val row = statsDf.collect()(0) // single aggregated row per table

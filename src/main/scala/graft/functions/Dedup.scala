@@ -22,6 +22,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
       .filter(col("n_copies") > 1)
 
+  /** Materialize the deduplicated corpus: keep exactly one row per
+    * content hash — the canonical (smallest-id) member. One window over
+    * the hash (or a self-join at extreme cardinality); no collect.
+    */
+  def keepCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(contentHash(col(textCol)))
+    df.withColumn("__canon", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__canon"))
+      .drop("__canon")
+  }
+
   /** Word n-gram shingles as an array column (no explode — pure
     * expression): shingle i = words[i..i+n-1] joined by spaces.
     */

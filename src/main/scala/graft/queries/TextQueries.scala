@@ -60,6 +60,10 @@ object TextQueries {
     // exact dedup: hash-groupBy over the dup-injected corpus
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDups(dupCorpus(docs(s, dir)), "doc_id", "text")),
+    // deduplicated corpus materialization: one canonical row per content
+    "dedup_canonical" -> ((s, dir) =>
+      Dedup.keepCanonical(dupCorpus(docs(s, dir)), "doc_id", "text")
+        .select("doc_id", "source")),
     // n-gram Jaccard near-dup pairs (shingle-blocked self-join)
     "dedup_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
@@ -104,6 +108,13 @@ object TextQueries {
            |       CAST(COUNT(*) AS BIGINT) AS n_copies,
            |       MIN(doc_id) AS canonical_id
            |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+      "dedup_canonical" ->
+        s"""WITH corpus AS ($dupCorpusSql)
+           |SELECT doc_id, source FROM (
+           |  SELECT doc_id, source,
+           |         MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canon
+           |  FROM corpus
+           |) WHERE doc_id = canon""".stripMargin,
       "dedup_ngram_pairs" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |sh AS (

@@ -41,6 +41,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.filter(col("hamming") =!= 0).count() === 0)
   }
 
+  test("keepCanonical drops exactly the non-canonical copies") {
+    val kept = Dedup.keepCanonical(corpus, "doc_id", "text")
+    val dupCount = docs.filter(col("doc_id") % 10 === 0).count()
+    assert(kept.count() === corpus.count() - dupCount)
+    // near-dups (different text) survive; exact copies are gone
+    assert(kept.filter(col("doc_id") >= 2000000L).count() ===
+      docs.filter(col("doc_id") % 15 === 0).count())
+    assert(kept.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L).count() === 0)
+  }
+
   test("word shingles produce size-n windows and degenerate short docs") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("sh"))
