@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{DiffOptions, RangeStats, TableSpec}
 import graft.engine.DiffEngine
-import graft.journal.MetadataStore
+import graft.journal.{MetadataStore, Resume}
 import graft.sources.SourceProvider
 
 /** One diff job over a set of tables — the reference's programmatic entry
@@ -44,19 +44,32 @@ final class DiffRunner(
       s"job ${config.jobId} already running (running_jobs lock held)") // O21 LWT semantics
     try {
       preJobHooks.foreach(_())
-      // job_summary row: params + start metadata (JobMetadataDb.java:496-544;
-      // the reference's by-date/by-cluster index tables become pushed-down
-      // filters over these columns)
       import spark.implicits._
-      store.write("job_summary", Seq((
-        config.jobId,
-        source.getClass.getSimpleName,
-        target.getClass.getSimpleName,
-        config.tables.map(_.table),
-        config.options.buckets,
-        java.time.Instant.now().toString)).toDF(
-        "job_id", "source_cluster", "target_cluster", "keyspaces",
-        "buckets", "start_time"))
+      // O21 params immutability: a re-run of an existing job_id keeps the
+      // stored bucket count regardless of the new config
+      // (JobMetadataDb getJobParams, DiffJob.java:136-143, 213-229)
+      val priorSummary =
+        if (store.exists("job_summary"))
+          store.read("job_summary").filter(col("job_id") === config.jobId)
+            .collect().headOption
+        else None
+      val options = priorSummary match {
+        case Some(row) => config.options.copy(buckets = row.getAs[Int]("buckets"))
+        case None => config.options
+      }
+      if (priorSummary.isEmpty)
+        // job_summary row: params + start metadata (JobMetadataDb.java:496-544;
+        // the reference's by-date/by-cluster index tables become pushed-down
+        // filters over these columns)
+        store.write("job_summary", Seq((
+          config.jobId,
+          source.getClass.getSimpleName,
+          target.getClass.getSimpleName,
+          config.tables.map(_.table),
+          options.buckets,
+          java.time.Instant.now().toString)).toDF(
+          "job_id", "source_cluster", "target_cluster", "keyspaces",
+          "buckets", "start_time"))
       val results = config.tables.map { spec0 =>
         val spec = spec0.bind(source.table(spark, spec0.table))
         // O15: quarantine structurally invalid rows per side (origin
@@ -67,22 +80,39 @@ final class DiffRunner(
           sq.errors.unionByName(tq.errors)
             .withColumn("table_name", lit(spec.table))
             .withColumn("job_id", lit(config.jobId)))
-        val src = sq.valid
-        val tgt = tq.valid
+        // O12 resume: completed buckets of a previous run of this job are
+        // skipped (rerun=true re-compares them — Differ.java:166-171)
+        val journal =
+          if (store.exists("task_status"))
+            store.read("task_status")
+              .filter(col("job_id") === config.jobId && col("table_name") === spec.table)
+              .select(col("bucket"), col("status"), col("last_token"))
+          else spark.emptyDataFrame
+        val resuming = journal.columns.nonEmpty && !journal.isEmpty
+        def onlyPending(df: DataFrame): DataFrame =
+          if (!resuming || config.rerun) df
+          else {
+            val keys = DiffEngine.keyScan(df, spec)
+              .withColumn("bucket", DiffEngine.bucket(col("token"), options.buckets))
+            df.join(Resume.pending(keys, journal, config.rerun)
+              .select(spec.pk.map(col): _*), spec.pk, "left_semi")
+          }
+        val src = onlyPending(sq.valid)
+        val tgt = onlyPending(tq.valid)
         // journal sinks (O13 progress, O14 mismatches)
         // partition journal datasets by job_id so every ResultsApi
         // endpoint's job filter prunes at the directory level
         store.write("task_status",
-          DiffEngine.bucketProgress(src, tgt, spec, config.options)
+          DiffEngine.bucketProgress(src, tgt, spec, options)
             .withColumn("status", lit("done"))
             .withColumn("job_id", lit(config.jobId)),
           partitionBy = Seq("job_id"))
         store.write("mismatches",
-          DiffEngine.mismatches(src, tgt, spec, config.options)
+          DiffEngine.mismatches(src, tgt, spec, options)
             .select("table_name", "bucket", "token", "mismatch_type")
             .withColumn("job_id", lit(config.jobId)),
           partitionBy = Seq("job_id"))
-        val statsDf = DiffEngine.rangeStats(src, tgt, spec, config.options)
+        val statsDf = DiffEngine.rangeStats(src, tgt, spec, options)
         store.writeResults(config.jobId, statsDf)
         val row = statsDf.collect()(0) // single aggregated row per table
         spec.table -> MetadataStore.toRangeStats(row)

@@ -81,6 +81,40 @@ class JournalApiSpec extends SparkSpec {
     assert(api.errorRanges("job-e2e").count() === 0)
   }
 
+  test("re-running a finished job id resumes to nothing; rerun=true re-compares") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val src = ParquetSource(Sf)
+    val mkConfig = (rerun: Boolean) => DiffJobConfig("resume-job",
+      Seq(Perturb.ordersSpec), DiffOptions(buckets = 4),
+      metadataRoot = root, rerun = rerun)
+    val first = new DiffRunner(src, src, mkConfig(false)).run()("orders")
+    assert(first.matchedPartitions > 0)
+    // all 4 buckets journaled done -> a plain re-run has no pending work
+    val second = new DiffRunner(src, src, mkConfig(false)).run()("orders")
+    assert(second.matchedPartitions === 0)
+    assert(second.onlyInSource === 0 && second.mismatchedPartitions === 0)
+    // rerun=true ignores the journal and re-compares everything
+    val third = new DiffRunner(src, src, mkConfig(true)).run()("orders")
+    assert(third.matchedPartitions === first.matchedPartitions)
+  }
+
+  test("re-run keeps the stored bucket count (params immutability)") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val src = ParquetSource(Sf)
+    new DiffRunner(src, src, DiffJobConfig("params-job", Seq(Perturb.ordersSpec),
+      DiffOptions(buckets = 4), metadataRoot = root)).run()
+    // second run configured with 99 buckets must keep the stored 4
+    new DiffRunner(src, src, DiffJobConfig("params-job", Seq(Perturb.ordersSpec),
+      DiffOptions(buckets = 99), metadataRoot = root, rerun = true)).run()
+    val store = new MetadataStore(root)
+    val buckets = store.read("task_status")
+      .filter(col("job_id") === "params-job")
+      .select("bucket").distinct().count()
+    assert(buckets === 4)
+  }
+
   test("concurrent run of the same job id is refused") {
     implicit val s: SparkSession = spark
     val root = tmpRoot()
