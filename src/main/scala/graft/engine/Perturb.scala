@@ -154,6 +154,45 @@ object Perturb {
     clustering = Seq("ts", "event_id"),
     regular = Seq("event_type", "value", "props"),
     uniqueKey = true) // (user_id, ts, event_id) verified unique at every scale
+
+  /** embeddings (narrow, ARRAY-typed regular column): exercises nested
+    * null-safe equality (`<=>` over array<float>). Mutations: append an
+    * element (array value mismatch), null the array, bump the int label.
+    */
+  def embeddingsTarget(e: DataFrame): DataFrame = {
+    val kept = e
+      .filter(col("vec_id") % 53 =!= 0)
+      .withColumn("embedding",
+        when(col("vec_id") % 61 === 0, array_append(col("embedding"), lit(1.0f)))
+          .when(col("vec_id") % 71 === 0, lit(null))
+          .otherwise(col("embedding")))
+      .withColumn("label",
+        when(col("vec_id") % 67 === 0, col("label") + 1).otherwise(col("label")))
+    val inserted = e.filter(col("vec_id") % 59 === 0)
+      .withColumn("vec_id", col("vec_id") + InsertKeyOffset)
+    kept.unionByName(inserted)
+  }
+
+  val embeddingsSrcSql: String = "SELECT * FROM embeddings"
+
+  val embeddingsTargetSql: String =
+    s"""SELECT vec_id,
+       |       CASE WHEN vec_id % 61 = 0 THEN list_append(embedding, 1.0::FLOAT)
+       |            WHEN vec_id % 71 = 0 THEN NULL
+       |            ELSE embedding END AS embedding,
+       |       CASE WHEN vec_id % 67 = 0 THEN label + 1 ELSE label END AS label
+       |FROM embeddings
+       |WHERE vec_id % 53 <> 0
+       |UNION ALL
+       |SELECT vec_id + $InsertKeyOffset, embedding, label
+       |FROM embeddings WHERE vec_id % 59 = 0""".stripMargin
+
+  val embeddingsSpec: TableSpec = TableSpec(
+    table = "embeddings",
+    pk = Seq("vec_id"),
+    clustering = Nil,
+    regular = Seq("embedding", "label"),
+    uniqueKey = true) // vec_id verified unique at every scale
 }
 
 /** Parquet table loading for the driver corpus (TESTDATA.md). */

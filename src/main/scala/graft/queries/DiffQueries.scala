@@ -75,6 +75,12 @@ object DiffQueries {
       DiffEngine.rangeStats(ev, Perturb.eventsTarget(ev),
         Perturb.eventsSpec, DiffOptions(), idTok)
     }),
+    // array<float> regular column: nested null-safe equality
+    "diff_range_stats_embeddings" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      DiffEngine.rangeStats(e, Perturb.embeddingsTarget(e),
+        Perturb.embeddingsSpec, DiffOptions(), idTok)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -96,5 +102,7 @@ object DiffQueries {
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 16),
     "diff_range_stats_events" -> OracleSql.rangeStats(Perturb.eventsSpec,
       Perturb.eventsSrcSql, Perturb.eventsTargetSql),
+    "diff_range_stats_embeddings" -> OracleSql.rangeStats(Perturb.embeddingsSpec,
+      Perturb.embeddingsSrcSql, Perturb.embeddingsTargetSql),
   )
 }
