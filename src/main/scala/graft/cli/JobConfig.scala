@@ -154,7 +154,7 @@ object JobConfig {
     "supplier" -> TableSpec("supplier", Seq("s_suppkey")),
     "nation" -> TableSpec("nation", Seq("n_nationkey")),
     "region" -> TableSpec("region", Seq("r_regionkey")),
-    "events" -> TableSpec("events", Seq("user_id"), Seq("ts", "event_id")),
+    "events" -> graft.engine.Perturb.eventsSpec,
     "documents" -> TableSpec("documents", Seq("doc_id")),
-    "embeddings" -> TableSpec("embeddings", Seq("vec_id")))
+    "embeddings" -> graft.engine.Perturb.embeddingsSpec)
 }

@@ -161,14 +161,14 @@ object Perturb {
     */
   def embeddingsTarget(e: DataFrame): DataFrame = {
     val kept = e
-      .filter(col("vec_id") % 53 =!= 0)
+      .filter(col("vec_id") % DropPartitionMod =!= 0)
       .withColumn("embedding",
-        when(col("vec_id") % 61 === 0, array_append(col("embedding"), lit(1.0f)))
-          .when(col("vec_id") % 71 === 0, lit(null))
+        when(col("vec_id") % DropRowMod === 0, array_append(col("embedding"), lit(1.0f)))
+          .when(col("vec_id") % NullCellMod === 0, lit(null))
           .otherwise(col("embedding")))
       .withColumn("label",
-        when(col("vec_id") % 67 === 0, col("label") + 1).otherwise(col("label")))
-    val inserted = e.filter(col("vec_id") % 59 === 0)
+        when(col("vec_id") % MutateCellMod === 0, col("label") + 1).otherwise(col("label")))
+    val inserted = e.filter(col("vec_id") % InsertPartitionMod === 0)
       .withColumn("vec_id", col("vec_id") + InsertKeyOffset)
     kept.unionByName(inserted)
   }
@@ -177,15 +177,15 @@ object Perturb {
 
   val embeddingsTargetSql: String =
     s"""SELECT vec_id,
-       |       CASE WHEN vec_id % 61 = 0 THEN list_append(embedding, 1.0::FLOAT)
-       |            WHEN vec_id % 71 = 0 THEN NULL
+       |       CASE WHEN vec_id % $DropRowMod = 0 THEN list_append(embedding, 1.0::FLOAT)
+       |            WHEN vec_id % $NullCellMod = 0 THEN NULL
        |            ELSE embedding END AS embedding,
-       |       CASE WHEN vec_id % 67 = 0 THEN label + 1 ELSE label END AS label
+       |       CASE WHEN vec_id % $MutateCellMod = 0 THEN label + 1 ELSE label END AS label
        |FROM embeddings
-       |WHERE vec_id % 53 <> 0
+       |WHERE vec_id % $DropPartitionMod <> 0
        |UNION ALL
        |SELECT vec_id + $InsertKeyOffset, embedding, label
-       |FROM embeddings WHERE vec_id % 59 = 0""".stripMargin
+       |FROM embeddings WHERE vec_id % $InsertPartitionMod = 0""".stripMargin
 
   val embeddingsSpec: TableSpec = TableSpec(
     table = "embeddings",
