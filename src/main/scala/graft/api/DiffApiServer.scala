@@ -61,7 +61,8 @@ final class DiffApiServer(store: MetadataStore, port: Int = 8089)(implicit spark
         case Some(df) => (200, toJson(df))
         case None => (404, """{"error":"unknown route"}""")
       } catch {
-        case e: Throwable => (500, s"""{"error":"${e.getMessage}"}""")
+        case e: Throwable =>
+          (500, s"""{"error":${graft.core.JsonUtil.quote(e.getMessage)}}""")
       }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")

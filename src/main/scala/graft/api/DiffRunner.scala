@@ -67,10 +67,17 @@ final class DiffRunner(
           target.getClass.getSimpleName,
           config.tables.map(_.table),
           options.buckets,
-          java.time.Instant.now().toString)).toDF(
+          // fixed-width render: lexicographic order == chronological
+          // (Instant.toString varies fractional digits and breaks sorts)
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            .withZone(java.time.ZoneOffset.UTC)
+            .format(java.time.Instant.now()))).toDF(
           "job_id", "source_cluster", "target_cluster", "keyspaces",
           "buckets", "start_time"))
       val results = config.tables.map { spec0 =>
+        require(spec0.pk.nonEmpty,
+          s"table ${spec0.table}: partition key columns must be declared")
         val spec = spec0.bind(source.table(spark, spec0.table))
         // O15: quarantine structurally invalid rows per side (origin
         // tagged), journal them, diff the clean remainder
@@ -97,25 +104,73 @@ final class DiffRunner(
             df.join(Resume.pending(keys, journal, config.rerun)
               .select(spec.pk.map(col): _*), spec.pk, "left_semi")
           }
-        val src = onlyPending(sq.valid)
-        val tgt = onlyPending(tq.valid)
-        // journal sinks (O13 progress, O14 mismatches)
-        // partition journal datasets by job_id so every ResultsApi
-        // endpoint's job filter prunes at the directory level
-        store.write("task_status",
-          DiffEngine.bucketProgress(src, tgt, spec, options)
-            .withColumn("status", lit("done"))
-            .withColumn("job_id", lit(config.jobId)),
-          partitionBy = Seq("job_id"))
-        store.write("mismatches",
-          DiffEngine.mismatches(src, tgt, spec, options)
-            .select("table_name", "bucket", "token", "mismatch_type")
-            .withColumn("job_id", lit(config.jobId)),
-          partitionBy = Seq("job_id"))
-        val statsDf = DiffEngine.rangeStats(src, tgt, spec, options)
-        store.writeResults(config.jobId, statsDf)
-        val row = statsDf.collect()(0) // single aggregated row per table
-        spec.table -> MetadataStore.toRangeStats(row)
+        val src = DiffEngine.applyTokenFilters(onlyPending(sq.valid), spec, options,
+          DiffEngine.defaultToken)
+        val tgt = DiffEngine.applyTokenFilters(onlyPending(tq.valid), spec, options,
+          DiffEngine.defaultToken)
+        // ONE diff computation per table: persist the per-partition stats
+        // and derive progress, mismatches and totals from it (without the
+        // persist, each journal sink would re-run the join+agg)
+        val ps = DiffEngine.partitionStats(src, tgt, spec).persist()
+        try {
+          val runTs = System.currentTimeMillis()
+          // checkpoint ordering mirrors the reference (mismatches recorded
+          // BEFORE a range is marked complete, RangeComparator.java:201-241):
+          // a crash between the writes must re-compare, never lose records.
+          // journal datasets are partitioned by job_id so per-job endpoint
+          // filters prune at the directory level.
+          store.write("mismatches",
+            DiffEngine.mismatchesFromPartitions(ps, spec, options.buckets)
+              .select("table_name", "bucket", "token", "mismatch_type")
+              .withColumn("job_id", lit(config.jobId))
+              .withColumn("run_ts", lit(runTs)),
+            partitionBy = Seq("job_id"))
+          store.write("task_status",
+            DiffEngine.bucketProgressFromPartitions(ps, spec, options.buckets)
+              .withColumn("status", lit("done"))
+              .withColumn("job_id", lit(config.jobId))
+              .withColumn("run_ts", lit(runTs)),
+            partitionBy = Seq("job_id"))
+          // whole-job totals: newest journal row per bucket across ALL runs
+          // of this job_id (a resumed run's own frame covers only the
+          // pending remainder; the journal carries the rest)
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("bucket")).orderBy(col("run_ts").desc)
+          val latest = store.read("task_status")
+            .filter(col("job_id") === config.jobId && col("table_name") === spec.table)
+            .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          val counters = Seq("matched_partitions", "mismatched_partitions",
+            "only_in_source", "only_in_target", "matched_rows",
+            "matched_values", "mismatched_values")
+          val sums = counters.map(c => coalesce(sum(col(c)), lit(0L)).as(c))
+          val totalsRow = latest.agg(sums.head, sums.tail: _*).collect()(0)
+          val skippedRow =
+            if (options.disallowedTokens.isEmpty && !options.samplingEnabled &&
+              options.specificTokens.isEmpty) 0L
+            else DiffEngine.skippedPartitions(sq.valid, tq.valid, spec, options,
+              DiffEngine.defaultToken).count()
+          val stats = RangeStats(
+            matchedPartitions = totalsRow.getAs[Long]("matched_partitions"),
+            mismatchedPartitions = totalsRow.getAs[Long]("mismatched_partitions"),
+            onlyInSource = totalsRow.getAs[Long]("only_in_source"),
+            onlyInTarget = totalsRow.getAs[Long]("only_in_target"),
+            matchedRows = totalsRow.getAs[Long]("matched_rows"),
+            matchedValues = totalsRow.getAs[Long]("matched_values"),
+            mismatchedValues = totalsRow.getAs[Long]("mismatched_values"),
+            skippedPartitions = skippedRow)
+          import spark.implicits._
+          store.write("job_results", Seq((
+            config.jobId, spec.table, runTs,
+            stats.matchedPartitions, stats.mismatchedPartitions,
+            stats.onlyInSource, stats.onlyInTarget, stats.matchedRows,
+            stats.matchedValues, stats.mismatchedValues, stats.skippedPartitions))
+            .toDF("job_id", "table_name", "run_ts",
+              "matched_partitions", "mismatched_partitions", "only_in_source",
+              "only_in_target", "matched_rows", "matched_values",
+              "mismatched_values", "skipped_partitions"),
+            partitionBy = Seq("job_id"))
+          spec.table -> stats
+        } finally ps.unpersist()
       }.toMap
       postJobHooks.foreach(_(results))
       results

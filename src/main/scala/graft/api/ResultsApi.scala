@@ -39,16 +39,28 @@ final class ResultsApi(store: MetadataStore)(implicit spark: SparkSession) {
   /** GET /jobs/{id} (DiffJobsResource.java:95-101). */
   def job(jobId: String): DataFrame = summary.filter(col("job_id") === jobId)
 
-  /** GET /jobs/{id}/results (DiffJobsResource.java:104-110). */
-  def jobResults(jobId: String): DataFrame =
-    results.filter(col("job_id") === jobId)
-
-  /** GET /jobs/{id}/status — per (table, bucket) progress
-    * (DiffJobsResource.java:113-119).
+  /** GET /jobs/{id}/results (DiffJobsResource.java:104-110). Journals are
+    * append-only across resumes/re-runs; serve the newest row per table.
     */
-  def jobStatus(jobId: String): DataFrame =
+  def jobResults(jobId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("table_name")).orderBy(col("run_ts").desc)
+    results.filter(col("job_id") === jobId)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** GET /jobs/{id}/status — per (table, bucket) progress, newest run per
+    * bucket (DiffJobsResource.java:113-119).
+    */
+  def jobStatus(jobId: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("table_name"), col("bucket"))
+      .orderBy(col("run_ts").desc)
     status.filter(col("job_id") === jobId)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select("job_id", "table_name", "bucket", "status", "last_token")
+  }
 
   /** GET /jobs/{id}/mismatches (DiffJobsResource.java:122-128). */
   def jobMismatches(jobId: String): DataFrame =

@@ -43,10 +43,17 @@ object DiffJobMain {
         config.disallowedKeyspaces.toSet)
 
     val jobId = config.jobId.getOrElse(java.util.UUID.randomUUID().toString)
+    // resolve roles: registry entry, else pk = first column of the actual
+    // schema (the documented fallback for unknown tables)
+    val specs = tables.map { t =>
+      val spec = JobConfig.tableSpec(t)
+      if (spec.pk.nonEmpty) spec
+      else spec.copy(pk = Seq(source.table(spark, spec.table).columns.head))
+    }
     val results = new DiffRunner(source, target,
       DiffJobConfig(
         jobId = jobId,
-        tables = tables.map(JobConfig.tableSpec),
+        tables = specs,
         options = config.toDiffOptions,
         metadataRoot = metadataRoot))
       .run()

@@ -236,7 +236,6 @@ object DiffEngine {
     val fs = applyTokenFilters(src, spec, opts, token)
     val ft = applyTokenFilters(tgt, spec, opts, token)
     val ps = partitionStats(fs, ft, spec, token)
-    val both = col("in_src") && col("in_tgt")
     val noFilters = opts.disallowedTokens.isEmpty && !opts.samplingEnabled &&
       opts.specificTokens.isEmpty
     val skipped =
@@ -244,6 +243,17 @@ object DiffEngine {
         src.sparkSession.range(1).select(lit(0L).as("skipped_partitions"))
       else skippedPartitions(src, tgt, spec, opts, token)
         .agg(count(lit(1)).as("skipped_partitions"))
+    rangeStatsFromPartitions(ps, spec, skipped)
+  }
+
+  /** Final RangeStats aggregation over a (possibly persisted)
+    * partitionStats frame — lets callers that need stats AND mismatches
+    * AND progress derive all three from one computed frame instead of
+    * re-running the diff join per sink.
+    */
+  def rangeStatsFromPartitions(ps: DataFrame, spec: TableSpec,
+      skipped: DataFrame): DataFrame = {
+    val both = col("in_src") && col("in_tgt")
     val stats = ps.agg(
       sum(when(col("classification") === C.Matched, 1L).otherwise(0L)).as("matched_partitions"),
       sum(when(col("classification") === C.PartitionMismatch, 1L).otherwise(0L)).as("mismatched_partitions"),
@@ -255,6 +265,31 @@ object DiffEngine {
     // tiny 1x1 cross join to attach the skipped counter — both sides are
     // single-row aggregates, so this is a broadcast nested loop over 1 row
     stats.crossJoin(skipped)
+      .withColumn("table_name", lit(spec.table))
+  }
+
+  /** [[mismatches]] over a precomputed partitionStats frame. */
+  def mismatchesFromPartitions(ps: DataFrame, spec: TableSpec, buckets: Int): DataFrame =
+    ps.filter(col("classification") =!= C.Matched)
+      .withColumn("table_name", lit(spec.table))
+      .withColumn("bucket", bucket(col("token"), buckets))
+      .select(Seq(col("table_name"), col("bucket"), col("token"),
+        col("classification").as("mismatch_type")) ++ spec.pk.map(col): _*)
+
+  /** [[bucketProgress]] over a precomputed partitionStats frame. */
+  def bucketProgressFromPartitions(ps: DataFrame, spec: TableSpec, buckets: Int): DataFrame = {
+    val both = col("in_src") && col("in_tgt")
+    ps.withColumn("bucket", bucket(col("token"), buckets))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("classification") === C.Matched, 1L).otherwise(0L)).as("matched_partitions"),
+        sum(when(col("classification") === C.PartitionMismatch, 1L).otherwise(0L)).as("mismatched_partitions"),
+        sum(when(col("classification") === C.OnlyInSource, 1L).otherwise(0L)).as("only_in_source"),
+        sum(when(col("classification") === C.OnlyInTarget, 1L).otherwise(0L)).as("only_in_target"),
+        sum(when(both, col("matched_rows")).otherwise(0L)).as("matched_rows"),
+        sum(when(both, col("matched_values")).otherwise(0L)).as("matched_values"),
+        sum(when(both, col("mismatched_values")).otherwise(0L)).as("mismatched_values"),
+        max(col("token")).as("last_token"))
       .withColumn("table_name", lit(spec.table))
   }
 
@@ -288,12 +323,7 @@ object DiffEngine {
       token: Seq[Column] => Column = defaultToken): DataFrame = {
     val fs = applyTokenFilters(src, spec, opts, token)
     val ft = applyTokenFilters(tgt, spec, opts, token)
-    partitionStats(fs, ft, spec, token)
-      .filter(col("classification") =!= C.Matched)
-      .withColumn("table_name", lit(spec.table))
-      .withColumn("bucket", bucket(col("token"), opts.buckets))
-      .select(Seq(col("table_name"), col("bucket"), col("token"),
-        col("classification").as("mismatch_type")) ++ spec.pk.map(col): _*)
+    mismatchesFromPartitions(partitionStats(fs, ft, spec, token), spec, opts.buckets)
   }
 
   /** O11/O13: journal-sharding bucket of a token — the reference's
@@ -308,22 +338,8 @@ object DiffEngine {
     */
   def bucketProgress(src: DataFrame, tgt: DataFrame, spec: TableSpec,
       opts: DiffOptions = DiffOptions(),
-      token: Seq[Column] => Column = defaultToken): DataFrame = {
-    val ps = partitionStats(src, tgt, spec, token)
-    val both = col("in_src") && col("in_tgt")
-    ps.withColumn("bucket", bucket(col("token"), opts.buckets))
-      .groupBy(col("bucket"))
-      .agg(
-        sum(when(col("classification") === C.Matched, 1L).otherwise(0L)).as("matched_partitions"),
-        sum(when(col("classification") === C.PartitionMismatch, 1L).otherwise(0L)).as("mismatched_partitions"),
-        sum(when(col("classification") === C.OnlyInSource, 1L).otherwise(0L)).as("only_in_source"),
-        sum(when(col("classification") === C.OnlyInTarget, 1L).otherwise(0L)).as("only_in_target"),
-        sum(when(both, col("matched_rows")).otherwise(0L)).as("matched_rows"),
-        sum(when(both, col("matched_values")).otherwise(0L)).as("matched_values"),
-        sum(when(both, col("mismatched_values")).otherwise(0L)).as("mismatched_values"),
-        max(col("token")).as("last_token"))
-      .withColumn("table_name", lit(spec.table))
-  }
+      token: Seq[Column] => Column = defaultToken): DataFrame =
+    bucketProgressFromPartitions(partitionStats(src, tgt, spec, token), spec, opts.buckets)
 
   /** O3: reverse-order read validation. The reference re-reads a sampled
     * partition with all clustering orders flipped and re-compares

@@ -38,6 +38,10 @@ object Quarantine {
       checks: Seq[(String, Column)] = Nil,
       token: Seq[Column] => Column = DiffEngine.defaultToken): Split = {
     val allChecks = if (checks.nonEmpty) checks else pkChecks(spec)
+    if (allChecks.isEmpty) // nothing to validate — everything is clean
+      return Split(df, df.limit(0).select(
+        lit(origin).as("origin"), lit(null).cast("string").as("error"),
+        lit(null).cast("long").as("token"), lit(null).cast("string").as("pk")))
     val failCond = allChecks.map(_._2).reduce(_ || _)
     val reason = allChecks.foldRight(lit(null).cast("string")) {
       case ((name, cond), els) => when(cond, name).otherwise(els)

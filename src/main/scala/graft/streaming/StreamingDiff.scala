@@ -66,12 +66,15 @@ object StreamingDiff {
     * for replaying snapshot deltas through the streaming path.
     */
   def snapshotAsChanges(df: DataFrame, spec: TableSpec, side: String): DataFrame = {
-    val reg = spec.regular.map(col)
+    // row hash must DISCRIMINATE nulls: xxhash64 skips null children, so
+    // (5, NULL) and (NULL, 5) would collide. Hash the JSON rendering of
+    // the regular-column struct — null positions stay distinct.
+    val regStruct = to_json(struct(spec.regular.map(col): _*))
     df.select(
       lit(side).as("side"),
       xxhash64(spec.pk.map(col): _*).as("token"),
       concat_ws("|", spec.primaryKey.map(col): _*).as("pk"),
-      xxhash64(reg: _*).as("rowHash"),
+      xxhash64(regStruct).as("rowHash"),
       current_timestamp().as("ts"))
   }
 

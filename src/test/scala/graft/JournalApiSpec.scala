@@ -90,13 +90,21 @@ class JournalApiSpec extends SparkSpec {
       metadataRoot = root, rerun = rerun)
     val first = new DiffRunner(src, src, mkConfig(false)).run()("orders")
     assert(first.matchedPartitions > 0)
-    // all 4 buckets journaled done -> a plain re-run has no pending work
+    // all 4 buckets journaled done -> a plain re-run does no new work but
+    // still reports the WHOLE job's totals from the journal
+    val store = new MetadataStore(root)
+    val statusRowsAfterFirst = store.read("task_status").count()
     val second = new DiffRunner(src, src, mkConfig(false)).run()("orders")
-    assert(second.matchedPartitions === 0)
-    assert(second.onlyInSource === 0 && second.mismatchedPartitions === 0)
+    assert(second === first)
+    assert(store.read("task_status").count() === statusRowsAfterFirst) // no new buckets
     // rerun=true ignores the journal and re-compares everything
     val third = new DiffRunner(src, src, mkConfig(true)).run()("orders")
     assert(third.matchedPartitions === first.matchedPartitions)
+    // append-only journal + latest-run dedupe: the API still serves ONE
+    // row per table / bucket
+    val api = new ResultsApi(store)
+    assert(api.jobResults("resume-job").count() === 1)
+    assert(api.jobStatus("resume-job").count() === 4)
   }
 
   test("re-run keeps the stored bucket count (params immutability)") {
