@@ -76,6 +76,18 @@ object OpsQueries {
         .unionByName(m2.select("table_name", "mismatch_type"))
         .groupBy("table_name", "mismatch_type").agg(count(lit(1)).as("n"))
     }),
+    // O15: quarantine — null partition keys diverted with origin + reason
+    "diff_quarantine" -> ((s, dir) => {
+      val withNulls = li(s, dir).withColumn("l_orderkey",
+        when(col("l_partkey") % 97 === 0, lit(null)).otherwise(col("l_orderkey")))
+      val split = graft.engine.Quarantine.split(withNulls, lineitemSpec, "source")
+      split.errors.groupBy("origin", "error").agg(count(lit(1)).as("n"))
+        .unionByName(
+          split.valid.agg(count(lit(1)).as("n"))
+            .withColumn("origin", lit("source"))
+            .withColumn("error", lit("VALID"))
+            .select("origin", "error", "n"))
+    }),
     // O22/O8: per-table job results (job_results rows of a two-table job)
     "api_results_by_table" -> ((s, dir) => {
       val r1 = DiffEngine.rangeStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
@@ -141,6 +153,14 @@ object OpsQueries {
         """SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
           |  ('lineitem'), ('nation'), ('orders'), ('part'), ('supplier'))
           |  AS t(table_name)""".stripMargin,
+      "diff_quarantine" ->
+        """SELECT 'source' AS origin, 'null_pk_l_orderkey' AS error,
+          |       CAST(COUNT(*) AS BIGINT) AS n
+          |FROM lineitem WHERE l_partkey % 97 = 0
+          |UNION ALL
+          |SELECT 'source' AS origin, 'VALID' AS error,
+          |       CAST(COUNT(*) AS BIGINT) AS n
+          |FROM lineitem WHERE l_partkey % 97 <> 0""".stripMargin,
       "api_mismatch_summary" ->
         s"""SELECT table_name, mismatch_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
            |  SELECT table_name, mismatch_type FROM (${OracleSql.mismatches(lineitemSpec,
