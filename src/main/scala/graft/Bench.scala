@@ -1,5 +1,25 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Execution-footprint accounting: total shuffle bytes and spill across
+  * the bench — the scale-relevant signal (a fast-but-shuffle-heavy plan
+  * stops being fast at 1000 executors).
+  */
+private final class FootprintListener extends SparkListener {
+  val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+  val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+  val spill = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,8 +34,17 @@ object Bench {
       // shuffle/spill to tmpfs: the VM's virtio block device turns the
       // many small shuffle files into sys-time (observed 80% idle/16% sys)
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // this VM exhibits intermittent single-task stalls (one task at 50%
+      // cpu for minutes while the rest park); speculation re-launches
+      // stragglers — same defense a real cluster needs for sick executors
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "1s")
+      .config("spark.speculation.multiplier", "3")
+      .config("spark.speculation.quantile", "0.9")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val footprint = new FootprintListener
+    spark.sparkContext.addSparkListener(footprint)
     // Each query runs SPARK_GRAFT_REPEAT times and reports the fastest —
     // steady-state measurement (JIT + page cache warm), which is what a
     // long-running cluster job actually sees. Default 2.
@@ -41,7 +70,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","shuffle_read_bytes":${footprint.shuffleRead.get}""" +
+      s""","shuffle_write_bytes":${footprint.shuffleWrite.get}""" +
+      s""","spilled_bytes":${footprint.spill.get}}""")
     spark.stop()
   }
 }

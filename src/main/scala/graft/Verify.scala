@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "1s")
+      .config("spark.speculation.multiplier", "3")
+      .config("spark.speculation.quantile", "0.9")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
