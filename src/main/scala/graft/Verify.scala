@@ -24,11 +24,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one pathological query (or a host-level stall)
+    // must not wedge the whole correctness gate. Each query runs in its
+    // own job group; on timeout the group is cancelled and the dump moves
+    // on — that query alone fails its check.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val work = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(work, timeoutSec.seconds)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s (cancelled)")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // JSON string escape — a tab or CR in builder-authored SQL would

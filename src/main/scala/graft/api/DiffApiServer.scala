@@ -48,6 +48,7 @@ final class DiffApiServer(store: MetadataStore, port: Int = 8089)(implicit spark
       case "jobs" :: id :: "results" :: Nil => Some(api.jobResults(id))
       case "jobs" :: id :: "status" :: Nil => Some(api.jobStatus(id))
       case "jobs" :: id :: "mismatches" :: Nil => Some(api.jobMismatches(id))
+      case "jobs" :: id :: "mismatches" :: "summary" :: Nil => Some(api.mismatchSummary(id))
       case "jobs" :: id :: "errors" :: Nil => Some(api.jobErrors(id))
       case "jobs" :: id :: "errors" :: "summary" :: Nil => Some(api.errorSummary(id))
       case "jobs" :: id :: "errors" :: "ranges" :: Nil => Some(api.errorRanges(id))
