@@ -91,12 +91,28 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
-    // distinct aggregation
+    // distinct aggregation + min/max/avg (avg via exact decimal sum/count)
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"))),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))),
+    // pivot: per-returnflag row, one column per linestatus
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec("l_quantity")).cast("double"))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")),
+    // HLL sketch: approximate distinct — engine-specific estimates, so no
+    // SQL oracle; ScalaTest bounds the relative error against the exact
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))),
     // data-level set ops: keys dropped by the perturbation = EXCEPT
     "q_setops" -> ((s, dir) => {
       val src = t(s, dir, "lineitem").select(col("l_orderkey")).distinct()
@@ -164,7 +180,15 @@ object AnalyticsQueries {
     "q_distinct" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_setops" ->
       s"""SELECT l_orderkey FROM (

@@ -101,6 +101,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("approx distinct sketch stays within 5% of the exact count") {
+    val row = graft.queries.AnalyticsQueries.queries("q_approx_distinct")(spark, Sf)
+      .collect()(0)
+    val approx = row.getAs[Long]("approx_parts").toDouble
+    val exact = row.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
   test("multimodal stub decode: histogram normalized, bytes counted") {
     val feats = Multimodal.decodeFeatures(
       Multimodal.toBlobs(docs.limit(10), "doc_id", "text"))
