@@ -101,6 +101,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("LSH topk recall vs brute force is measured and bounded") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.lshTopK(e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"LSH recall@5 on random corpus: $recall%.3f (candidates ${got.size})")
+    // random (near-orthogonal) vectors are LSH's worst case — top-5
+    // "neighbors" win by tiny margins no sketch preserves; the bound only
+    // documents a floor. True near-dup recall is covered by the
+    // injected-twin test above.
+    assert(recall > 0.02)
+  }
+
   test("approx distinct sketch stays within 5% of the exact count") {
     val row = graft.queries.AnalyticsQueries.queries("q_approx_distinct")(spark, Sf)
       .collect()(0)

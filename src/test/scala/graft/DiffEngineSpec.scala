@@ -156,6 +156,26 @@ class DiffEngineSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("composite partition key: grouping and classification over (pk1, pk2)") {
+    val spec = TableSpec("cpk", Seq("pk1", "pk2"), Seq("c1"), Seq("v1"))
+    val src = Seq(
+      ("a", 1L, 1, "x"), ("a", 1L, 2, "y"), // partition (a,1): 2 rows
+      ("a", 2L, 1, "z"),                    // partition (a,2)
+      ("b", 1L, 1, "w")).toDF("pk1", "pk2", "c1", "v1")
+    val tgt = Seq(
+      ("a", 1L, 1, "x"), ("a", 1L, 2, "y"),
+      ("a", 2L, 1, "ZZ"),                   // value mismatch
+      ("c", 9L, 1, "new")).toDF("pk1", "pk2", "c1", "v1") // (b,1) gone, (c,9) new
+    val tok = (cols: Seq[org.apache.spark.sql.Column]) => xxhash64(cols: _*)
+    val stats = DiffEngine.rangeStats(src, tgt, spec, DiffOptions(), tok).collect()(0)
+    assert(stats.getAs[Long]("matched_partitions") === 1)   // (a,1)
+    assert(stats.getAs[Long]("mismatched_partitions") === 1) // (a,2)
+    assert(stats.getAs[Long]("only_in_source") === 1)        // (b,1)
+    assert(stats.getAs[Long]("only_in_target") === 1)        // (c,9)
+    assert(stats.getAs[Long]("matched_rows") === 3)
+    assert(stats.getAs[Long]("mismatched_values") === 1)
+  }
+
   test("typed Aggregator path equals the untyped RangeStats") {
     val li = graft.engine.Tables.load(spark, Sf, "lineitem")
     val tgt = graft.engine.Perturb.lineitemTarget(li)
