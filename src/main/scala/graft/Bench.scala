@@ -31,6 +31,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // let the diff join reuse the occurrence-window's (pk, ck) hash
+      // partitioning — a subset of the join keys (pk, ck, __occ) — instead
+      // of re-shuffling the full data on all three (saves one full-data
+      // exchange per side on the hottest path)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // shuffle/spill to tmpfs: the VM's virtio block device turns the
       // many small shuffle files into sys-time (observed 80% idle/16% sys)
       .config("spark.local.dir", "/dev/shm/graft-spark")

@@ -19,6 +19,8 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>

@@ -16,6 +16,7 @@ object Verify {
       // reader rejects; read as long and convert in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.speculation", "true")
       .config("spark.speculation.interval", "1s")
@@ -36,7 +37,7 @@ object Verify {
       val work = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+          .parquet(s"$outDir/$name.parquet")
         finally spark.sparkContext.clearJobGroup()
       }
       try Await.result(work, timeoutSec.seconds)

@@ -25,6 +25,7 @@ object DiffJobMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

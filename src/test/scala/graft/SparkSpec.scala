@@ -15,6 +15,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .getOrCreate()
 
   val Sf = "/root/testdata/sf0.001"

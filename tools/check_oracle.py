@@ -36,7 +36,9 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
-        res_dir = os.path.join(out_dir, name)
+        res_dir = os.path.join(out_dir, name + ".parquet")
+        if not os.path.isdir(res_dir):
+            res_dir = os.path.join(out_dir, name)
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: no Spark result dir"); n_fail += 1; continue
         try:
