@@ -52,8 +52,11 @@ object Bench {
     spark.sparkContext.addSparkListener(footprint)
     // Each query runs SPARK_GRAFT_REPEAT times and reports the fastest —
     // steady-state measurement (JIT + page cache warm), which is what a
-    // long-running cluster job actually sees. Default 2.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // long-running cluster job actually sees. Default 3: this VM shows
+    // intermittent multi-second single-task stalls, and min-of-3 makes a
+    // stall landing on any one repeat invisible where min-of-2 still
+    // reports it half the time.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
