@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CassandraMurmur3TokenExpr, VectorDotExpr}
+import graft.functions.{CassandraMurmur3TokenExpr, HyperplaneSketchExpr,
+  MinHashSigExpr, SimHash64Expr, VectorDotExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get them
@@ -31,5 +32,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vector_dot(a, b) takes two arrays")
         VectorDotExpr(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64(tokens) takes one array<string>")
+        SimHash64Expr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_signature(shingles, k) — k a literal int")
+        MinHashSigExpr(children.head, litInt(children(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sketch"),
+      new ExpressionInfo(classOf[HyperplaneSketchExpr].getName, "hyperplane_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "hyperplane_sketch(vec, bits, dims) — bits/dims literal ints")
+        HyperplaneSketchExpr(children.head,
+          litInt(children(1), "bits"), litInt(children(2), "dims"))
+      }))
+  }
+
+  private def litInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal integer")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$name must be an int, got $other")
+    }
   }
 }

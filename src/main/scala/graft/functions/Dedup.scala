@@ -50,31 +50,27 @@ object Dedup {
     * after the inner pmod.
     */
   val MinHashPrime: Long = 2147483647L
-  private def perm(i: Int): (Long, Long) =
+  def perm(i: Int): (Long, Long) =
     (2L * i + 1, 104729L * (i + 1) % MinHashPrime) // odd multiplier, fixed offsets
 
-  /** k-wide MinHash signature per document, computed the codegen-friendly
-    * way: explode shingles once, then k static `min` aggregates over the
-    * k permuted hashes — one whole-stage-codegen'd HashAggregate with
-    * map-side partial mins before the shuffle. (A higher-order-function
-    * formulation is ~20× slower: HOF lambdas are interpreted and the
-    * shingle hash array is recomputed per permutation.)
+  /** k-wide MinHash signature per document, evaluated by the native
+    * per-row [[MinHashSigExpr]] — a sketch is a pure function of one
+    * document, so it runs inside the scan's project with NO exchange.
+    * (The earlier explode+groupBy formulation shuffled every shingle of
+    * the corpus just to reduce it back to one row per doc; a
+    * higher-order-function formulation is interpreted and ~20× slower.)
     *
     * Output: (id, mh0..mh{k-1}) plus an `sig` array column.
     */
   def withMinHashSignature(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleN)).as("shingle"))
-    val h = pmod(xxhash64(col("shingle")), lit(MinHashPrime))
-    val mins = (0 until k).map { i =>
-      val (a, b) = perm(i)
-      min(pmod(h * a + b, lit(MinHashPrime))).as(s"mh$i")
-    }
-    sh.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .withColumn("sig", array((0 until k).map(i => col(s"mh$i")): _*))
-  }
+      shingleN: Int = 3, k: Int = 16): DataFrame =
+    // two-step select: the signature is evaluated once per row (array
+    // extraction is cheap, so unpacking it k ways costs nothing; Catalyst
+    // keeps the non-cheap sketch un-inlined across the projections)
+    df.select(col(idCol).as("id"),
+        Sketches.minHashSig(wordShingles(col(textCol), shingleN), k).as("sig"))
+      .select(col("id") +: (0 until k).map(i => col("sig")(i).as(s"mh$i"))
+        :+ col("sig"): _*)
 
   /** Candidate near-dup pairs via LSH bucket self-join — the scale path:
     * the only shuffle is on (band, bucket), never all-pairs.
@@ -122,26 +118,15 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
-  /** 64-bit SimHash per document: explode tokens, then 64 static
-    * sign-count aggregates (one shuffle on the id, whole-stage codegen)
-    * and reassemble the sign bits into a long. The explode+groupBy shape
-    * is the scalable form — map-side partial aggregation collapses each
-    * partition to one 64-counter row per doc before the shuffle.
+  /** 64-bit SimHash per document, evaluated by the native per-row
+    * [[SimHash64Expr]]: bit-sign counters over xxhash64(token) in one
+    * tight loop inside the scan's project — no explode, no exchange.
+    * (The earlier explode + 64-sign-aggregate shape shuffled the whole
+    * tokenized corpus to compute a per-document value.)
     */
-  def withSimHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("w"))
-    val h = xxhash64(col("w"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
-    }
-    words.groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(i =>
-          when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-  }
+  def withSimHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      Sketches.simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks as LSH
     * keys (hamming-distance ≤ 3 dups almost surely share a chunk), then

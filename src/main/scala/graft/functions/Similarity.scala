@@ -55,29 +55,18 @@ object Similarity {
     if ((splitmix64(i.toLong * 1000003L + j) & 1L) == 0L) 1.0 else -1.0
 
   /** Random-hyperplane LSH sketch per row: bit i = sign of the projection
-    * onto plane i. Computed the codegen-friendly way — posexplode the
-    * vector once, then `bits` static sum-aggregates against literal plane
-    * arrays (one HashAggregate, map-side partials; no interpreted
-    * higher-order lambdas). Per-group accumulation order follows the
-    * explode order, so projections are deterministic doubles.
+    * onto plane i, evaluated by the native per-row
+    * [[HyperplaneSketchExpr]] — one tight loop over the unsafe array in
+    * the scan's project, no explode/exchange. Projections accumulate
+    * left-to-right in double precision (deterministic IEEE sequence,
+    * matching the previous explode-order aggregation).
     *
     * Output: (id, sketch: Long).
     */
   def withHyperplaneSketch(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int, dims: Int): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
-      posexplode(col(vecCol)).as(Seq("pos", "x")))
-    val projections = (0 until bits).map { i =>
-      val plane = typedlit((0 until dims).map(j => planeSign(i, j)))
-      sum(col("x").cast("double") * element_at(plane, col("pos") + 1)).as(s"__p$i")
-    }
-    ex.groupBy(col("id"))
-      .agg(projections.head, projections.tail: _*)
-      .select(col("id"),
-        (0 until bits).map(i =>
-          when(col(s"__p$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b)).as("sketch"))
-  }
+      bits: Int, dims: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      Sketches.hyperplaneSketch(col(vecCol), bits, dims).as("sketch"))
 
   /** The scale path: LSH-bucketed approximate neighbors. Candidates =
     * same sketch bucket (optionally multi-probe via sub-bands), reranked
@@ -91,10 +80,11 @@ object Similarity {
     // bits/band for speed
     import org.apache.spark.sql.expressions.Window
     val bitsPerBand = bits / bands
-    val sketches = withHyperplaneSketch(df, idCol, vecCol, bits, dims)
-    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // sketch is per-row, so it rides the same project as the norm — the
+    // former sketch-join (an extra shuffle on id) is gone
+    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Sketches.hyperplaneSketch(col(vecCol), bits, dims).as("sketch"))
       .withColumn("n", norm(col("v")))
-      .join(sketches, "id")
     // band the sketch so near points collide in ≥1 band
     val banded = sk.select(col("id"), col("v"), col("n"),
       posexplode(array((0 until bands).map(b =>

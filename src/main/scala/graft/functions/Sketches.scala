@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row sketch expressions.
+  *
+  * SimHash, MinHash signatures, and random-hyperplane sketches are pure
+  * per-document functions, so they belong in the row pipeline — inside
+  * the scan's project, before any exchange. The earlier explode+groupBy
+  * formulation was codegen-friendly but shuffled the entire tokenized
+  * corpus (every token/shingle/vector element as a row) just to reduce it
+  * back to one row per document; at 100 TB that exchange IS the query
+  * cost. These expressions evaluate as tight loops over the unsafe array
+  * data and keep the plan narrow: scan → project → (LSH band join).
+  *
+  * Hash compatibility: token/shingle hashing is Spark's own `xxhash64`
+  * (seed 42, via [[XXH64.hashUTF8String]]), bit-identical to the previous
+  * aggregate formulation, so banding/recall behavior is unchanged.
+  */
+object Sketches {
+
+  /** 64-bit SimHash over a token array: counter c_i sums +1/-1 for bit i
+    * of xxhash64(token) across tokens; result bit i is set iff c_i > 0.
+    */
+  def simhash64(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokens)))
+
+  /** k-wide MinHash signature over a shingle array: for permutation
+    * h_i(x) = (a_i * x + b_i) mod p over pmod(xxhash64(shingle), p).
+    */
+  def minHashSig(shingles: Column, k: Int): Column =
+    GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingles), k))
+
+  /** Random-hyperplane LSH sketch over an embedding array: bit i = sign
+    * of the dot product with deterministic ±1 plane i (splitmix64 signs,
+    * [[Similarity.planeSign]]). Accumulates left-to-right in double
+    * precision — the identical IEEE sequence as a sequential fold.
+    */
+  def hyperplaneSketch(vec: Column, bits: Int, dims: Int): Column =
+    GraftColumnBridge.column(
+      HyperplaneSketchExpr(GraftColumnBridge.expression(vec), bits, dims))
+}
+
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+        var i = 0
+        while (i < 64) {
+          counters(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (counters(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<string> and k > 0, got $t / k=$k")
+  }
+
+  private val P = Dedup.MinHashPrime
+  // permutation constants fixed at plan time (Dedup.perm)
+  @transient private lazy val as: Array[Long] =
+    (0 until k).map(i => Dedup.perm(i)._1).toArray
+  @transient private lazy val bs: Array[Long] =
+    (0 until k).map(i => Dedup.perm(i)._2).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val raw = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+        val h = ((raw % P) + P) % P
+        var i = 0
+        while (i < k) {
+          // h < p < 2^31 and a_i small, so h * a_i + b_i stays in Long
+          val v = (h * as(i) + bs(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    if (mins.exists(_ == Long.MaxValue)) null // all-null/empty shingles
+    else new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class HyperplaneSketchExpr(child: Expression, bits: Int, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+        if bits > 0 && bits <= 64 && dims > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sketch expects array<float|double>, 0 < bits <= 64, got $t / bits=$bits")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // plane signs fixed at plan time: planes(i)(j) = ±1.0
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(bits, dims)((i, j) => Similarity.planeSign(i, j))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dims)
+    val sums = new Array[Double](bits)
+    var j = 0
+    while (j < n) {
+      val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      var i = 0
+      while (i < bits) {
+        sums(i) += x * planes(i)(j)
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      if (sums(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Sketches, Similarity}
+
+/** Pins the native sketch expressions: per-row semantics equal to the
+  * declarative (explode/aggregate) formulations they replaced, plus the
+  * SQL registrations from [[graft.GraftExtensions]].
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash64 matches the explode + 64-sign-aggregate reference") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "der die das und"),
+      (3L, "x"), (4L, "a b a b a b")).toDF("id", "text")
+    // declarative reference: explode tokens, 64 sign-count sums, reassemble
+    val words = df.select(col("id"), explode(split(col("text"), " ")).as("w"))
+    val h = xxhash64(col("w"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__b$i")
+    }
+    val want = words.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), (0 until 64).map(i =>
+          when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.withSimHash(df, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("minhash signature matches the explode + min-aggregate reference") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "a b"), (3L, "w1 w2 w3 w4"))
+      .toDF("id", "text")
+    val k = 16
+    val sh = df.select(col("id"),
+      explode(Dedup.wordShingles(col("text"), 3)).as("shingle"))
+    val h = pmod(xxhash64(col("shingle")), lit(Dedup.MinHashPrime))
+    val mins = (0 until k).map { i =>
+      val (a, b) = Dedup.perm(i)
+      min(pmod(h * a + b, lit(Dedup.MinHashPrime))).as(s"mh$i")
+    }
+    val want = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val got = Dedup.withMinHashSignature(df, "id", "text", 3, k)
+      .select(col("id"), col("sig")).as[(Long, Seq[Long])].collect().toMap
+    assert(got === want)
+  }
+
+  test("hyperplane sketch matches the posexplode + projection reference") {
+    val dims = 8; val bits = 12
+    val vecs = Seq(
+      (1L, (0 until dims).map(j => j.toFloat / 3 - 1)),
+      (2L, (0 until dims).map(j => -j.toFloat)),
+      (3L, (0 until dims).map(_ => 0.5f)))
+    val df = vecs.toDF("id", "v")
+    val ex = df.select(col("id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val projections = (0 until bits).map { i =>
+      val plane = typedlit((0 until dims).map(j => Similarity.planeSign(i, j)))
+      sum(col("x").cast("double") * element_at(plane, col("pos") + 1)).as(s"__p$i")
+    }
+    val want = ex.groupBy(col("id")).agg(projections.head, projections.tail: _*)
+      .select(col("id"), (0 until bits).map(i =>
+          when(col(s"__p$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("sketch"))
+      .as[(Long, Long)].collect().toMap
+    val got = Similarity.withHyperplaneSketch(df, "id", "v", bits, dims)
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("sketches are registered as SQL functions") {
+    Seq((7L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+      .createOrReplaceTempView("sketch_docs")
+    val row = spark.sql(
+      """SELECT simhash64(split(text, ' ')) AS sh,
+        |       minhash_signature(split(text, ' '), 4) AS mh,
+        |       hyperplane_sketch(array(1.0D, -2.0D, 0.5D), 8, 3) AS hp
+        |FROM sketch_docs""".stripMargin).collect()(0)
+    assert(row.getAs[Long]("sh") !== 0L)
+    assert(row.getAs[Seq[Long]]("mh").length === 4)
+    val expected = Similarity.withHyperplaneSketch(
+      Seq((1L, Seq(1.0, -2.0, 0.5))).toDF("id", "v"), "id", "v", 8, 3)
+      .collect()(0).getAs[Long]("sketch")
+    assert(row.getAs[Long]("hp") === expected)
+  }
+
+  test("sketch plans are shuffle-free single-stage projects") {
+    val docs = graft.engine.Tables.load(spark, Sf, "documents")
+    val plan = Dedup.withSimHash(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash plan shuffles:\n$plan")
+    val planMh = Dedup.withMinHashSignature(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!planMh.contains("Exchange"), s"minhash plan shuffles:\n$planMh")
+  }
+}
