@@ -4,10 +4,9 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native per-row sketch expressions.
   *
@@ -48,18 +47,13 @@ object Sketches {
       HyperplaneSketchExpr(GraftColumnBridge.expression(vec), bits, dims))
 }
 
-case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+/** Static per-row kernels shared by interpreted eval and generated code
+  * (whole-stage codegen emits one static call per row; the loop itself is
+  * a JIT-compiled monomorphic method, no boxing, no fallback row).
+  */
+object SketchKernels {
 
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counters = new Array[Int](64)
     var t = 0
@@ -83,74 +77,35 @@ case class SimHash64Expr(child: Expression)
     sig
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-case class MinHashSigExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"minhash_signature expects array<string> and k > 0, got $t / k=$k")
-  }
-
-  private val P = Dedup.MinHashPrime
-  // permutation constants fixed at plan time (Dedup.perm)
-  @transient private lazy val as: Array[Long] =
-    (0 until k).map(i => Dedup.perm(i)._1).toArray
-  @transient private lazy val bs: Array[Long] =
-    (0 until k).map(i => Dedup.perm(i)._2).toArray
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Returns null when the shingle array is empty / all-null. */
+  def minHashSig(arr: ArrayData, as: Array[Long], bs: Array[Long]): GenericArrayData = {
+    val p = Dedup.MinHashPrime
+    val k = as.length
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
+        seen = true
         val raw = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
-        val h = ((raw % P) + P) % P
+        val h = ((raw % p) + p) % p
         var i = 0
         while (i < k) {
           // h < p < 2^31 and a_i small, so h * a_i + b_i stays in Long
-          val v = (h * as(i) + bs(i)) % P
+          val v = (h * as(i) + bs(i)) % p
           if (v < mins(i)) mins(i) = v
           i += 1
         }
       }
       t += 1
     }
-    if (mins.exists(_ == Long.MaxValue)) null // all-null/empty shingles
-    else new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
-}
-
-case class HyperplaneSketchExpr(child: Expression, bits: Int, dims: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
-        if bits > 0 && bits <= 64 && dims > 0 =>
-      TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"hyperplane_sketch expects array<float|double>, 0 < bits <= 64, got $t / bits=$bits")
-  }
-
-  @transient private lazy val isFloat =
-    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
-  // plane signs fixed at plan time: planes(i)(j) = ±1.0
-  @transient private lazy val planes: Array[Array[Double]] =
-    Array.tabulate(bits, dims)((i, j) => Similarity.planeSign(i, j))
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def hyperplaneSketch(arr: ArrayData, planes: Array[Array[Double]],
+      dims: Int, isFloat: Boolean): Long = {
+    val bits = planes.length
     val n = math.min(arr.numElements(), dims)
     val sums = new Array[Double](bits)
     var j = 0
@@ -170,6 +125,88 @@ case class HyperplaneSketchExpr(child: Expression, bits: Int, dims: Int)
       i += 1
     }
     sig
+  }
+}
+
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // null on empty/all-null shingle arrays even when the child is non-null
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature expects array<string> and k > 0, got $t / k=$k")
+  }
+
+  // permutation constants fixed at plan time (Dedup.perm)
+  @transient private lazy val as: Array[Long] =
+    (0 until k).map(i => Dedup.perm(i)._1).toArray
+  @transient private lazy val bs: Array[Long] =
+    (0 until k).map(i => Dedup.perm(i)._2).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.minHashSig(input.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.SketchKernels.minHashSig($c, $asRef, $bsRef);
+      |${ev.isNull} = (${ev.value} == null);
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class HyperplaneSketchExpr(child: Expression, bits: Int, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+        if bits > 0 && bits <= 64 && dims > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sketch expects array<float|double>, 0 < bits <= 64, got $t / bits=$bits")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // plane signs fixed at plan time: planes(i)(j) = ±1.0
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(bits, dims)((i, j) => Similarity.planeSign(i, j))
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.hyperplaneSketch(input.asInstanceOf[ArrayData], planes, dims, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("hpPlanes", planes, "double[][]")
+    val fl = if (isFloat) "true" else "false"
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.hyperplaneSketch($c, $planesRef, $dims, $fl)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -88,6 +88,30 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Long]("hp") === expected)
   }
 
+  test("sketch expressions survive CODEGEN_ONLY (no silent interpreted fallback)") {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val r = Seq((1L, "a b c a", Seq(0.5f, -1.0f, 2.0f)))
+        .toDF("id", "text", "vec")
+        .select(
+          graft.functions.Sketches.simhash64(split(col("text"), " ")).as("sh"),
+          graft.functions.Sketches.minHashSig(split(col("text"), " "), 8).as("mh"),
+          graft.functions.Sketches.hyperplaneSketch(col("vec"), 16, 3).as("hp"),
+          graft.functions.Sketches.minHashSig(
+            typedlit(Seq.empty[String]), 4).as("mh_empty"))
+        .collect()(0)
+      assert(r.getAs[Seq[Long]]("mh").length === 8)
+      assert(r.isNullAt(r.fieldIndex("mh_empty"))) // null-on-empty via codegen path
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sketch plans are shuffle-free single-stage projects") {
     val docs = graft.engine.Tables.load(spark, Sf, "documents")
     val plan = Dedup.withSimHash(docs, "doc_id", "text")
