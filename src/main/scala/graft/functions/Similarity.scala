@@ -104,6 +104,93 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Spherical k-means coarse quantizer for [[ivfTopK]]: `nlist`
+    * unit-norm centroids from a deterministic seed sample (rows ordered
+    * by hashed id — no RNG state) refined by a few Lloyd iterations.
+    * Scale shape: only the nlist×dims centroid matrix ever reaches the
+    * driver; assignment is a codegen'd argmax of centroid dot products in
+    * the scan's project, and the mean-recompute is a partial-aggregated
+    * `groupBy(cluster, dim)` whose output is nlist×dims rows. Empty
+    * clusters keep their previous centroid.
+    */
+  def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): Array[Array[Double]] = {
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    def unit(c: Array[Double]): Array[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    var cents = base
+      .orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id"))
+      .limit(nlist)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+      .map(unit)
+    (0 until iters).foreach { _ =>
+      val means = base
+        .withColumn("cluster", nearestList(col("v"), cents))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next.map(unit)
+    }
+    cents
+  }
+
+  /** Index of the centroid with the highest dot product (cosine argmax —
+    * centroids are unit-norm so no per-centroid normalization needed).
+    */
+  private def nearestList(vec: Column, cents: Array[Array[Double]]): Column = {
+    val dots = array(cents.map(c => dot(vec, typedlit(c.toSeq))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** IVF (inverted-file) approximate neighbors — the second scale path
+    * next to [[lshTopK]]. Every corpus row is assigned to its nearest
+    * centroid's list; a query probes its `nprobe` nearest lists and
+    * reranks candidates exactly. The candidate join shuffles on the list
+    * id only — never all-pairs — and candidate volume is ~nprobe/nlist of
+    * the corpus per query. `nlist` should grow with corpus size (√n is
+    * the usual rule) to keep lists, and so join skew, bounded.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    import org.apache.spark.sql.expressions.Window
+    val cents = trainCentroids(df, idCol, vecCol, nlist, iters)
+    val dots = array(cents.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("__d", dots)
+    val corpus = base
+      .withColumn("list", (array_position(col("__d"), array_max(col("__d"))) - 1).cast("int"))
+      .select("id", "v", "n", "list")
+    // top-nprobe list ids per query: sort (dot, idx) structs descending —
+    // an nlist-element per-row sort, no shuffle
+    val probes = expr(
+      s"""transform(
+         |  slice(
+         |    array_sort(
+         |      transform(sequence(0, ${nlist - 1}), i -> struct(__d[i] AS d, i AS idx)),
+         |      (a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1 ELSE 0 END),
+         |    1, $nprobe),
+         |  s -> s.idx)""".stripMargin)
+    val queries = base.select(col("id"), col("v"), col("n"),
+      explode(probes).as("list"))
+    val cand = queries.as("x").join(corpus.as("y"),
+        col("x.list") === col("y.list") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
+        col("x.v").as("qv"), col("y.v").as("cv"),
+        col("x.n").as("qn"), col("y.n").as("cn"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold (brute force
     * within a deterministic subset; LSH path for full corpus).
     */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `list_dot_product` over `DOUBLE[]`.
   */
 case class VectorDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -42,9 +42,24 @@ case class VectorDotExpr(left: Expression, right: Expression)
   @transient private lazy val rightIsFloat =
     right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      leftIsFloat, rightIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (lf, rf) = (if (leftIsFloat) "true" else "false",
+      if (rightIsFloat) "true" else "false")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.dot($a, $b, $lf, $rf)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Static kernel shared by interpreted eval and generated code. */
+object VectorKernels {
+  def dot(a: ArrayData, b: ArrayData, leftIsFloat: Boolean, rightIsFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -56,9 +71,6 @@ case class VectorDotExpr(left: Expression, right: Expression)
     }
     acc
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 object VectorOps {

@@ -32,6 +32,11 @@ object VectorQueries {
     // no cross product); rows-only gate + recall ScalaTest
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", k = 5)),
+    // IVF approximate top-k — coarse-quantizer lists, nprobe probing;
+    // rows-only gate + recall ScalaTest
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4)),
   )
 
   def oracles: Map[String, String] = Map(
