@@ -81,4 +81,69 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** One sampled frame of a media blob (video frame-sampling shape). */
+  final case class MediaFrame(doc_id: Long, frame_idx: Long, ts_ms: Long,
+      data: Array[Byte])
+
+  /** Frame sampling: one blob fans out to its frames — the batched
+    * per-partition flatMap shape a video pipeline needs (rows multiply,
+    * so this is the stage that must NOT collect or re-shuffle first; it
+    * pipelines inside the scan's partition). The stub "codec" slices the
+    * payload into fixed-size chunks at 25 fps (40 ms/frame), keeping
+    * every `everyN`-th frame; a real decoder replaces only the slicing.
+    */
+  def frameSample(blobs: DataFrame, frameBytes: Int = 256, everyN: Int = 1,
+      batchSize: Int = 64): DataFrame = {
+    require(frameBytes > 0 && everyN > 0, "frameBytes and everyN must be positive")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch init would go here (demuxer/codec handle)
+        batch.iterator.flatMap { b =>
+          val n = b.data.length
+          val nFrames = (n + frameBytes - 1) / frameBytes
+          (0 until nFrames by everyN).iterator.map { f =>
+            val from = f * frameBytes
+            MediaFrame(b.doc_id, f.toLong, f.toLong * 40L,
+              java.util.Arrays.copyOfRange(b.data, from, math.min(from + frameBytes, n)))
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** A resized media payload (stub codec). */
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+      width: Int, height: Int, data: Array[Byte])
+
+  /** Resize stage: deterministic nearest-neighbor "downsample" of the
+    * byte payload to exactly width*height bytes (index-scaled sampling;
+    * zero-filled for empty payloads). Schema and batch shape match what a
+    * real image resize over `mapInPandas` produces.
+    */
+  def resizeStub(blobs: DataFrame, width: Int, height: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val outLen = width * height
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { b =>
+          val n = b.data.length
+          val out = new Array[Byte](outLen)
+          if (n > 0) {
+            var i = 0
+            while (i < outLen) {
+              out(i) = b.data((i.toLong * n / outLen).toInt)
+              i += 1
+            }
+          }
+          ResizedMedia(b.doc_id, b.media_type, width, height, out)
+        }
+      }
+    }.toDF()
+  }
 }

@@ -80,6 +80,18 @@ object TextQueries {
       Multimodal.decodeFeatures(
         Multimodal.toBlobs(docs(s, dir), "doc_id", "text"))
         .select("doc_id", "media_type", "n_bytes", "width", "height")),
+    // multimodal frame sampling: blob → frame rows (per-partition fan-out)
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.toBlobs(docs(s, dir), "doc_id", "text"))
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"),
+          length(col("data")).cast("bigint").as("frame_bytes"))),
+    // multimodal resize: payload downsampled to a fixed geometry
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(
+        Multimodal.toBlobs(docs(s, dir), "doc_id", "text"), 16, 16)
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("data")).cast("bigint").as("n_bytes"))),
   )
 
   def oracles: Map[String, String] = {
@@ -141,6 +153,18 @@ object TextQueries {
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
           |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height
+          |FROM documents""".stripMargin,
+      // 256-byte frames at 40 ms/frame; LATERAL fan-out mirrors the
+      // per-partition flatMap
+      "multimodal_frames" ->
+        """SELECT doc_id, g.gs AS frame_idx, CAST(g.gs * 40 AS BIGINT) AS ts_ms,
+          |  CAST(LEAST(256, octet_length(encode(text)) - g.gs * 256) AS BIGINT) AS frame_bytes
+          |FROM documents, LATERAL (
+          |  SELECT UNNEST(range(0,
+          |    CAST(CEIL(octet_length(encode(text)) / 256.0) AS BIGINT))) AS gs) g""".stripMargin,
+      "multimodal_resize" ->
+        """SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+          |  CAST(256 AS BIGINT) AS n_bytes
           |FROM documents""".stripMargin,
     )
   }

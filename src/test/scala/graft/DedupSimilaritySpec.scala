@@ -162,4 +162,36 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(row.getAs[Long]("n_bytes") > 0)
     }
   }
+
+  test("multimodal frame sampling: frames reassemble the payload; everyN samples") {
+    val blobs = Multimodal.toBlobs(docs.limit(10), "doc_id", "text")
+    val payloads = blobs.select("doc_id", "data").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val frames = Multimodal.frameSample(blobs, frameBytes = 64)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    payloads.foreach { case (id, bytes) =>
+      val fs = frames(id).sortBy(_.getAs[Long]("frame_idx"))
+      // contiguous frames, 40 ms apart, concatenating back to the payload
+      assert(fs.map(_.getAs[Long]("frame_idx")).toSeq === fs.indices.map(_.toLong))
+      assert(fs.map(_.getAs[Long]("ts_ms")).toSeq === fs.indices.map(_ * 40L))
+      assert(fs.flatMap(_.getAs[Array[Byte]]("data")).toSeq === bytes.toSeq)
+    }
+    // everyN keeps frames 0, N, 2N... only
+    val sampled = Multimodal.frameSample(blobs, frameBytes = 64, everyN = 3)
+      .select("frame_idx").collect().map(_.getLong(0))
+    assert(sampled.forall(_ % 3 == 0))
+  }
+
+  test("multimodal resize: fixed geometry, deterministic, empty-safe") {
+    val blobs = Multimodal.toBlobs(docs.limit(5), "doc_id", "text")
+      .unionByName(Seq((999999L, "application/octet-stream", Array.empty[Byte]))
+        .toDF("doc_id", "media_type", "data"))
+    val a = Multimodal.resizeStub(blobs, 8, 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("data").toSeq).toMap
+    val b = Multimodal.resizeStub(blobs, 8, 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("data").toSeq).toMap
+    assert(a === b) // deterministic
+    assert(a.values.forall(_.length === 32)) // exactly width*height bytes
+    assert(a(999999L).forall(_ === 0.toByte)) // empty payload → zero-fill
+  }
 }
