@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CassandraMurmur3TokenExpr, HyperplaneSketchExpr,
-  MinHashSigExpr, SimHash64Expr, VectorDotExpr}
+  MinHashSigExpr, SimHash64Expr, VectorDotExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get them
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "minhash_signature(shingles, k) — k a literal int")
         MinHashSigExpr(children.head, litInt(children(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "word_shingles(words, n) — n a literal int")
+        WordShinglesExpr(children.head, litInt(children(1), "n"))
       }))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sketch"),

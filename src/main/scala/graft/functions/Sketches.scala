@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native per-row sketch expressions.
   *
@@ -45,6 +46,15 @@ object Sketches {
   def hyperplaneSketch(vec: Column, bits: Int, dims: Int): Column =
     GraftColumnBridge.column(
       HyperplaneSketchExpr(GraftColumnBridge.expression(vec), bits, dims))
+
+  /** Word n-gram shingles over a word array: shingle i =
+    * words[i..i+n-1] joined by single spaces; arrays shorter than n
+    * collapse to one shingle of all words (concat_ws semantics — null
+    * words skipped).
+    */
+  def wordShingles(words: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      WordShinglesExpr(GraftColumnBridge.expression(words), n))
 }
 
 /** Static per-row kernels shared by interpreted eval and generated code
@@ -52,6 +62,36 @@ object Sketches {
   * a JIT-compiled monomorphic method, no boxing, no fallback row).
   */
 object SketchKernels {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** n-word shingles joined by spaces; < n words collapse to one shingle
+    * of the whole array. Mirrors `transform(sequence(...), i ->
+    * concat_ws(' ', slice(words, i+1, n)))` exactly (concat_ws skips
+    * nulls), in one tight loop instead of interpreted lambdas.
+    */
+  def wordShingles(arr: ArrayData, n: Int): GenericArrayData = {
+    val nw = arr.numElements()
+    def word(i: Int): UTF8String =
+      if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+    if (nw < n) {
+      val all = new Array[UTF8String](nw)
+      var i = 0
+      while (i < nw) { all(i) = word(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(Space, all: _*)))
+    } else {
+      val out = new Array[Any](nw - n + 1)
+      val win = new Array[UTF8String](n)
+      var i = 0
+      while (i <= nw - n) {
+        var j = 0
+        while (j < n) { win(j) = word(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Space, win: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
@@ -126,6 +166,25 @@ object SketchKernels {
     }
     sig
   }
+}
+
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects array<string> and n > 0, got $t / n=$n")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.wordShingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class SimHash64Expr(child: Expression) extends UnaryExpression {

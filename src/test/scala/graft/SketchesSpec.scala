@@ -88,6 +88,23 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Long]("hp") === expected)
   }
 
+  test("native word shingles match the declarative transform/slice reference") {
+    val df = Seq((1L, "a b c d e"), (2L, "one two"), (3L, "solo"), (4L, ""),
+      (5L, "w x y"), (6L, "exactly three words")).toDF("id", "text")
+    val n = 3
+    // declarative reference: the formulation the native expression replaced
+    val words = split(col("text"), " ")
+    val declarative = when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - lit(n)),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    val want = df.select(col("id"), declarative.as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val got = df.select(col("id"), Dedup.wordShingles(col("text"), n).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got === want)
+  }
+
   test("sketch expressions survive CODEGEN_ONLY (no silent interpreted fallback)") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.getOption(key)
@@ -100,7 +117,9 @@ class SketchesSpec extends SparkSpec {
           graft.functions.Sketches.minHashSig(split(col("text"), " "), 8).as("mh"),
           graft.functions.Sketches.hyperplaneSketch(col("vec"), 16, 3).as("hp"),
           graft.functions.Sketches.minHashSig(
-            typedlit(Seq.empty[String]), 4).as("mh_empty"))
+            typedlit(Seq.empty[String]), 4).as("mh_empty"),
+          graft.functions.Sketches.wordShingles(
+            split(col("text"), " "), 2).as("sh2"))
         .collect()(0)
       assert(r.getAs[Seq[Long]]("mh").length === 8)
       assert(r.isNullAt(r.fieldIndex("mh_empty"))) // null-on-empty via codegen path
