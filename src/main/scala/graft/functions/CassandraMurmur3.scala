@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -116,6 +117,12 @@ object CassandraMurmur3 {
     if (h == Long.MinValue) Long.MaxValue else h
   }
 
+  /** Token of pre-serialized key components (generated-code entry point):
+    * single components hash their raw bytes, composites get the envelope.
+    */
+  def tokenOfParts(parts: Array[Array[Byte]]): Long =
+    if (parts.length == 1) token(parts(0)) else token(composite(parts))
+
   def serializeLong(v: Long): Array[Byte] = {
     val b = new Array[Byte](8)
     var i = 0
@@ -159,7 +166,7 @@ object CassandraMurmur3 {
   * Any null component ⇒ null token.
   */
 case class CassandraMurmur3TokenExpr(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
@@ -202,6 +209,36 @@ case class CassandraMurmur3TokenExpr(children: Seq[Expression])
     case StringType => v.asInstanceOf[UTF8String].getBytes
     case BinaryType => v.asInstanceOf[Array[Byte]]
     case other => throw new IllegalStateException(s"unsupported type $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val parts = ctx.freshName("parts")
+    val n = children.length
+    val evals = children.map(_.genCode(ctx))
+    val fill = children.zip(evals).zipWithIndex.map { case ((c, e), i) =>
+      val ser = c.dataType match {
+        case LongType => s"graft.functions.CassandraMurmur3.serializeLong(${e.value})"
+        case IntegerType => s"graft.functions.CassandraMurmur3.serializeInt(${e.value})"
+        case StringType => s"${e.value}.getBytes()"
+        case BinaryType => s"${e.value}"
+        case other => throw new IllegalStateException(s"unsupported type $other")
+      }
+      s"""
+         |if (!${ev.isNull}) {
+         |  ${e.code}
+         |  if (${e.isNull}) { ${ev.isNull} = true; } else { $parts[$i] = $ser; }
+         |}
+         |""".stripMargin
+    }.mkString("\n")
+    ev.copy(code = code"""
+      |boolean ${ev.isNull} = false;
+      |long ${ev.value} = 0L;
+      |byte[][] $parts = new byte[$n][];
+      |$fill
+      |if (!${ev.isNull}) {
+      |  ${ev.value} = graft.functions.CassandraMurmur3.tokenOfParts($parts);
+      |}
+      |""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =

@@ -63,6 +63,30 @@ class CassandraMurmur3Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("token expression survives CODEGEN_ONLY (single and composite keys)") {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val df = Seq((7L, "x", Some(3)), (8L, "y", None)).toDF("a", "b", "c")
+      val rows = df.select(
+        CassandraMurmur3.tokenColumn(Seq(col("a"))).as("single"),
+        CassandraMurmur3.tokenColumn(Seq(col("a"), col("b"))).as("composite"),
+        CassandraMurmur3.tokenColumn(Seq(col("a"), col("c"))).as("with_null"))
+        .collect()
+      assert(rows(0).getLong(0) ===
+        CassandraMurmur3.token(CassandraMurmur3.serializeLong(7L)))
+      assert(rows(0).getLong(1) === CassandraMurmur3.token(CassandraMurmur3.composite(
+        Array(CassandraMurmur3.serializeLong(7L), "x".getBytes))))
+      assert(!rows(0).isNullAt(2) && rows(1).isNullAt(2)) // null component ⇒ null token
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("plugs into DiffEngine as the token function") {
     val t = Seq((1L, 1, "a", 10), (2L, 1, "b", 20)).toDF("pk", "c1", "v1", "v2")
     val spec = TableSpec("t", Seq("pk"), Seq("c1"), Seq("v1", "v2"))
