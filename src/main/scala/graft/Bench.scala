@@ -52,11 +52,12 @@ object Bench {
     spark.sparkContext.addSparkListener(footprint)
     // Each query runs SPARK_GRAFT_REPEAT times and reports the fastest —
     // steady-state measurement (JIT + page cache warm), which is what a
-    // long-running cluster job actually sees. Default 3: this VM shows
-    // intermittent multi-second single-task stalls, and min-of-3 makes a
-    // stall landing on any one repeat invisible where min-of-2 still
-    // reports it half the time.
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    // long-running cluster job actually sees. Default 5: this VM shows
+    // intermittent multi-second single-task stalls; with ~40 queries a
+    // stall lands on ALL of a query's repeats often enough at min-of-3
+    // that some query is inflated nearly every run (observed 25% total
+    // swing), while min-of-5 makes that rare for ~2 min extra bench time.
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "5").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
