@@ -91,6 +91,14 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+    // full cube over two dims — all four grouping sets in one pass
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
     // distinct aggregation + min/max/avg (avg via exact decimal sum/count)
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -177,6 +185,14 @@ object AnalyticsQueries {
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
