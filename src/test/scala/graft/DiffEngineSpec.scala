@@ -156,6 +156,23 @@ class DiffEngineSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("diff plan regression: one full-data shuffle per side, counters after") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val q = DiffEngine.rangeStats(li, graft.engine.Perturb.lineitemTarget(li),
+      graft.engine.Perturb.lineitemSpec, DiffOptions(), idTok)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // window/join shuffle per side + partition-stats agg + final agg; any
+    // fifth exchange means the join stopped reusing the window partitioning
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(shuffles === 4, s"expected 4 shuffles in:\n$plan")
+    val fullData = "hashpartitioning\\(l_orderkey#\\d+L?, l_linenumber#\\d+".r
+      .findAllIn(plan).length
+    assert(fullData === 2, s"one (pk, clustering) shuffle per side in:\n$plan")
+    assert("SinglePartition".r.findAllIn(plan).length === 1,
+      s"final RangeStats agg gathers to one row in:\n$plan")
+  }
+
   test("composite partition key: grouping and classification over (pk1, pk2)") {
     val spec = TableSpec("cpk", Seq("pk1", "pk2"), Seq("c1"), Seq("v1"))
     val src = Seq(
