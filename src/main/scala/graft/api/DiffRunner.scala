@@ -172,6 +172,11 @@ final class DiffRunner(
           spec.table -> stats
         } finally ps.unpersist()
       }.toMap
+      // metrics parity: the reference's per-table counter series
+      // (Differ.updateMetrics) as named Spark accumulators
+      results.foreach { case (table, stats) =>
+        DiffMetrics.update(spark, "graft", table, stats)
+      }
       postJobHooks.foreach(_(results))
       results
     } finally store.releaseRunLock(config.jobId)

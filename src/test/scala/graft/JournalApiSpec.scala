@@ -79,6 +79,14 @@ class JournalApiSpec extends SparkSpec {
     assert(api.jobErrors("job-e2e").count() === 0)
     assert(api.errorSummary("job-e2e").count() === 0)
     assert(api.errorRanges("job-e2e").count() === 0)
+    // metrics parity (Differ.updateMetrics): per-table accumulator series
+    def metric(name: String) =
+      graft.api.DiffMetrics.accumulator(spark, s"graft.lineitem.$name").value
+    assert(metric("matched_partitions") === stats.matchedPartitions)
+    assert(metric("mismatched_partitions") === stats.mismatchedPartitions)
+    assert(metric("matched_values") === stats.matchedValues)
+    assert(metric("partitions_read") === stats.matchedPartitions +
+      stats.mismatchedPartitions + stats.onlyInSource + stats.onlyInTarget)
   }
 
   test("re-running a finished job id resumes to nothing; rerun=true re-compares") {
