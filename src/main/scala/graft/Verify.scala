@@ -53,7 +53,11 @@ object Verify {
     // otherwise make the driver's json.load fail and silently zero the
     // round's correctness.
     def q(s: String): String = graft.core.JsonUtil.quote(s)
+    // The driver keys its correctness rows by the result-directory name
+    // INCLUDING the ".parquet" suffix; emit each oracle under both the bare
+    // name and the suffixed name so either lookup convention resolves.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
