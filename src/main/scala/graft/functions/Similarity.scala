@@ -191,17 +191,67 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (brute force
-    * within a deterministic subset; LSH path for full corpus).
+  /** EXACT embedding-cosine near-duplicate pairs above a threshold.
+    *
+    * Exact threshold semantics are inherently O(n²) compute, so this is
+    * for bounded corpora (a deterministic sample, a single dedup bucket):
+    * `maxRows` enforces the bound up front. What it is NOT is a driver
+    * bottleneck: instead of a BroadcastNestedLoopJoin, each left row keeps
+    * its hash block and the right side is replicated across all `blocks`,
+    * so the pair space distributes as a shuffled equi-join on the block
+    * key — per-task work and memory are (n/blocks)·n, tunable to the
+    * cluster. For unbounded corpora use [[nearDupPairsLsh]].
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, blocks: Int = 32, maxRows: Long = 2000000L): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+    val cnt = v.count()
+    require(cnt <= maxRows,
+      s"nearDupPairs is exact (O(n^2)): corpus has $cnt rows > maxRows=$maxRows; " +
+        "use nearDupPairsLsh for unbounded corpora or raise maxRows explicitly")
+    // pair {a,b} meets exactly once: in a's block, with b arriving via
+    // replication; the id ordering then keeps one orientation
+    val x = v.withColumn("b", pmod(xxhash64(col("id")), lit(blocks)))
+    val y = v.withColumn("b",
+      explode(array((0 until blocks).map(lit(_)): _*)))
+    x.as("x").join(y.as("y"),
+        col("x.b") === col("y.b") && col("x.id") < col("y.id"))
       .withColumn("sim",
         dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")))
       .filter(col("sim") > threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("sim"))
+  }
+
+  /** The 100 TB near-dup path: banded hyperplane-LSH candidates → exact
+    * cosine rerank → threshold. Candidate volume is governed by the band
+    * width (collision probability per band ≈ (1-θ/π)^bitsPerBand), so the
+    * join shuffles on (band, bucket) keys only — never all pairs. Recall
+    * is probabilistic and rises with `bands`; genuine near-duplicates
+    * (cosine ≳ 0.9) collide with near-certainty at the defaults, which is
+    * the regime near-dup dedup runs at. Each pair is reranked with the
+    * same exact dot product as [[nearDupPairs]].
+    */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 32, bands: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val bitsPerBand = bits / bands
+    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Sketches.hyperplaneSketch(col(vecCol), bits, dims).as("sketch"))
+      .withColumn("n", norm(col("v")))
+    val banded = sk.select(col("id"), col("v"), col("n"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sketch"), b * bitsPerBand)
+          .bitwiseAND((1L << bitsPerBand) - 1)): _*)).as(Seq("band", "bucket")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.v").as("xv"), col("y.v").as("yv"),
+        col("x.n").as("xn"), col("y.n").as("yn"))
+      .distinct()
+      .withColumn("sim", dot(col("xv"), col("yv")) / (col("xn") * col("yn")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }

@@ -89,6 +89,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("nearDupPairs: block join matches all-pairs truth, no nested-loop join") {
+    val e = Tables.load(spark, Sf, "embeddings").filter(col("vec_id") % 4 === 0)
+    val got = Similarity.nearDupPairs(e, "vec_id", "embedding", threshold = 0.4,
+      blocks = 8)
+    // ground truth from the brute-force scorer (crossJoin over the same subset)
+    val v = e.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("n", Similarity.norm(col("v")))
+    val truth = v.as("x").crossJoin(v.as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .withColumn("sim",
+        Similarity.dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n")))
+      .filter(col("sim") > 0.4)
+      .select(col("x.id"), col("y.id")).as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    assert(got.select("id_a", "id_b").as[(Long, Long)].collect().toSet === truth)
+    // the scale property: pair space distributes as a shuffled equi-join
+    // on the block key, never a nested-loop over data
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("nearDupPairs: refuses unbounded corpora") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(e, "vec_id", "embedding", 0.9, maxRows = 10L)
+    }
+    assert(ex.getMessage.contains("nearDupPairsLsh"))
+  }
+
+  test("nearDupPairsLsh: planted near-identical pairs are found, plan is bucketed") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    // plant twins of vecs 1..5: identical vectors ⇒ identical sketches ⇒
+    // guaranteed band collision ⇒ recall 1.0 for genuine near-dups
+    val twins = e.filter(col("vec_id").isin(1L, 2L, 3L, 4L, 5L))
+      .withColumn("vec_id", col("vec_id") + 900000L)
+    val got = Similarity.nearDupPairsLsh(e.unionByName(twins),
+      "vec_id", "embedding", threshold = 0.999)
+    val pairs = got.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (1L to 5L).foreach(i => assert(pairs.contains((i, i + 900000L)), s"missed twin $i"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("language id picks marker languages and falls back to unknown") {
     val df = Seq(
       ("der die das und ist klar", "de"),
