@@ -95,13 +95,32 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for a set of candidate pairs:
     * explode distinct shingles, self-join on shingle (the blocking key),
     * count intersections, join shingle-set sizes. Fully SQL-expressible
-    * (the oracle mirrors it with lead() windows).
+    * (the oracle mirrors it shingle-for-shingle, cap included).
+    *
+    * `maxShingleDf` caps the blocking key's document frequency: a shingle
+    * appearing in d documents contributes d² candidate rows, so one
+    * boilerplate shingle (license header, nav bar) can own the whole job
+    * on a skewed corpus. Shingles with df > cap are dropped from the
+    * shingle SETS (sizes and intersections alike), i.e. Jaccard is
+    * computed over the capped shingle space — the standard trick, which
+    * also improves precision since ubiquitous shingles carry no signal.
+    * The df count partitions by shingle, the same key the self-join
+    * shuffles on, so the exchange is reused. 0 disables the cap.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+      shingleN: Int = 3, minJaccard: Double = 0.5,
+      maxShingleDf: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), shingleN)).as("shingle"))
       .distinct()
+    val sh =
+      if (maxShingleDf > 0)
+        sh0.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("__df") <= maxShingleDf)
+          .drop("__df")
+      else sh0
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))

@@ -64,10 +64,11 @@ object TextQueries {
     "dedup_canonical" -> ((s, dir) =>
       Dedup.keepCanonical(dupCorpus(docs(s, dir)), "doc_id", "text")
         .select("doc_id", "source")),
-    // n-gram Jaccard near-dup pairs (shingle-blocked self-join)
+    // n-gram Jaccard near-dup pairs (shingle-blocked self-join with a
+    // document-frequency cap on the blocking key — see ngramJaccardPairs)
     "dedup_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
-        shingleN = 3, minJaccard = 0.5)),
+        shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)),
     // MinHash+LSH candidate pairs — scale path; not SQL-expressible, so
     // driver records a rows-only check; ScalaTest asserts recall/precision
     "dedup_minhash" -> ((s, dir) =>
@@ -129,13 +130,18 @@ object TextQueries {
            |) WHERE doc_id = canon""".stripMargin,
       "dedup_ngram_pairs" ->
         s"""WITH corpus AS ($dupCorpusSql),
-           |sh AS (
+           |sh0 AS (
            |  SELECT DISTINCT doc_id AS id, unnest(
            |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
            |         ELSE list_transform(range(0, len(w) - 2),
            |                i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) END
            |  ) AS shingle
            |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+           |),
+           |sh AS (
+           |  SELECT id, shingle FROM (
+           |    SELECT id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0
+           |  ) WHERE df <= 64
            |),
            |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
            |inter AS (

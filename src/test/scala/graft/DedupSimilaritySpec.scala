@@ -32,6 +32,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed ${missed.size} of ${truth.size} true pairs")
   }
 
+  test("ngram df cap bounds hot-shingle candidate blow-up") {
+    // worst-case skew: every doc shares one boilerplate shingle; without a
+    // cap the shingle join emits n(n-1)/2 candidates off that key alone
+    val n = 200
+    val rows = (0 until n).map(i => (i.toLong, s"common boiler plate unique$i token$i end$i"))
+    val skewed = rows.toDF("doc_id", "text")
+    // planted true dup: doc 0's exact copy
+    val corpus = skewed.unionByName(
+      skewed.filter(col("doc_id") === 0).withColumn("doc_id", lit(9999L)))
+    val capped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, maxShingleDf = 10)
+    val got = capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the planted dup survives (its distinctive shingles are rare)...
+    assert(got.contains((0L, 9999L)))
+    // ...and boilerplate-only overlap yields no pairs at all
+    assert(got === Set((0L, 9999L)))
+    // the blocked join's input provably excludes the hot key: after the
+    // cap no shingle has df > 10, so per-key candidate fan-out is bounded
+    val maxDf = corpus.select(col("doc_id").as("id"),
+        explode(Dedup.wordShingles(col("text"), 3)).as("shingle")).distinct()
+      .groupBy("shingle").count()
+      .agg(max("count")).as[Long].collect()(0)
+    assert(maxDf === n + 1L) // the uncapped corpus really is skewed
+    // uncapped run on the same corpus pays the quadratic price in
+    // candidates — the cap is what removed it, not the data
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.0, maxShingleDf = 0)
+    assert(uncapped.count() >= n.toLong * (n - 1) / 2)
+  }
+
   test("simhash: exact duplicates have hamming distance 0") {
     val pairs = Dedup.simHashNearDups(corpus, "doc_id", "text")
       // injected exact dups only: original id (<1e6) vs its +1e6 copy
