@@ -62,12 +62,12 @@ object Dedup {
     * Output: (id, mh0..mh{k-1}) plus an `sig` array column.
     */
   def withMinHashSignature(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16): DataFrame =
+      shingleN: Int = 3, k: Int = 16, useMd5: Boolean = false): DataFrame =
     // two-step select: the signature is evaluated once per row (array
     // extraction is cheap, so unpacking it k ways costs nothing; Catalyst
     // keeps the non-cheap sketch un-inlined across the projections)
     df.select(col(idCol).as("id"),
-        Sketches.minHashSig(wordShingles(col(textCol), shingleN), k).as("sig"))
+        Sketches.minHashSig(wordShingles(col(textCol), shingleN), k, useMd5).as("sig"))
       .select(col("id") +: (0 until k).map(i => col("sig")(i).as(s"mh$i"))
         :+ col("sig"): _*)
 
@@ -75,13 +75,23 @@ object Dedup {
     * the only shuffle is on (band, bucket), never all-pairs.
     * bands=8/rows=2: P(collide) = 1-(1-j^2)^8 ≈ 0.9997 at j=0.8 — high
     * recall; false-positive candidates are cheap (verified downstream).
+    *
+    * `useMd5` makes the whole pipeline cross-engine deterministic: the
+    * shingle hash switches to md5 and the band bucket key becomes the
+    * band's signature values joined as a string (instead of their
+    * xxhash64), so a DuckDB oracle reproduces the exact pair set.
     */
   def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      useMd5: Boolean = false): DataFrame = {
     val rows = k / bands
-    val sig = withMinHashSignature(df, idCol, textCol, shingleN, k)
+    val sig = withMinHashSignature(df, idCol, textCol, shingleN, k, useMd5)
     val bandKeys = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      // md5 mode joins on the literal value string — exact, mirrorable;
+      // default mode compresses the band key through xxhash64
+      if (useMd5) concat_ws(":", cols: _*)
+      else xxhash64(lit(b) +: cols: _*).cast("string")
     }
     val buckets = sig.select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
@@ -142,17 +152,20 @@ object Dedup {
     * (The earlier explode + 64-sign-aggregate shape shuffled the whole
     * tokenized corpus to compute a per-document value.)
     */
-  def withSimHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def withSimHash(df: DataFrame, idCol: String, textCol: String,
+      useMd5: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"),
-      Sketches.simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      Sketches.simhash64(TextAnalysis.tokens(col(textCol)), useMd5).as("simhash"))
 
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit chunks as LSH
     * keys (hamming-distance ≤ 3 dups almost surely share a chunk), then
     * verify with bit_count(xor) — join is blocked, never all-pairs.
+    * `useMd5` switches the token hash to the cross-engine md5 variant so
+    * the result is DuckDB-reproducible (banding/verify are plain SQL).
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = withSimHash(df, idCol, textCol)
+      maxHamming: Int = 3, useMd5: Boolean = false): DataFrame = {
+    val sh = withSimHash(df, idCol, textCol, useMd5)
     val chunks = sh.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*))

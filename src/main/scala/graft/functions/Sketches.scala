@@ -27,16 +27,22 @@ import org.apache.spark.unsafe.types.UTF8String
 object Sketches {
 
   /** 64-bit SimHash over a token array: counter c_i sums +1/-1 for bit i
-    * of xxhash64(token) across tokens; result bit i is set iff c_i > 0.
+    * of hash(token) across tokens; result bit i is set iff c_i > 0. The
+    * token hash is xxhash64 (seed 42) by default; `useMd5` switches to
+    * the cross-engine md5-derived hash ([[SketchKernels.md5Hash64]]) so
+    * the sketch is reproducible in DuckDB SQL for oracle checks.
     */
-  def simhash64(tokens: Column): Column =
-    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(tokens)))
+  def simhash64(tokens: Column, useMd5: Boolean = false): Column =
+    GraftColumnBridge.column(
+      SimHash64Expr(GraftColumnBridge.expression(tokens), useMd5))
 
   /** k-wide MinHash signature over a shingle array: for permutation
-    * h_i(x) = (a_i * x + b_i) mod p over pmod(xxhash64(shingle), p).
+    * h_i(x) = (a_i * x + b_i) mod p over hash(shingle) mod p. Same
+    * `useMd5` contract as [[simhash64]].
     */
-  def minHashSig(shingles: Column, k: Int): Column =
-    GraftColumnBridge.column(MinHashSigExpr(GraftColumnBridge.expression(shingles), k))
+  def minHashSig(shingles: Column, k: Int, useMd5: Boolean = false): Column =
+    GraftColumnBridge.column(
+      MinHashSigExpr(GraftColumnBridge.expression(shingles), k, useMd5))
 
   /** Random-hyperplane LSH sketch over an embedding array: bit i = sign
     * of the dot product with deterministic ±1 plane i (splitmix64 signs,
@@ -64,6 +70,26 @@ object Sketches {
 object SketchKernels {
 
   private val Space = UTF8String.fromString(" ")
+
+  private val Md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Cross-engine 64-bit hash: the first 8 bytes of md5(utf8 bytes),
+    * big-endian — identical to DuckDB's
+    * `CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)` bit-for-bit (the
+    * hex string IS the digest in byte order), which is what makes
+    * md5-mode sketches oracle-checkable. ~3× the cost of xxh64; the
+    * default xxh64 mode stays the 100 TB path.
+    */
+  def md5Hash64(u: UTF8String): Long = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(u.getBytes)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
 
   /** n-word shingles joined by spaces; < n words collapse to one shingle
     * of the whole array. Mirrors `transform(sequence(...), i ->
@@ -93,13 +119,14 @@ object SketchKernels {
     }
   }
 
-  def simhash64(arr: ArrayData): Long = {
+  def simhash64(arr: ArrayData, useMd5: Boolean): Long = {
     val n = arr.numElements()
     val counters = new Array[Int](64)
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
+        val u = arr.getUTF8String(t)
+        val h = if (useMd5) md5Hash64(u) else XXH64.hashUTF8String(u, 42L)
         var i = 0
         while (i < 64) {
           counters(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
@@ -118,7 +145,8 @@ object SketchKernels {
   }
 
   /** Returns null when the shingle array is empty / all-null. */
-  def minHashSig(arr: ArrayData, as: Array[Long], bs: Array[Long]): GenericArrayData = {
+  def minHashSig(arr: ArrayData, as: Array[Long], bs: Array[Long],
+      useMd5: Boolean): GenericArrayData = {
     val p = Dedup.MinHashPrime
     val k = as.length
     val n = arr.numElements()
@@ -128,8 +156,16 @@ object SketchKernels {
     while (t < n) {
       if (!arr.isNullAt(t)) {
         seen = true
-        val raw = XXH64.hashUTF8String(arr.getUTF8String(t), 42L)
-        val h = ((raw % p) + p) % p
+        val u = arr.getUTF8String(t)
+        // md5 mode reduces the UNSIGNED 64-bit value mod p (mirrors
+        // DuckDB's UBIGINT % p); xxh64 mode keeps the historical
+        // signed-then-fix reduction
+        val h =
+          if (useMd5) java.lang.Long.remainderUnsigned(md5Hash64(u), p)
+          else {
+            val raw = XXH64.hashUTF8String(u, 42L)
+            ((raw % p) + p) % p
+          }
         var i = 0
         while (i < k) {
           // h < p < 2^31 and a_i small, so h * a_i + b_i stays in Long
@@ -187,7 +223,8 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression, useMd5: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -197,15 +234,16 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    SketchKernels.simhash64(input.asInstanceOf[ArrayData])
+    SketchKernels.simhash64(input.asInstanceOf[ArrayData], useMd5)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash64($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.simhash64($c, $useMd5)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSigExpr(child: Expression, k: Int, useMd5: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -225,13 +263,13 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     (0 until k).map(i => Dedup.perm(i)._2).toArray
 
   override def nullSafeEval(input: Any): Any =
-    SketchKernels.minHashSig(input.asInstanceOf[ArrayData], as, bs)
+    SketchKernels.minHashSig(input.asInstanceOf[ArrayData], as, bs, useMd5)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
     val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, c => s"""
-      |${ev.value} = graft.functions.SketchKernels.minHashSig($c, $asRef, $bsRef);
+      |${ev.value} = graft.functions.SketchKernels.minHashSig($c, $asRef, $bsRef, $useMd5);
       |${ev.isNull} = (${ev.value} == null);
       |""".stripMargin)
   }

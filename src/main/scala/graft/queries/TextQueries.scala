@@ -69,13 +69,18 @@ object TextQueries {
     "dedup_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)),
-    // MinHash+LSH candidate pairs — scale path; not SQL-expressible, so
-    // driver records a rows-only check; ScalaTest asserts recall/precision
+    // MinHash+LSH candidate pairs. The gate runs the md5-hash mode whose
+    // shingle hash and band keys a DuckDB oracle reproduces exactly; the
+    // xxh64 default stays the cheapest-hash scale path (same plan shape,
+    // ScalaTest asserts recall on it)
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashCandidatePairs(dupCorpus(docs(s, dir)), "doc_id", "text")),
-    // SimHash near-dups with hamming verify — rows-only + ScalaTest
+      Dedup.minHashCandidatePairs(dupCorpus(docs(s, dir)), "doc_id", "text",
+        useMd5 = true)),
+    // SimHash near-dups with hamming verify — md5 mode for the oracle,
+    // same banded-join plan as the xxh64 scale path
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashNearDups(dupCorpus(docs(s, dir)), "doc_id", "text")),
+      Dedup.simHashNearDups(dupCorpus(docs(s, dir)), "doc_id", "text",
+        useMd5 = true)),
     // multimodal plumbing: binary blobs → batched stub decode
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -95,9 +100,87 @@ object TextQueries {
           length(col("data")).cast("bigint").as("n_bytes"))),
   )
 
+  /** Shared oracle fragment: distinct word 3-gram shingles per doc over
+    * the dup-injected corpus (mirrors Dedup.wordShingles exactly).
+    */
+  private val shinglesSql: String =
+    """SELECT DISTINCT doc_id AS id, unnest(
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_transform(range(0, len(w) - 2),
+      |                i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) END
+      |  ) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)""".stripMargin
+
+  /** DuckDB mirror of [[graft.functions.SketchKernels.md5Hash64]]: the
+    * md5 hex digest's first 16 chars ARE its first 8 bytes big-endian.
+    */
+  private def md5Hash64Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 16) AS UBIGINT)"
+
+  /** MinHash oracle: k=16 permutations (a_i = 2i+1, b_i = 104729(i+1))
+    * over md5-derived shingle hashes mod the Mersenne prime, banded 8×2
+    * with value-string bucket keys — generated from the same
+    * [[Dedup.perm]] constants the Spark expression uses.
+    */
+  private def minHashOracleSql: String = {
+    val p = Dedup.MinHashPrime
+    val bandRows = (0 until 8).map { b =>
+      s"SELECT id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || CAST(mh${2 * b + 1} AS VARCHAR) AS bucket FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS ($dupCorpusSql),
+       |sh AS (
+       |  $shinglesSql
+       |),
+       |h AS (SELECT id, ${md5Hash64Sql("shingle")} % $p AS hv FROM sh),
+       |mh AS (SELECT id,
+       |   ${(0 until 16).map { i =>
+            val (a, b) = Dedup.perm(i)
+            s"MIN((hv * $a + $b) % $p) AS mh$i"
+          }.mkString(",\n       |   ")}
+       | FROM h GROUP BY id),
+       |bands AS (
+       |  $bandRows
+       |)
+       |SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id""".stripMargin
+  }
+
+  /** SimHash oracle: per-token md5-derived 64-bit hashes, ±1 bit
+    * counters, 4×16-bit chunk LSH join, hamming ≤ 3 verify — all plain
+    * SQL over UBIGINT bit ops.
+    */
+  private def simHashOracleSql: String =
+    s"""WITH corpus AS ($dupCorpusSql),
+       |tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM corpus),
+       |th AS (SELECT id, ${md5Hash64Sql("t")} AS h FROM tok),
+       |bits AS (
+       |  SELECT id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+       |  GROUP BY id, i
+       |),
+       |sig AS (
+       |  SELECT id, COALESCE(bit_or(CASE WHEN c > 0 THEN CAST(1 AS UBIGINT) << i END),
+       |                      CAST(0 AS UBIGINT)) AS s
+       |  FROM bits GROUP BY id
+       |),
+       |chunks AS (
+       |  SELECT id, s, b AS chunk, (s >> (b * 16)) & 65535 AS key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) g
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b, x.s AS sa, y.s AS sb
+       |  FROM chunks x JOIN chunks y
+       |    ON x.chunk = y.chunk AND x.key = y.key AND x.id < y.id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
   def oracles: Map[String, String] = {
     val toks = "string_split(text, ' ')"
     Map(
+      "dedup_minhash" -> minHashOracleSql,
+      "dedup_simhash" -> simHashOracleSql,
       "text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len($toks) AS BIGINT) AS n_tokens,
