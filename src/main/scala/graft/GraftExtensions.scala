@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CassandraMurmur3TokenExpr, HyperplaneSketchExpr,
-  MinHashSigExpr, SimHash64Expr, VectorDotExpr, WordShinglesExpr}
+import graft.functions.{CassandraMurmur3TokenExpr, CassandraRandomTokenExpr,
+  HyperplaneSketchExpr, MinHashSigExpr, SimHash64Expr, VectorDotExpr,
+  WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get them
@@ -25,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cassandra_murmur3_token"),
       new ExpressionInfo(classOf[CassandraMurmur3TokenExpr].getName, "cassandra_murmur3_token"),
       (children: Seq[Expression]) => CassandraMurmur3TokenExpr(children)))
+    ext.injectFunction((
+      FunctionIdentifier("cassandra_random_token"),
+      new ExpressionInfo(classOf[CassandraRandomTokenExpr].getName, "cassandra_random_token"),
+      (children: Seq[Expression]) => CassandraRandomTokenExpr(children)))
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDotExpr].getName, "vector_dot"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.DiffOptions
 import graft.engine.{DiffEngine, OracleSql, Perturb, Tables}
+import graft.functions.{CassandraRandomPartitioner => RP}
 
 /** Diff-engine operator queries (SURVEY §2 O1/O4-O8, O11, O13, O14), each
   * with a DuckDB oracle generated from the same TableSpec.
@@ -81,6 +82,18 @@ object DiffQueries {
       DiffEngine.rangeStats(e, Perturb.embeddingsTarget(e),
         Perturb.embeddingsSpec, DiffOptions(), idTok)
     }),
+    // RandomPartitioner tokens, value-checked cross-engine: the key scan
+    // computes the 127-bit md5 token of every (string-serialized) orders
+    // key, and the oracle recomputes it in DuckDB from the md5 hex digest
+    "diff_random_token" -> ((s, dir) =>
+      DiffEngine.keyScan(ord(s, dir), ordersSpec,
+        cols => RP.tokenColumn(cols.map(_.cast("string"))))),
+    // the full diff spine running on RandomPartitioner tokens (keyScan →
+    // join → partitionStats → RangeStats); counters are token-independent
+    // so the narrow-shape oracle checks the run end-to-end
+    "diff_range_stats_random" -> ((s, dir) =>
+      DiffEngine.rangeStats(ord(s, dir), Perturb.ordersTarget(ord(s, dir)),
+        ordersSpec, DiffOptions(), cols => RP.tokenColumn(cols))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -104,5 +117,29 @@ object DiffQueries {
       Perturb.eventsSrcSql, Perturb.eventsTargetSql),
     "diff_range_stats_embeddings" -> OracleSql.rangeStats(Perturb.embeddingsSpec,
       Perturb.embeddingsSrcSql, Perturb.embeddingsTargetSql),
+    "diff_random_token" -> randomTokenOracleSql,
+    "diff_range_stats_random" -> OracleSql.rangeStats(ordersSpec,
+      Perturb.ordersSrcSql, Perturb.ordersTargetSql),
   )
+
+  /** DuckDB mirror of the RandomPartitioner token: md5 hex digest read as
+    * a signed big-endian 128-bit value, abs'd via UHUGEINT arithmetic,
+    * zero-padded to 39 digits. String keys serialize as their UTF-8
+    * bytes on both engines, so md5(CAST(pk AS VARCHAR)) sees exactly the
+    * bytes the Spark expression hashes.
+    */
+  private def randomTokenOracleSql: String =
+    """SELECT o_orderkey, lpad(CAST(
+      |  CASE WHEN hi >= CAST(9223372036854775808 AS UBIGINT)
+      |       THEN (CAST('340282366920938463463374607431768211455' AS UHUGEINT) - v) + 1
+      |       ELSE v END AS VARCHAR), 39, '0') AS token
+      |FROM (
+      |  SELECT o_orderkey,
+      |    CAST('0x' || substr(d, 1, 16) AS UBIGINT) AS hi,
+      |    CAST(CAST('0x' || substr(d, 1, 16) AS UBIGINT) AS UHUGEINT)
+      |        * CAST('18446744073709551616' AS UHUGEINT)
+      |      + CAST(CAST('0x' || substr(d, 17, 16) AS UBIGINT) AS UHUGEINT) AS v
+      |  FROM (SELECT DISTINCT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS d
+      |        FROM orders)
+      |)""".stripMargin
 }
