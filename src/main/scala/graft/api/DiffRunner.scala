@@ -45,17 +45,32 @@ final class DiffRunner(
     try {
       preJobHooks.foreach(_())
       import spark.implicits._
-      // O21 params immutability: a re-run of an existing job_id keeps the
-      // stored bucket count regardless of the new config
-      // (JobMetadataDb getJobParams, DiffJob.java:136-143, 213-229)
+      // O21 params immutability: a re-run of an existing job_id keeps ALL
+      // stored job params — tables, token filters, sampling, reverse-read
+      // probability, buckets — regardless of the new config, matching the
+      // reference's getJobParams reuse (JobMetadataDb.java:432-490;
+      // DiffJob.java:136-143, 213-229). A re-run with conflicting options
+      // must not silently diverge from the journal's semantics.
       val priorSummary =
         if (store.exists("job_summary"))
           store.read("job_summary").filter(col("job_id") === config.jobId)
             .collect().headOption
         else None
       val options = priorSummary match {
-        case Some(row) => config.options.copy(buckets = row.getAs[Int]("buckets"))
+        case Some(row) => graft.core.DiffOptions(
+          buckets = row.getAs[Int]("buckets"),
+          disallowedTokens = row.getSeq[Long](row.fieldIndex("disallowed_tokens")).toSeq,
+          specificTokens = row.getSeq[Long](row.fieldIndex("specific_tokens")).toSeq,
+          samplingNum = row.getAs[Int]("sampling_num"),
+          samplingDen = row.getAs[Int]("sampling_den"),
+          reverseReadProbability = row.getAs[Double]("reverse_read_probability"))
         case None => config.options
+      }
+      val tables = priorSummary match {
+        case Some(row) =>
+          val stored = row.getSeq[String](row.fieldIndex("keyspaces")).toSet
+          config.tables.filter(t => stored(t.table))
+        case None => config.tables
       }
       if (priorSummary.isEmpty)
         // job_summary row: params + start metadata (JobMetadataDb.java:496-544;
@@ -67,6 +82,11 @@ final class DiffRunner(
           target.getClass.getSimpleName,
           config.tables.map(_.table),
           options.buckets,
+          options.disallowedTokens,
+          options.specificTokens,
+          options.samplingNum,
+          options.samplingDen,
+          options.reverseReadProbability,
           // fixed-width render: lexicographic order == chronological
           // (Instant.toString varies fractional digits and breaks sorts)
           java.time.format.DateTimeFormatter
@@ -74,8 +94,10 @@ final class DiffRunner(
             .withZone(java.time.ZoneOffset.UTC)
             .format(java.time.Instant.now()))).toDF(
           "job_id", "source_cluster", "target_cluster", "keyspaces",
-          "buckets", "start_time"))
-      val results = config.tables.map { spec0 =>
+          "buckets", "disallowed_tokens", "specific_tokens",
+          "sampling_num", "sampling_den", "reverse_read_probability",
+          "start_time"))
+      val results = tables.map { spec0 =>
         require(spec0.pk.nonEmpty,
           s"table ${spec0.table}: partition key columns must be declared")
         val spec = spec0.bind(source.table(spark, spec0.table))
@@ -131,6 +153,20 @@ final class DiffRunner(
               .withColumn("job_id", lit(config.jobId))
               .withColumn("run_ts", lit(runTs)),
             partitionBy = Seq("job_id"))
+          // O3: the sampled reverse-read validation pass
+          // (DiffContext.java:54-57) — re-compare sampled partitions with
+          // reversed duplicate pairing; journal any verdict disagreement
+          if (options.reverseReadProbability > 0.0)
+            store.write("reverse_checks",
+              DiffEngine.reverseValidation(src, tgt, spec,
+                  options.reverseReadProbability)
+                .filter(!col("agree"))
+                .select(col("token"), col("fwd_classification"),
+                  col("rev_classification"))
+                .withColumn("table_name", lit(spec.table))
+                .withColumn("job_id", lit(config.jobId))
+                .withColumn("run_ts", lit(runTs)),
+              partitionBy = Seq("job_id"))
           // whole-job totals: newest journal row per bucket across ALL runs
           // of this job_id (a resumed run's own frame covers only the
           // pending remainder; the journal carries the rest)

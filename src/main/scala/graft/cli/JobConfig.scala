@@ -26,7 +26,7 @@ import graft.core.{DiffOptions, TableSpec}
   * | token_scan_fetch_size          | n/a — columnar reader (noted)       |
   * | partition_read_fetch_size      | n/a — columnar reader (noted)       |
   * | read_timeout_millis            | n/a — task retry owns timeouts      |
-  * | reverse_read_probability       | reverse-read validation gate (O3)   |
+  * | reverse_read_probability       | sampled reverse validation pass (O3)|
   * | consistency_level              | n/a — no CQL reads (noted)          |
   * | metadata_options.keyspace      | journal root subdir                 |
   * | metadata_options.ttl           | journal retention (recorded)        |
@@ -67,7 +67,8 @@ final case class JobConfig(
       disallowedTokens = disallowedTokens,
       specificTokens = specificTokens,
       samplingNum = num,
-      samplingDen = den)
+      samplingDen = den,
+      reverseReadProbability = reverseReadProbability)
   }
 }
 

@@ -119,9 +119,12 @@ final case class DiffOptions(
     disallowedTokens: Seq[Long] = Nil,
     specificTokens: Seq[Long] = Nil,
     samplingNum: Int = 1,
-    samplingDen: Int = 1) {
+    samplingDen: Int = 1,
+    reverseReadProbability: Double = 0.0) {
   require(buckets > 0, "buckets must be positive")
   require(samplingNum >= 0 && samplingDen > 0 && samplingNum <= samplingDen,
     "sampling must satisfy 0 <= num <= den")
+  require(reverseReadProbability >= 0.0 && reverseReadProbability <= 1.0,
+    "reverse_read_probability must be in [0, 1]")
   def samplingEnabled: Boolean = samplingNum < samplingDen
 }

@@ -138,14 +138,15 @@ object DiffEngine {
     * Output columns: primaryKey..., `__in_src`, `__in_tgt`,
     * `__src_c`/`__tgt_c`/`__match_c` per regular column c.
     */
-  def rowLevel(src: DataFrame, tgt: DataFrame, spec0: TableSpec): DataFrame = {
+  def rowLevel(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
+      reverseOccurrence: Boolean = false): DataFrame = {
     val spec = spec0.bind(src)
     spec.validateSides(src, tgt)
     val keys = spec.primaryKey :+ Occ
-    val s = withOccurrence(src, spec)
+    val s = withOccurrence(src, spec, reverseOccurrence)
       .select(keys.map(col) ++ spec.regular.map(c => col(c).as(srcCol(c))): _*)
       .withColumn(InSrc, lit(true))
-    val t = withOccurrence(tgt, spec)
+    val t = withOccurrence(tgt, spec, reverseOccurrence)
       .select(keys.map(col) ++ spec.regular.map(c => col(c).as(tgtCol(c))): _*)
       .withColumn(InTgt, lit(true))
     val joined = s.join(t, keys, "full_outer")
@@ -168,13 +169,18 @@ object DiffEngine {
     * shuffle) entirely.
     */
   private val Occ = "__occ"
-  private def withOccurrence(df: DataFrame, spec: TableSpec): DataFrame =
+  private def withOccurrence(df: DataFrame, spec: TableSpec,
+      reverse: Boolean = false): DataFrame =
     if (spec.uniqueKey) df.withColumn(Occ, lit(1))
     else {
       import org.apache.spark.sql.expressions.Window
+      val cols =
+        if (spec.regular.nonEmpty) spec.regular else spec.primaryKey
+      // reverse = the exact inverse collation (desc, nulls last) — the
+      // reverse-read validation pass pairs duplicates from the other end
       val order =
-        if (spec.regular.nonEmpty) spec.regular.map(c => col(c).asc_nulls_first)
-        else spec.primaryKey.map(c => col(c).asc_nulls_first)
+        if (reverse) cols.map(c => col(c).desc_nulls_last)
+        else cols.map(c => col(c).asc_nulls_first)
       df.withColumn(Occ, row_number().over(
         Window.partitionBy(spec.primaryKey.map(col): _*).orderBy(order: _*)))
     }
@@ -194,9 +200,10 @@ object DiffEngine {
     * classification, token.
     */
   def partitionStats(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
-      token: Seq[Column] => Column = defaultToken): DataFrame = {
+      token: Seq[Column] => Column = defaultToken,
+      reverseOccurrence: Boolean = false): DataFrame = {
     val spec = spec0.bind(src)
-    val rl = rowLevel(src, tgt, spec)
+    val rl = rowLevel(src, tgt, spec, reverseOccurrence)
     val bothHere = col(InSrc) && col(InTgt)
     val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
     val valueMatches =
@@ -353,5 +360,46 @@ object DiffEngine {
     val w = Window.partitionBy(spec.pk.map(col): _*)
       .orderBy(spec.clustering.map(c => col(c).desc): _*)
     df.withColumn("rev_rank", row_number().over(w))
+  }
+
+  /** O3 wired end-to-end: the sampled reverse-read validation pass the
+    * reference runs per partition (DiffContext.java:54-57 gates it with
+    * `reverse_read_probability`; DiffCluster.java:253-274 re-reads the
+    * partition with clustering order flipped and re-compares). Here the
+    * per-partition outcome that is genuinely order-sensitive is the
+    * duplicate-full-PK occurrence pairing, so the reverse pass re-runs the
+    * diff pairing duplicates from the other end and requires every
+    * per-partition counter AND the classification to agree with the
+    * forward pass.
+    *
+    * Sampling is deterministic (`pmod(xxhash64(pk), 1000) < p*1000`) so a
+    * re-run validates the same partitions — the reference's coin flip is
+    * not reproducible across runs, a journaling defect we do not copy.
+    *
+    * Output: one row per sampled partition — pk..., token, the six
+    * forward/reverse stat columns prefixed fwd_/rev_, and `agree`.
+    */
+  def reverseValidation(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
+      probability: Double,
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    require(probability >= 0.0 && probability <= 1.0,
+      "reverse_read_probability must be in [0, 1]")
+    val spec = spec0.bind(src)
+    val thresh = math.round(probability * 1000).toInt
+    def sampled(df: DataFrame): DataFrame =
+      df.filter(pmod(xxhash64(spec.pk.map(col): _*), lit(1000)) < lit(thresh))
+    val fs = sampled(src)
+    val ft = sampled(tgt)
+    val statCols = Seq("matched_rows", "rows_only_in_source",
+      "rows_only_in_target", "matched_values", "mismatched_values",
+      "classification")
+    val fwd = partitionStats(fs, ft, spec, token)
+      .select(spec.pk.map(col) ++ (col("token") +:
+        statCols.map(c => col(c).as(s"fwd_$c"))): _*)
+    val rev = partitionStats(fs, ft, spec, token, reverseOccurrence = true)
+      .select(spec.pk.map(col) ++ statCols.map(c => col(c).as(s"rev_$c")): _*)
+    fwd.join(rev, spec.pk)
+      .withColumn("agree",
+        statCols.map(c => col(s"fwd_$c") <=> col(s"rev_$c")).reduce(_ && _))
   }
 }

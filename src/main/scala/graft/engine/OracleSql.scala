@@ -18,7 +18,8 @@ object OracleSql {
     *
     * Emits CTEs `src`, `tgt`, `rl` — callers append their own final select.
     */
-  def rowLevelCtes(spec: TableSpec, srcSql: String, tgtSql: String): String = {
+  def rowLevelCtes(spec: TableSpec, srcSql: String, tgtSql: String,
+      prefix: String = "", reverseOcc: Boolean = false): String = {
     val keys = spec.primaryKey
     val on = (keys.map(k => s"s.$k = t.$k") :+ "s.__occ = t.__occ").mkString(" AND ")
     val keySel = keys.map(k => s"COALESCE(s.$k, t.$k) AS $k").mkString(", ")
@@ -31,25 +32,27 @@ object OracleSql {
       .mkString(",\n         ")
     // duplicate-full-PK occurrence index — mirrors
     // DiffEngine.withOccurrence (row_number over the full PK ordered by
-    // the regular columns, nulls first)
+    // the regular columns, nulls first; reverseOcc = the inverse collation)
     val occOrder =
       (if (spec.regular.nonEmpty) spec.regular else keys)
-        .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+        .map(c => if (reverseOcc) s"$c DESC NULLS LAST" else s"$c ASC NULLS FIRST")
+        .mkString(", ")
     val occ =
       s"ROW_NUMBER() OVER (PARTITION BY ${keys.mkString(", ")} ORDER BY $occOrder) AS __occ"
-    s"""src AS ($srcSql),
-       |tgt AS ($tgtSql),
-       |rl AS (
+    s"""${prefix}src AS ($srcSql),
+       |${prefix}tgt AS ($tgtSql),
+       |${prefix}rl AS (
        |  SELECT $cols
-       |  FROM (SELECT *, 1 AS __one, $occ FROM src) s
-       |  FULL OUTER JOIN (SELECT *, 1 AS __one, $occ FROM tgt) t ON $on
+       |  FROM (SELECT *, 1 AS __one, $occ FROM ${prefix}src) s
+       |  FULL OUTER JOIN (SELECT *, 1 AS __one, $occ FROM ${prefix}tgt) t ON $on
        |)""".stripMargin
   }
 
   /** Per-partition stats CTE `ps` + classification CTE `cls`
     * (reference O7: PartitionStats.java:22-28).
     */
-  def partitionCtes(spec: TableSpec, srcSql: String, tgtSql: String): String = {
+  def partitionCtes(spec: TableSpec, srcSql: String, tgtSql: String,
+      prefix: String = "", reverseOcc: Boolean = false): String = {
     val pk = spec.pk.mkString(", ")
     val matchedVals =
       if (spec.regular.isEmpty) "0"
@@ -57,8 +60,8 @@ object OracleSql {
     val mismatchedVals =
       if (spec.regular.isEmpty) "0"
       else spec.regular.map(c => s"CASE WHEN match_$c THEN 0 ELSE 1 END").mkString(" + ")
-    s"""${rowLevelCtes(spec, srcSql, tgtSql)},
-       |ps AS (
+    s"""${rowLevelCtes(spec, srcSql, tgtSql, prefix, reverseOcc)},
+       |${prefix}ps AS (
        |  SELECT $pk,
        |         bool_or(in_src) AS in_src, bool_or(in_tgt) AS in_tgt,
        |         CAST(SUM(CASE WHEN in_src AND in_tgt THEN 1 ELSE 0 END) AS BIGINT) AS matched_rows,
@@ -66,16 +69,16 @@ object OracleSql {
        |         CAST(SUM(CASE WHEN in_tgt AND NOT in_src THEN 1 ELSE 0 END) AS BIGINT) AS rows_only_in_target,
        |         CAST(SUM(CASE WHEN in_src AND in_tgt THEN $matchedVals ELSE 0 END) AS BIGINT) AS matched_values,
        |         CAST(SUM(CASE WHEN in_src AND in_tgt THEN $mismatchedVals ELSE 0 END) AS BIGINT) AS mismatched_values
-       |  FROM rl GROUP BY $pk
+       |  FROM ${prefix}rl GROUP BY $pk
        |),
-       |cls AS (
+       |${prefix}cls AS (
        |  SELECT *,
        |         CASE WHEN NOT in_tgt THEN 'ONLY_IN_SOURCE'
        |              WHEN NOT in_src THEN 'ONLY_IN_TARGET'
        |              WHEN rows_only_in_source + rows_only_in_target > 0
        |                   OR mismatched_values > 0 THEN 'PARTITION_MISMATCH'
        |              ELSE 'MATCHED' END AS classification
-       |  FROM ps
+       |  FROM ${prefix}ps
        |)""".stripMargin
   }
 
@@ -176,4 +179,23 @@ object OracleSql {
        |  CAST(MAX(${spec.pk.head}) AS BIGINT) AS last_token,
        |  '${spec.table}' AS table_name
        |FROM cls GROUP BY CAST(${spec.pk.head} % $buckets AS BIGINT)""".stripMargin
+
+  /** Reverse-read validation oracle (O3 wired): the forward and reverse
+    * per-partition stats blocks side by side, counting partitions whose
+    * counters or classification disagree. Mirrors
+    * DiffEngine.reverseValidation at probability 1.0 (the deterministic
+    * sampler passes every partition).
+    */
+  def reverseValidation(spec: TableSpec, srcSql: String, tgtSql: String): String = {
+    val on = spec.pk.map(k => s"f.$k = r.$k").mkString(" AND ")
+    val stats = Seq("matched_rows", "rows_only_in_source",
+      "rows_only_in_target", "matched_values", "mismatched_values",
+      "classification")
+    val agree = stats.map(c => s"f.$c = r.$c").mkString(" AND ")
+    s"""WITH ${partitionCtes(spec, srcSql, tgtSql, prefix = "f_")},
+       |${partitionCtes(spec, srcSql, tgtSql, prefix = "r_", reverseOcc = true)}
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+       |       CAST(COALESCE(SUM(CASE WHEN $agree THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_disagree
+       |FROM f_cls f JOIN r_cls r ON $on""".stripMargin
+  }
 }

@@ -56,6 +56,13 @@ object OpsQueries {
         li(s, dir).filter(col("l_orderkey") % 20 === 0), lineitemSpec)
         .filter(col("rev_rank") === 1)
         .select("l_orderkey", "l_linenumber", "l_quantity")),
+    // O3 wired: sampled reverse-read validation — forward vs
+    // reverse-pairing diff verdicts over every partition (p = 1.0)
+    "diff_reverse_validation" -> ((s, dir) =>
+      DiffEngine.reverseValidation(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, probability = 1.0, idTok)
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(!col("agree"), 1L).otherwise(0L)).as("n_disagree"))),
     // O19: schema auto-discovery — intersect minus disallowed, with one
     // side missing a table (region) and "events" disallowed
     "schema_intersect" -> ((s, dir) => {
@@ -141,6 +148,8 @@ object OpsQueries {
            |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pending,
            |       CAST(MIN(token) AS BIGINT) AS min_token
            |FROM p GROUP BY bucket""".stripMargin,
+      "diff_reverse_validation" -> OracleSql.reverseValidation(lineitemSpec,
+        Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
       "diff_reverse_read" ->
         """SELECT l_orderkey, l_linenumber, l_quantity FROM (
           |  SELECT l_orderkey, l_linenumber, l_quantity,

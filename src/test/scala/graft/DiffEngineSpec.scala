@@ -135,6 +135,23 @@ class DiffEngineSpec extends SparkSpec {
     assert(stats.getAs[Long]("mismatched_values") === 0)
   }
 
+  test("reverse validation flags order-sensitive duplicate pairing; self-diff agrees") {
+    val spec = TableSpec("t", Seq("pk"), Seq("ck"), Seq("v"))
+    val src = Seq((1L, 1, 10), (1L, 1, 20), (1L, 1, 30)).toDF("pk", "ck", "v")
+    val tgt = Seq((1L, 1, 10), (1L, 1, 20)).toDF("pk", "ck", "v")
+    // unequal duplicate counts pair a different prefix from each end:
+    // forward pairs (10,10)(20,20)(30,·) — 2 value matches; reverse pairs
+    // (30,20)(20,10)(10,·) — 2 value mismatches ⇒ the validation fires
+    val res = DiffEngine.reverseValidation(src, tgt, spec, probability = 1.0)
+    assert(res.count() === 1)
+    assert(res.filter(!col("agree")).count() === 1)
+    // identical sides: pairing from either end gives the same verdicts
+    val self = DiffEngine.reverseValidation(src, src, spec, probability = 1.0)
+    assert(self.count() === 1 && self.filter(!col("agree")).count() === 0)
+    // probability 0 samples no partitions at all
+    assert(DiffEngine.reverseValidation(src, tgt, spec, probability = 0.0).count() === 0)
+  }
+
   test("corpus regression: lineitem (has dup PKs) vs itself is fully matched") {
     val li = graft.engine.Tables.load(spark, Sf, "lineitem")
     val stats = DiffEngine.rangeStats(li, li, graft.engine.Perturb.lineitemSpec,

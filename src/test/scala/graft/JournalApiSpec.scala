@@ -131,6 +131,50 @@ class JournalApiSpec extends SparkSpec {
     assert(buckets === 4)
   }
 
+  test("re-run keeps ALL stored params: filters, sampling, table list") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val src = ParquetSource(Sf)
+    val first = new DiffRunner(src, src,
+      DiffJobConfig("params-full", Seq(Perturb.ordersSpec),
+        DiffOptions(buckets = 4), metadataRoot = root)).run()("orders")
+    // re-run with conflicting sampling + token filters + an extra table:
+    // the stored params must win or the journal's semantics silently change
+    val rerun = new DiffRunner(src, src,
+      DiffJobConfig("params-full", Seq(Perturb.ordersSpec, Perturb.lineitemSpec),
+        DiffOptions(buckets = 99, samplingNum = 1, samplingDen = 1000,
+          disallowedTokens = Seq(1L, 2L, 3L)),
+        metadataRoot = root, rerun = true)).run()
+    assert(!rerun.contains("lineitem")) // table not in the stored job
+    assert(rerun("orders") === first)   // same scope ⇒ identical stats
+  }
+
+  test("reverse-read validation pass journals verdict disagreements") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    // unequal duplicate-full-PK counts: forward pairing matches values,
+    // reverse pairing mismatches them — the one genuinely order-sensitive
+    // diff outcome; the validation pass must journal it
+    val spec = graft.core.TableSpec("t", Seq("pk"), Seq("ck"), Seq("v"))
+    val srcDf = Seq((1L, 1, 10), (1L, 1, 20), (1L, 1, 30)).toDF("pk", "ck", "v")
+    val tgtDf = Seq((1L, 1, 10), (1L, 1, 20)).toDF("pk", "ck", "v")
+    def provider(df: DataFrame) = new SourceProvider {
+      def table(sp: SparkSession, name: String): DataFrame = df
+      def listTables(sp: SparkSession): Seq[String] = Seq("t")
+    }
+    new DiffRunner(provider(srcDf), provider(tgtDf),
+      DiffJobConfig("rev-job", Seq(spec),
+        DiffOptions(buckets = 4, reverseReadProbability = 1.0),
+        metadataRoot = root)).run()
+    val store = new MetadataStore(root)
+    val checks = store.read("reverse_checks")
+      .filter(col("job_id") === "rev-job").collect()
+    assert(checks.length === 1)
+    // counters disagree but both passes classify it a mismatch
+    assert(checks(0).getAs[String]("fwd_classification") ===
+      checks(0).getAs[String]("rev_classification"))
+  }
+
   test("concurrent run of the same job id is refused") {
     implicit val s: SparkSession = spark
     val root = tmpRoot()
