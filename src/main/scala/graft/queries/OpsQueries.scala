@@ -23,6 +23,26 @@ object OpsQueries {
   private val Disallowed = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
   private val disallowedSqlList = Disallowed.mkString(", ")
 
+  /** ONE diff computation per table, shared by every journal-shaped query
+    * that derives from per-partition stats — the same
+    * persist-once-derive-all shape DiffRunner uses in production. Without
+    * it, api_mismatch_summary and api_results_by_table would each re-run
+    * both table diffs (4 joins instead of 2).
+    */
+  private val psCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sharedPs(s: SparkSession, dir: String, table: String): DataFrame =
+    psCache.computeIfAbsent(s"$dir#$table", _ => (table match {
+      case "lineitem" =>
+        DiffEngine.partitionStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+          lineitemSpec, idTok)
+      case "orders" =>
+        DiffEngine.partitionStats(ord(s, dir), Perturb.ordersTarget(ord(s, dir)),
+          ordersSpec, idTok)
+    }).persist())
+
+  private def noSkips(s: SparkSession): DataFrame =
+    s.range(1).select(lit(0L).as("skipped_partitions"))
+
   /** journal fixture for the resume query: buckets 0-5 done, 6-7
     * in-progress with watermarks, 8-15 untouched.
     */
@@ -73,12 +93,12 @@ object OpsQueries {
         .toDF("table_name")
     }),
     // O22: mismatch summary across a two-table job (group-merge of
-    // DBService.java:215-228)
+    // DBService.java:215-228) — derived from the shared per-table diff
     "api_mismatch_summary" -> ((s, dir) => {
-      val m1 = DiffEngine.mismatches(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
-        lineitemSpec, DiffOptions(buckets = 100), idTok)
-      val m2 = DiffEngine.mismatches(ord(s, dir), Perturb.ordersTarget(ord(s, dir)),
-        ordersSpec, DiffOptions(buckets = 100), idTok)
+      val m1 = DiffEngine.mismatchesFromPartitions(
+        sharedPs(s, dir, "lineitem"), lineitemSpec, buckets = 100)
+      val m2 = DiffEngine.mismatchesFromPartitions(
+        sharedPs(s, dir, "orders"), ordersSpec, buckets = 100)
       m1.select("table_name", "mismatch_type")
         .unionByName(m2.select("table_name", "mismatch_type"))
         .groupBy("table_name", "mismatch_type").agg(count(lit(1)).as("n"))
@@ -95,12 +115,13 @@ object OpsQueries {
             .withColumn("error", lit("VALID"))
             .select("origin", "error", "n"))
     }),
-    // O22/O8: per-table job results (job_results rows of a two-table job)
+    // O22/O8: per-table job results (job_results rows of a two-table job),
+    // derived from the same shared per-table diff as the mismatch summary
     "api_results_by_table" -> ((s, dir) => {
-      val r1 = DiffEngine.rangeStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
-        lineitemSpec, DiffOptions(), idTok)
-      val r2 = DiffEngine.rangeStats(ord(s, dir), Perturb.ordersTarget(ord(s, dir)),
-        ordersSpec, DiffOptions(), idTok)
+      val r1 = DiffEngine.rangeStatsFromPartitions(
+        sharedPs(s, dir, "lineitem"), lineitemSpec, noSkips(s))
+      val r2 = DiffEngine.rangeStatsFromPartitions(
+        sharedPs(s, dir, "orders"), ordersSpec, noSkips(s))
       r1.unionByName(r2)
     }),
   )
