@@ -76,10 +76,14 @@ object OpsQueries {
         li(s, dir).filter(col("l_orderkey") % 20 === 0), lineitemSpec)
         .filter(col("rev_rank") === 1)
         .select("l_orderkey", "l_linenumber", "l_quantity")),
-    // O3 wired: sampled reverse-read validation — forward vs
-    // reverse-pairing diff verdicts over every partition (p = 1.0)
+    // O3 wired: sampled reverse-read validation. The sample here is a
+    // DuckDB-mirrorable key predicate (l_orderkey % 10 = 0) rather than
+    // the engine's xxhash64 sampler — same sampled-subset semantics, and
+    // the oracle can reproduce it exactly
     "diff_reverse_validation" -> ((s, dir) =>
-      DiffEngine.reverseValidation(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+      DiffEngine.reverseValidation(
+        li(s, dir).filter(col("l_orderkey") % 10 === 0),
+        Perturb.lineitemTarget(li(s, dir)).filter(col("l_orderkey") % 10 === 0),
         lineitemSpec, probability = 1.0, idTok)
         .agg(count(lit(1)).as("n_checked"),
           sum(when(!col("agree"), 1L).otherwise(0L)).as("n_disagree"))),
@@ -170,7 +174,8 @@ object OpsQueries {
            |       CAST(MIN(token) AS BIGINT) AS min_token
            |FROM p GROUP BY bucket""".stripMargin,
       "diff_reverse_validation" -> OracleSql.reverseValidation(lineitemSpec,
-        Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+        s"SELECT * FROM (${Perturb.lineitemSrcSql}) WHERE l_orderkey % 10 = 0",
+        s"SELECT * FROM (${Perturb.lineitemTargetSql}) WHERE l_orderkey % 10 = 0"),
       "diff_reverse_read" ->
         """SELECT l_orderkey, l_linenumber, l_quantity FROM (
           |  SELECT l_orderkey, l_linenumber, l_quantity,
