@@ -190,6 +190,39 @@ class DiffEngineSpec extends SparkSpec {
       s"final RangeStats agg gathers to one row in:\n$plan")
   }
 
+  test("hot partition key: the diff join cannot skew on it, partial agg bounds the rest") {
+    // worst-case partition skew: HALF the table lives in one partition
+    // key. AQE cannot split a full-outer sort-merge join, so the engine's
+    // defense is structural: the join shuffles on the FULL primary key
+    // (pk, clustering), under which the hot pk's rows spread uniformly,
+    // and the groupBy(pk) that follows is partial-aggregated map-side so
+    // the hot key ships one pre-merged row per map task, not 25k rows.
+    val n = 25000
+    val hot = spark.range(n).select(lit(1L).as("pk"),
+      col("id").cast("int").as("ck"), (col("id") * 2).cast("int").as("v"))
+    val rest = spark.range(n).select((col("id") + 10L).as("pk"),
+      lit(0).cast("int").as("ck"), col("id").cast("int").as("v"))
+    val df = hot.unionByName(rest)
+    val spec = TableSpec("skewed", Seq("pk"), Seq("ck"), Seq("v"))
+    val q = DiffEngine.partitionStats(df, df, spec, DiffEngine.identityToken)
+    // correctness under skew: every partition matched, hot pk intact
+    val rows = q.collect()
+    assert(rows.length === n + 1)
+    val hotRow = rows.find(_.getAs[Long]("pk") == 1L).get
+    assert(hotRow.getAs[Long]("matched_rows") === n)
+    assert(hotRow.getAs[String]("classification") === C.Matched)
+    assert(rows.forall(_.getAs[String]("classification") == C.Matched))
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the full-data exchanges hash on (pk, ck) — the hot pk distributes
+    assert("hashpartitioning\\(pk#\\d+L?, ck#\\d+".r.findAllIn(plan).length >= 2,
+      s"join must shuffle on the full primary key in:\n$plan")
+    // no exchange hashes on pk alone carrying row-level data: the only
+    // pk-only shuffle is the partial-aggregated partitionStats groupBy
+    assert("partial_".r.findAllIn(plan).nonEmpty,
+      s"groupBy(pk) must partial-aggregate map-side in:\n$plan")
+  }
+
   test("composite partition key: grouping and classification over (pk1, pk2)") {
     val spec = TableSpec("cpk", Seq("pk1", "pk2"), Seq("c1"), Seq("v1"))
     val src = Seq(
