@@ -146,6 +146,47 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components with
+    * the component's smallest id as the cluster label — what a dedup
+    * pipeline actually needs downstream of pair generation (keep one
+    * representative per cluster, not per pair; A~B and B~C must collapse
+    * to one group even when A~C was never emitted).
+    *
+    * Min-label propagation to a fixpoint: each round every node takes the
+    * minimum label among itself and its neighbors (one join + one
+    * groupBy, both shuffling on id). Rounds needed = the component
+    * diameter, and near-dup clusters are shallow (pairs/stars), so this
+    * converges in 2-3 rounds on real corpora; `maxIters` bounds
+    * pathological chains and convergence is detected with one count per
+    * round. Output: (id, cluster_id) for every id appearing in a pair.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lbl"))
+      val next = labels.select(col("id"), col("lbl"))
+        .unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** 64-bit SimHash per document, evaluated by the native per-row
     * [[SimHash64Expr]]: bit-sign counters over xxhash64(token) in one
     * tight loop inside the scan's project — no explode, no exchange.

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for dataset mixing — the "take 50%
+  * of English, 20% of German, 10% of the rest" step of assembling a
+  * training mix from a scored/deduplicated corpus.
+  *
+  * Per-key deterministic hashing, not `rand()`: the same row is kept or
+  * dropped on every run, on any cluster layout, so mixes are
+  * reproducible and a re-run resumes to the identical dataset. The hash
+  * is 60 bits of md5 (15 hex digits — within a signed long, identical in
+  * DuckDB via the same hex arithmetic), so every sample is
+  * oracle-checkable cross-engine.
+  */
+object Sampling {
+
+  val DefaultDen = 1000
+
+  /** 60-bit nonnegative key hash, identical in Spark and DuckDB:
+    * `conv(substr(md5(k), 1, 15), 16, 10)`.
+    */
+  def keyHash60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** The DuckDB mirror of [[keyHash60]] applied to expression `e`. */
+  def keyHash60Sql(e: String): String =
+    s"CAST(CAST('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
+
+  /** Keep a deterministic `num/den` fraction of rows by key. */
+  def deterministicSample(df: DataFrame, keyCol: String,
+      num: Int, den: Int = DefaultDen): DataFrame = {
+    require(num >= 0 && num <= den && den > 0, "need 0 <= num <= den")
+    df.filter(pmod(keyHash60(col(keyCol)), lit(den)) < lit(num))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fractions (in
+    * 1/`den` units) with a default for unlisted strata. One codegen'd
+    * filter over the scan — no shuffle, no per-stratum pass; fractions
+    * resolve through a literal CASE chain so Catalyst folds them and the
+    * parquet reader sees one predicate.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: Map[String, Int], defaultNum: Int,
+      den: Int = DefaultDen): DataFrame = {
+    require((fractions.values ++ Seq(defaultNum)).forall(n => n >= 0 && n <= den),
+      s"per-stratum numerators must be within [0, $den]")
+    val threshold = fractions.foldLeft(lit(defaultNum)) { case (acc, (s, n)) =>
+      when(col(stratumCol) === lit(s), lit(n)).otherwise(acc)
+    }
+    df.filter(pmod(keyHash60(col(keyCol)), lit(den)) < threshold)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.{Dedup, Multimodal, TextAnalysis => TA}
+import graft.functions.{Dedup, Multimodal, Sampling, TextAnalysis => TA}
 
 /** Text-analysis + deduplication + multimodal queries over the
   * `documents` table. Dedup queries run over a deterministically
@@ -81,6 +81,19 @@ object TextQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashNearDups(dupCorpus(docs(s, dir)), "doc_id", "text",
         useMd5 = true)),
+    // duplicate clusters: connected components over the near-dup pairs
+    // (min-label propagation; A~B + B~C collapse to one cluster)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)
+          .select("id_a", "id_b"))),
+    // deterministic stratified sample (dataset mixing): 50% en, 20% de,
+    // 10% of everything else, reproducible per key
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 500, "de" -> 200), defaultNum = 100)
+        .select("doc_id", "lang")),
     // multimodal plumbing: binary blobs → batched stub decode
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -211,7 +224,31 @@ object TextQueries {
            |         MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canon
            |  FROM corpus
            |) WHERE doc_id = canon""".stripMargin,
-      "dedup_ngram_pairs" ->
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($ngramPairsOracleSql)),
+           |e AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |),
+           |reach(id, lbl) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+           |)
+           |SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+      "sample_stratified" ->
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} <
+           |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 200 ELSE 100 END""".stripMargin,
+      "dedup_ngram_pairs" -> ngramPairsOracleSql,
+    ) ++ baseOracles
+  }
+
+  /** n-gram Jaccard pairs oracle, shared by dedup_ngram_pairs and (as the
+    * edge source) dedup_clusters.
+    */
+  private def ngramPairsOracleSql: String =
         s"""WITH corpus AS ($dupCorpusSql),
            |sh0 AS (
            |  SELECT DISTINCT doc_id AS id, unnest(
@@ -236,7 +273,9 @@ object TextQueries {
            |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
            |       CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE) AS jaccard
            |FROM inter JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
-           |WHERE CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE) >= 0.5""".stripMargin,
+           |WHERE CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE) >= 0.5""".stripMargin
+
+  private def baseOracles: Map[String, String] = Map(
       "multimodal_decode" ->
         """SELECT doc_id, 'application/octet-stream' AS media_type,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -256,5 +295,4 @@ object TextQueries {
           |  CAST(256 AS BIGINT) AS n_bytes
           |FROM documents""".stripMargin,
     )
-  }
 }

@@ -89,6 +89,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows(1) === Seq("a b"))
   }
 
+  test("dupClusters: transitive pairs collapse to one min-labeled cluster") {
+    import graft.functions.Sampling
+    // components: {1,2,3} via 1-2, 2-3 (no 1-3 edge), a pair {10,11},
+    // and a 4-chain {20..23} (diameter 3 — needs >1 propagation round)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
+      (22L, 23L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // end-to-end: injected exact dups cluster with their originals
+    val clusters = Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.8).select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    // every +1e6 duplicate labels back to a sub-1e6 canonical
+    val dupLabels = clusters.filter(_._1 >= 1000000L).values
+    assert(dupLabels.nonEmpty && dupLabels.forall(_ < 1000000L))
+  }
+
+  test("stratified sample is deterministic, fraction-accurate, shuffle-free") {
+    import graft.functions.Sampling
+    val a = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500, "de" -> 200), defaultNum = 100)
+    val b = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500, "de" -> 200), defaultNum = 100)
+    val idsA = a.select("doc_id").as[Long].collect().toSet
+    assert(idsA === b.select("doc_id").as[Long].collect().toSet) // reproducible
+    // per-stratum rates approach the configured fractions
+    def rate(lang: String) = {
+      val total = docs.filter(col("lang") === lang).count().toDouble
+      a.filter(col("lang") === lang).count() / total
+    }
+    assert(math.abs(rate("en") - 0.5) < 0.1)
+    assert(math.abs(rate("de") - 0.2) < 0.1)
+    // no exchange: the sample is a pure scan filter
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+  }
+
   test("cosine: self-similarity is exactly 1 for unit consistency") {
     val e = Tables.load(spark, Sf, "embeddings").limit(5)
     val sims = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("s"))
