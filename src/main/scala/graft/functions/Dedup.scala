@@ -161,13 +161,29 @@ object Dedup {
     * round. Output: (id, cluster_id) for every id appearing in a pair.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // persist the pair source FIRST: the symmetrized union below reads it
+    // twice, and Spark does not share common subtrees across union
+    // branches — without the persist an expensive upstream pair pipeline
+    // (e.g. shingle-blocked Jaccard) runs twice
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
-    var iter = 0
+    // first propagation round fused into initialization: lbl = min(self,
+    // neighbors) in the same aggregation that enumerates the nodes
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("lbl"))
+      .persist()
+    // convergence via a monotonic invariant instead of a self-join: every
+    // label is the min over a set containing its previous value, so
+    // labels never increase — sum(lbl) is unchanged iff NO label moved.
+    // One cheap aggregate per round (sum as decimal: overflow-proof).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 1
     var converged = false
     while (iter < maxIters && !converged) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
@@ -176,13 +192,14 @@ object Dedup {
         .unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
+    fwd.unpersist()
     edges.unpersist()
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no built-in form for — the two
+  * canonical "custom operator" cases (as-of join, range join), expressed
+  * as compositions of existing operators so Catalyst keeps owning the
+  * physical plan. Neither creates a non-equi join: the naive formulations
+  * (`l.ts >= r.ts` / `BETWEEN`) plan BroadcastNestedLoopJoins that are
+  * O(n·m) at scale.
+  */
+object Joins {
+
+  /** Backward as-of join: each left row picks the LATEST right row (per
+    * key) with `right.ts <= left.ts`; left rows with no prior right row
+    * keep nulls (left-outer semantics). DuckDB's `ASOF LEFT JOIN` is the
+    * oracle mirror.
+    *
+    * Union-window formulation — the scale-correct shape: tag sides,
+    * union, and carry each right payload forward with
+    * `last(ignoreNulls)` over (key, ts) — ONE shuffle on the key, a
+    * within-partition sort, no point lookups, no range explosion. Right
+    * rows sort before left rows at equal ts, so `ts` ties are inclusive
+    * (matching `l.ts >= r.ts`); duplicate right rows at the same (key,
+    * ts) are broken deterministically by the greatest first payload
+    * column.
+    *
+    * Output: every left column, plus each `rightCols` column suffixed
+    * with `suffix`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, rightCols: Seq[String], suffix: String = "_r"): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoin needs at least one right payload column")
+    import org.apache.spark.sql.expressions.Window
+    val leftOnly = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val shared = keyCols.map(col) :+ col(tsCol)
+    val l = left.select(shared ++ leftOnly.map(col) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c + suffix))
+        :+ lit(1).as("__side"): _*)
+    val r = right.select(shared ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(c + suffix)) :+ lit(0).as("__side"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc +: col("__side").asc +:
+        rightCols.map(c => col(c + suffix).asc_nulls_first): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c + suffix, last(col(c + suffix), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Range (interval-containment) join: pairs each point row with every
+    * interval row of the same key whose `[startCol, endCol]` contains
+    * `pointCol` — all matches, inner semantics. The plain-SQL BETWEEN
+    * join is the oracle mirror.
+    *
+    * Binned formulation — the scale-correct shape: intervals explode
+    * over the fixed-width bins they span, points key into their single
+    * bin, and the join is EQUI on (key..., bin) with the containment
+    * test as a residual filter. Each (point, interval) pair meets exactly
+    * once (a point has one bin), so no distinct pass is needed.
+    * `binMicros` should approximate the typical interval width: wider
+    * bins = fewer replicas per interval, narrower = fewer false
+    * candidates per bin.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
+      pointCol: String, startCol: String, endCol: String,
+      binMicros: Long = 3600000000L): DataFrame = {
+    require(binMicros > 0, "binMicros must be positive")
+    val bin = "__bin"
+    val p = points.withColumn(bin, floor(unix_micros(col(pointCol)) / binMicros))
+    val iv = intervals.withColumn(bin,
+      explode(sequence(floor(unix_micros(col(startCol)) / binMicros),
+        floor(unix_micros(col(endCol)) / binMicros))))
+    p.join(iv, keyCols :+ bin)
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop(bin)
+  }
+}

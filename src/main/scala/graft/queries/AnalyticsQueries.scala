@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.Joins
 
 /** Analytical queries over the corpus — joins, aggregation, window, top-k.
   * The reference has none of these in its data path (SURVEY §2.2); Spark
@@ -134,6 +135,31 @@ object AnalyticsQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+    // as-of join: each purchase picks the user's latest signup at-or-
+    // before it (union-window formulation — one shuffle, no point reads)
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "event_id", "value")
+      Joins.asofJoin(purchases, signups, Seq("user_id"), "ts",
+        Seq("event_id", "value"))
+    }),
+    // range join: purchases inside the hour after a signup (binned
+    // interval containment — equi-join on (key, bin), never nested-loop)
+    "range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val sessions = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("session_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("session_end"),
+          col("event_id").as("session_id"))
+      Joins.rangeJoin(purchases, sessions, Seq("user_id"), "ts",
+          "session_start", "session_end")
+        .select("user_id", "event_id", "session_id")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -223,5 +249,26 @@ object AnalyticsQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN is the independent mirror of the
+    // union-window formulation
+    "asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type = 'signup')
+        |SELECT l.user_id, l.ts, l.event_id, l.value,
+        |       r.event_id AS event_id_r, r.value AS value_r
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "range_join" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS session_start,
+        |             ts + INTERVAL 1 HOUR AS session_end,
+        |             event_id AS session_id
+        |      FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id, s.session_id
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |  AND p.ts >= s.session_start AND p.ts <= s.session_end""".stripMargin,
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Joins
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof join: latest at-or-before right row per key; no match => nulls") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3"), // before any right row
+      (3L, ts("2024-01-01 09:00:00"), "p4")  // key with no right rows
+    ).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 200L),
+      (2L, ts("2024-01-01 10:00:00"), 300L)
+    ).toDF("k", "t", "rid")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .select("name", "rid_r").as[(String, Option[Long])].collect().toMap
+    assert(got === Map("p1" -> Some(100L), "p2" -> Some(200L),
+      "p3" -> None, "p4" -> None))
+  }
+
+  test("asof join: equal timestamps are inclusive (right visible to left)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p")).toDF("k", "t", "name")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7L)).toDF("k", "t", "rid")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .select("rid_r").as[Long].collect()
+    assert(got.toSeq === Seq(7L))
+  }
+
+  test("range join: boundary-inclusive containment, multi-bin spans, all matches") {
+    val points = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),  // == interval start
+      (1L, ts("2024-01-01 11:00:00"), "b"),  // == interval end (1h wide)
+      (1L, ts("2024-01-01 11:00:01"), "c"),  // just outside
+      (2L, ts("2024-01-01 10:30:00"), "d")   // inside a 2-interval overlap
+    ).toDF("k", "t", "name")
+    val ivs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "i1"),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "i2"),
+      (2L, ts("2024-01-01 09:45:00"), ts("2024-01-01 10:45:00"), "i3")
+    ).toDF("k", "lo", "hi", "iv")
+    val got = Joins.rangeJoin(points, ivs, Seq("k"), "t", "lo", "hi",
+        binMicros = 600000000L) // 10-minute bins: intervals span 7 bins
+      .select("name", "iv").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "i1"), ("b", "i1"), ("d", "i2"), ("d", "i3")))
+  }
+
+  test("both joins plan without nested-loop or cartesian operators") {
+    val ev = graft.engine.Tables.events(spark, Sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val sg = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id", "value")
+    val asof = Joins.asofJoin(p, sg, Seq("user_id"), "ts", Seq("event_id"))
+    val sessions = sg.select(col("user_id"), col("ts").as("lo"),
+      (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"), col("event_id").as("sid"))
+    val rng = Joins.rangeJoin(p.select("user_id", "ts", "event_id"),
+      sessions, Seq("user_id"), "ts", "lo", "hi")
+    Seq(asof, rng).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+      assert(!plan.contains("CartesianProduct"), plan.take(1500))
+      assert(df.count() > 0)
+    }
+  }
+}
