@@ -146,6 +146,15 @@ object AnalyticsQueries {
       Joins.asofJoin(purchases, signups, Seq("user_id"), "ts",
         Seq("event_id", "value"))
     }),
+    // JSON scalar functions over the events props column: extraction,
+    // cast, aggregation — pure codegen'd expressions
+    "json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
     // range join: purchases inside the hour after a signup (binned
     // interval containment — equi-join on (key, bin), never nested-loop)
     "range_join" -> ((s, dir) => {
@@ -260,6 +269,12 @@ object AnalyticsQueries {
         |       r.event_id AS event_id_r, r.value AS value_r
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "range_join" ->
       """WITH p AS (SELECT user_id, ts, event_id FROM events
         |           WHERE event_type = 'purchase'),
