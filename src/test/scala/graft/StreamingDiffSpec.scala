@@ -48,6 +48,25 @@ class StreamingDiffSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: cross-batch duplicates dropped within the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDS().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingDedup.dropExactDups(docs, "text", "ts")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "alpha doc", ts(1000)), (2L, "beta doc", ts(2000)))
+      q.processAllAvailable()
+      // same content again (different id, later ts) + one new doc
+      input.addData((3L, "alpha doc", ts(3000)), (4L, "gamma doc", ts(4000)))
+      q.processAllAvailable()
+      val kept = spark.table("deduped").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept === Set(1L, 2L, 4L)) // doc 3 was an exact dup of doc 1
+    } finally q.stop()
+  }
+
   test("snapshot adapter produces matching hashes for identical rows") {
     val t = Seq((1L, 1, "a", 10), (2L, 1, "b", 20)).toDF("pk", "c1", "v1", "v2")
     val spec = graft.core.TableSpec("t", Seq("pk"), Seq("c1"), Seq("v1", "v2"))
