@@ -94,6 +94,20 @@ object TextQueries {
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 500, "de" -> 200), defaultNum = 100)
         .select("doc_id", "lang")),
+    // the end-to-end curation pipeline a training-data run performs:
+    // score → language-filter → exact-dedup (keep canonical) →
+    // stratified mix — every stage one of this engine's operators, the
+    // whole composition one declarative plan
+    "curate_corpus" -> ((s, dir) => {
+      val base = dupCorpus(docs(s, dir))
+        .withColumn("quality", TA.qualityScore(col("text")))
+        .withColumn("lang_pred", TA.langId(col("text")))
+        .filter(col("quality") >= 0.3 && col("lang_pred") =!= "unknown")
+      Sampling.stratifiedSample(
+          Dedup.keepCanonical(base, "doc_id", "text"),
+          "doc_id", "lang_pred", Map("en" -> 500), defaultNum = 300)
+        .select("doc_id", "lang_pred", "quality")
+    }),
     // multimodal plumbing: binary blobs → batched stub decode
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -242,6 +256,31 @@ object TextQueries {
            |WHERE ${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} <
            |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 200 ELSE 100 END""".stripMargin,
       "dedup_ngram_pairs" -> ngramPairsOracleSql,
+      "curate_corpus" -> {
+        val toks = "string_split(text, ' ')"
+        val quality =
+          s"""LEAST(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+             |    (CAST(${TA.stopwordCountSql(toks)} AS DOUBLE)
+             |     / CAST(GREATEST(len($toks), 1) AS DOUBLE)) * 0.5""".stripMargin
+        s"""WITH corpus AS ($dupCorpusSql),
+           |scored AS (
+           |  SELECT doc_id, text, ${TA.langIdSql(toks)} AS lang_pred,
+           |         $quality AS quality
+           |  FROM corpus
+           |),
+           |filtered AS (
+           |  SELECT * FROM scored WHERE quality >= 0.3 AND lang_pred <> 'unknown'
+           |),
+           |canon AS (
+           |  SELECT doc_id, lang_pred, quality FROM (
+           |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS c
+           |    FROM filtered
+           |  ) WHERE doc_id = c
+           |)
+           |SELECT doc_id, lang_pred, quality FROM canon
+           |WHERE ${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} <
+           |  CASE WHEN lang_pred = 'en' THEN 500 ELSE 300 END""".stripMargin
+      },
     ) ++ baseOracles
   }
 
