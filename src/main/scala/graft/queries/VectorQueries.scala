@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.Similarity
+import graft.functions.{Dedup, Similarity}
 
 /** Similarity-search queries over the `embeddings` table
   * (`Array[Float]` column). Cosine scores are bit-exact against DuckDB
@@ -28,6 +28,18 @@ object VectorQueries {
       Similarity.nearDupPairs(
         emb(s, dir).filter(col("vec_id") % 4 === 0),
         "vec_id", "embedding", threshold = 0.4)),
+    // embedding semantic dedup end-to-end: near-dup pairs → connected
+    // components → drop every non-canonical member; the kept id set is
+    // what a SemDeDup-style pipeline ships downstream
+    "embed_dedup_canonical" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") % 4 === 0)
+      val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
+        threshold = 0.4).select("id_a", "id_b")
+      val dropIds = Dedup.dupClusters(pairs)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("vec_id"))
+      e.select("vec_id").join(dropIds, Seq("vec_id"), "left_anti")
+    }),
     // LSH-bucketed approximate top-k — the 100TB path (bucketed join,
     // no cross product); rows-only gate + recall ScalaTest
     "ann_lsh" -> ((s, dir) =>
@@ -58,15 +70,39 @@ object VectorQueries {
         |)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
         |FROM r WHERE rank <= 5""".stripMargin,
-    "embed_neardup" ->
-      """WITH v AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings WHERE vec_id % 4 = 0
-        |),
-        |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM v)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       list_dot_product(a.v, b.v) / (a.nn * b.nn) AS sim
-        |FROM n a JOIN n b ON a.id < b.id
-        |WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) > 0.4""".stripMargin,
+    "embed_neardup" -> neardupOracleSql,
+    "embed_dedup_canonical" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($neardupOracleSql)),
+         |e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM p
+         |),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+         |),
+         |cl AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT v.vec_id FROM (
+         |  SELECT vec_id FROM embeddings WHERE vec_id % 4 = 0
+         |) v
+         |LEFT JOIN (SELECT id FROM cl WHERE id <> cluster_id) d ON v.vec_id = d.id
+         |WHERE d.id IS NULL""".stripMargin,
   )
+
+  /** Exact cosine-threshold near-dup pairs over the deterministic subset,
+    * shared by embed_neardup and (as the edge source)
+    * embed_dedup_canonical.
+    */
+  private def neardupOracleSql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id % 4 = 0
+      |),
+      |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nn FROM v)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       list_dot_product(a.v, b.v) / (a.nn * b.nn) AS sim
+      |FROM n a JOIN n b ON a.id < b.id
+      |WHERE list_dot_product(a.v, b.v) / (a.nn * b.nn) > 0.4""".stripMargin
 }
