@@ -24,7 +24,8 @@ final case class DiffJobConfig(
     tables: Seq[TableSpec],
     options: DiffOptions = DiffOptions(),
     metadataRoot: String = "/tmp/graft-metadata",
-    rerun: Boolean = false)
+    rerun: Boolean = false,
+    partitioner: String = "xxhash64")
 
 final class DiffRunner(
     source: SourceProvider,
@@ -72,6 +73,11 @@ final class DiffRunner(
           config.tables.filter(t => stored(t.table))
         case None => config.tables
       }
+      val partitioner = priorSummary match {
+        case Some(row) => row.getAs[String]("partitioner")
+        case None => config.partitioner
+      }
+      val token = DiffEngine.tokenFunction(partitioner)
       if (priorSummary.isEmpty)
         // job_summary row: params + start metadata (JobMetadataDb.java:496-544;
         // the reference's by-date/by-cluster index tables become pushed-down
@@ -87,6 +93,7 @@ final class DiffRunner(
           options.samplingNum,
           options.samplingDen,
           options.reverseReadProbability,
+          partitioner,
           // fixed-width render: lexicographic order == chronological
           // (Instant.toString varies fractional digits and breaks sorts)
           java.time.format.DateTimeFormatter
@@ -96,7 +103,7 @@ final class DiffRunner(
           "job_id", "source_cluster", "target_cluster", "keyspaces",
           "buckets", "disallowed_tokens", "specific_tokens",
           "sampling_num", "sampling_den", "reverse_read_probability",
-          "start_time"))
+          "partitioner", "start_time"))
       val results = tables.map { spec0 =>
         require(spec0.pk.nonEmpty,
           s"table ${spec0.table}: partition key columns must be declared")
@@ -121,19 +128,20 @@ final class DiffRunner(
         def onlyPending(df: DataFrame): DataFrame =
           if (!resuming || config.rerun) df
           else {
-            val keys = DiffEngine.keyScan(df, spec)
-              .withColumn("bucket", DiffEngine.bucket(col("token"), options.buckets))
+            val scanned = DiffEngine.keyScan(df, spec, token)
+            val keys = scanned
+              .withColumn("bucket", DiffEngine.bucketOf(scanned, options.buckets))
             df.join(Resume.pending(keys, journal, config.rerun)
               .select(spec.pk.map(col): _*), spec.pk, "left_semi")
           }
         val src = DiffEngine.applyTokenFilters(onlyPending(sq.valid), spec, options,
-          DiffEngine.defaultToken)
+          token)
         val tgt = DiffEngine.applyTokenFilters(onlyPending(tq.valid), spec, options,
-          DiffEngine.defaultToken)
+          token)
         // ONE diff computation per table: persist the per-partition stats
         // and derive progress, mismatches and totals from it (without the
         // persist, each journal sink would re-run the join+agg)
-        val ps = DiffEngine.partitionStats(src, tgt, spec).persist()
+        val ps = DiffEngine.partitionStats(src, tgt, spec, token).persist()
         try {
           val runTs = System.currentTimeMillis()
           // checkpoint ordering mirrors the reference (mismatches recorded
@@ -159,7 +167,7 @@ final class DiffRunner(
           if (options.reverseReadProbability > 0.0)
             store.write("reverse_checks",
               DiffEngine.reverseValidation(src, tgt, spec,
-                  options.reverseReadProbability)
+                  options.reverseReadProbability, token)
                 .filter(!col("agree"))
                 .select(col("token"), col("fwd_classification"),
                   col("rev_classification"))
@@ -184,7 +192,7 @@ final class DiffRunner(
             if (options.disallowedTokens.isEmpty && !options.samplingEnabled &&
               options.specificTokens.isEmpty) 0L
             else DiffEngine.skippedPartitions(sq.valid, tq.valid, spec, options,
-              DiffEngine.defaultToken).count()
+              token).count()
           val stats = RangeStats(
             matchedPartitions = totalsRow.getAs[Long]("matched_partitions"),
             mismatchedPartitions = totalsRow.getAs[Long]("mismatched_partitions"),

@@ -56,7 +56,8 @@ object DiffJobMain {
         jobId = jobId,
         tables = specs,
         options = config.toDiffOptions,
-        metadataRoot = metadataRoot))
+        metadataRoot = metadataRoot,
+        partitioner = config.partitioner))
       .run()
 
     // the reference's end-of-job summary line (DiffJob.java:190)

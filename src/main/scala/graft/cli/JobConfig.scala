@@ -23,6 +23,7 @@ import graft.core.{DiffOptions, TableSpec}
   * | buckets                        | journal shard count (O11/O13)       |
   * | rate_limit                     | n/a — file sources (noted)          |
   * | job_id                         | job identity / resume key (O21)     |
+  * | partitioner                    | token fn: xxhash64|murmur3|random   |
   * | token_scan_fetch_size          | n/a — columnar reader (noted)       |
   * | partition_read_fetch_size      | n/a — columnar reader (noted)       |
   * | read_timeout_millis            | n/a — task retry owns timeouts      |
@@ -43,6 +44,7 @@ final case class JobConfig(
     buckets: Int,
     rateLimit: Int,
     jobId: Option[String],
+    partitioner: String,
     reverseReadProbability: Double,
     metadataKeyspace: String,
     metadataTtl: Long,
@@ -127,6 +129,10 @@ object JobConfig {
       buckets = num("buckets", 100).toInt,           // default :38
       rateLimit = num("rate_limit", 10000).toInt,    // default :39
       jobId = str("job_id"),
+      // the reference reads the partitioner from cluster metadata
+      // (TokenHelper.forPartitioner); over files it is config, defaulting
+      // to the engine's cheap xxhash64
+      partitioner = str("partitioner").getOrElse("xxhash64"),
       reverseReadProbability = dbl("reverse_read_probability", 0.5),
       metadataKeyspace = metadata.get("keyspace").map(_.toString).getOrElse("cassandradiff"),
       metadataTtl = metadata.get("ttl").map(_.toString.toLong).getOrElse(31536000L),

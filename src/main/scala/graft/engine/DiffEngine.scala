@@ -58,6 +58,20 @@ object DiffEngine {
 
   def identityToken(pkCols: Seq[Column]): Column = pkCols.head.cast("long")
 
+  /** Token function by configured partitioner name — the engine-side
+    * mirror of the reference's TokenHelper.forPartitioner
+    * (TokenHelper.java:24-40): both Cassandra partitioners plus the
+    * engine's cheap file-source default and the oracle identity token.
+    */
+  def tokenFunction(name: String): Seq[Column] => Column = name match {
+    case "xxhash64" => defaultToken
+    case "murmur3" => graft.functions.CassandraMurmur3.tokenColumn
+    case "random" => graft.functions.CassandraRandomPartitioner.tokenColumn
+    case "identity" => identityToken
+    case other => throw new IllegalArgumentException(
+      s"unknown partitioner '$other' (expected xxhash64|murmur3|random|identity)")
+  }
+
   /** O1: the "key scan" — distinct partition keys (+ token) of one side.
     * Catalyst pushes the projection to the parquet reader; `distinct` is a
     * partial-aggregated shuffle on pk.
@@ -76,13 +90,23 @@ object DiffEngine {
   def applyTokenFilters(df: DataFrame, spec: TableSpec, opts: DiffOptions,
       token: Seq[Column] => Column): DataFrame = {
     val tok = token(spec.pk.map(col))
+    val numericToken = df.select(tok.as("__t")).schema("__t").dataType !=
+      org.apache.spark.sql.types.StringType
+    require(numericToken ||
+      (opts.specificTokens.isEmpty && opts.disallowedTokens.isEmpty),
+      "specific/disallowed token lists are numeric; a string-token " +
+        "partitioner (random) cannot match them — filter by key instead")
     var out = df
     if (opts.specificTokens.nonEmpty)
       out = out.filter(tok.isin(opts.specificTokens: _*))
     if (opts.disallowedTokens.nonEmpty)
       out = out.filter(!tok.isin(opts.disallowedTokens: _*))
-    if (opts.samplingEnabled)
-      out = out.filter(pmod(tok, lit(opts.samplingDen)) < lit(opts.samplingNum))
+    if (opts.samplingEnabled) {
+      // string tokens (127-bit decimals) cannot pmod directly; hash them
+      // first — still deterministic per key
+      val samplable = if (numericToken) tok else xxhash64(tok)
+      out = out.filter(pmod(samplable, lit(opts.samplingDen)) < lit(opts.samplingNum))
+    }
     out
   }
 
@@ -96,11 +120,14 @@ object DiffEngine {
     val keys = keyScan(src, spec, token)
       .unionByName(keyScan(tgt, spec, token)).distinct()
     val tok = col("token")
+    val numericToken = keys.schema("token").dataType !=
+      org.apache.spark.sql.types.StringType
+    val samplable = if (numericToken) tok else xxhash64(tok)
     var rejected: Column = lit(false)
     if (opts.disallowedTokens.nonEmpty)
       rejected = rejected || tok.isin(opts.disallowedTokens: _*)
     if (opts.samplingEnabled)
-      rejected = rejected || pmod(tok, lit(opts.samplingDen)) >= lit(opts.samplingNum)
+      rejected = rejected || pmod(samplable, lit(opts.samplingDen)) >= lit(opts.samplingNum)
     if (opts.specificTokens.nonEmpty)
       rejected = rejected && tok.isin(opts.specificTokens: _*)
     keys.filter(rejected)
@@ -279,14 +306,14 @@ object DiffEngine {
   def mismatchesFromPartitions(ps: DataFrame, spec: TableSpec, buckets: Int): DataFrame =
     ps.filter(col("classification") =!= C.Matched)
       .withColumn("table_name", lit(spec.table))
-      .withColumn("bucket", bucket(col("token"), buckets))
+      .withColumn("bucket", bucketOf(ps, buckets))
       .select(Seq(col("table_name"), col("bucket"), col("token"),
         col("classification").as("mismatch_type")) ++ spec.pk.map(col): _*)
 
   /** [[bucketProgress]] over a precomputed partitionStats frame. */
   def bucketProgressFromPartitions(ps: DataFrame, spec: TableSpec, buckets: Int): DataFrame = {
     val both = col("in_src") && col("in_tgt")
-    ps.withColumn("bucket", bucket(col("token"), buckets))
+    ps.withColumn("bucket", bucketOf(ps, buckets))
       .groupBy(col("bucket"))
       .agg(
         sum(when(col("classification") === C.Matched, 1L).otherwise(0L)).as("matched_partitions"),
@@ -338,6 +365,17 @@ object DiffEngine {
     * to the partition token so it is stable across any partitioning.
     */
   def bucket(token: Column, buckets: Int): Column = pmod(token, lit(buckets))
+
+  /** Bucket of a frame's `token` column, tolerant of token type: numeric
+    * tokens keep the reference's plain modulus (oracle-stable); string
+    * tokens (RandomPartitioner's 127-bit decimals) hash first.
+    */
+  def bucketOf(df: DataFrame, buckets: Int): Column =
+    df.schema("token").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        pmod(xxhash64(col("token")), lit(buckets))
+      case _ => pmod(col("token"), lit(buckets))
+    }
 
   /** O13: per-bucket progress — running stats + highest completed token
     * per (table, bucket), the reference's checkpoint row

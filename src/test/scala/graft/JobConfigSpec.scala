@@ -16,6 +16,7 @@ class JobConfigSpec extends SparkSpec {
       |partition_read_fetch_size: 1000
       |read_timeout_millis: 10000
       |reverse_read_probability: 0.25
+      |partitioner: murmur3
       |consistency_level: ALL
       |specific_tokens: "1, 2, 3"
       |disallowed_tokens: "99"
@@ -39,6 +40,7 @@ class JobConfigSpec extends SparkSpec {
     assert(c.splits === 500 && c.buckets === 20 && c.rateLimit === 5000)
     assert(c.jobId.contains("4e2c6c6b-bed7-4c4e-bd4c-28bef89c3cef"))
     assert(c.reverseReadProbability === 0.25)
+    assert(c.partitioner === "murmur3")
     assert(c.specificTokens === Seq(1L, 2L, 3L))
     assert(c.disallowedTokens === Seq(99L))
     assert(c.partitionSamplingProbability === 0.5)
@@ -56,6 +58,7 @@ class JobConfigSpec extends SparkSpec {
     assert(c.rateLimit === 10000) // :39
     assert(c.partitionSamplingProbability === 1.0)
     assert(c.jobId.isEmpty)
+    assert(c.partitioner === "xxhash64")
     assert(!c.toDiffOptions.samplingEnabled)
   }
 

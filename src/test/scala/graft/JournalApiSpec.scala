@@ -175,6 +175,37 @@ class JournalApiSpec extends SparkSpec {
       checks(0).getAs[String]("rev_classification"))
   }
 
+  test("job lifecycle runs on RandomPartitioner tokens end-to-end") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val src = ParquetSource(Sf)
+    val stats = new DiffRunner(src, src,
+      DiffJobConfig("random-job", Seq(Perturb.ordersSpec),
+        DiffOptions(buckets = 4), metadataRoot = root,
+        partitioner = "random")).run()("orders")
+    // token choice cannot change the verdict counters
+    val base = new DiffRunner(src, src,
+      DiffJobConfig("xxh-job", Seq(Perturb.ordersSpec),
+        DiffOptions(buckets = 4), metadataRoot = tmpRoot())).run()("orders")
+    assert(stats === base)
+    // the journal carries the 127-bit tokens as 39-char decimal strings
+    val store = new MetadataStore(root)
+    val lastTokens = store.read("task_status")
+      .filter(col("job_id") === "random-job")
+      .select("last_token").as[String].collect()
+    assert(lastTokens.nonEmpty)
+    lastTokens.foreach(t => assert(t.length === 39 && t.forall(_.isDigit), t))
+    // resume: a second run of the finished job does no new bucket work
+    val rowsAfterFirst = store.read("task_status")
+      .filter(col("job_id") === "random-job").count()
+    new DiffRunner(src, src,
+      DiffJobConfig("random-job", Seq(Perturb.ordersSpec),
+        DiffOptions(buckets = 4), metadataRoot = root,
+        partitioner = "random")).run()
+    assert(store.read("task_status")
+      .filter(col("job_id") === "random-job").count() === rowsAfterFirst)
+  }
+
   test("concurrent run of the same job id is refused") {
     implicit val s: SparkSession = spark
     val root = tmpRoot()
