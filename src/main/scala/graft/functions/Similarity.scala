@@ -143,7 +143,7 @@ object Similarity {
     * centroids are unit-norm so no per-centroid normalization needed).
     */
   private def nearestList(vec: Column, cents: Array[Array[Double]]): Column = {
-    val dots = array(cents.map(c => dot(vec, typedlit(c.toSeq))): _*)
+    val dots = array(cents.toIndexedSeq.map(c => dot(vec, typedlit(c.toSeq))): _*)
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
@@ -160,7 +160,7 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     import org.apache.spark.sql.expressions.Window
     val cents = trainCentroids(df, idCol, vecCol, nlist, iters)
-    val dots = array(cents.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
+    val dots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
       .withColumn("__d", dots)
