@@ -34,6 +34,20 @@ object Dedup {
       .drop("__canon")
   }
 
+  /** [[keepCanonical]] over a precomputed dedup-key column — lets callers
+    * project the text payload AWAY before the window, so the shuffle
+    * carries a 32-byte hash instead of kilobytes of document (the text
+    * itself is only needed to compute the key, not to pick the canonical
+    * row).
+    */
+  def keepCanonicalByKey(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+    df.withColumn("__canon", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__canon"))
+      .drop("__canon")
+  }
+
   /** Word n-gram shingles as an array column: shingle i =
     * words[i..i+n-1] joined by spaces. Evaluated by the native
     * [[WordShinglesExpr]] — the declarative `transform(sequence, i ->

@@ -103,8 +103,13 @@ object TextQueries {
         .withColumn("quality", TA.qualityScore(col("text")))
         .withColumn("lang_pred", TA.langId(col("text")))
         .filter(col("quality") >= 0.3 && col("lang_pred") =!= "unknown")
+        // project the text away before the dedup window: score/lang/hash
+        // are computed in the scan, so the canonical shuffle carries a
+        // 32-byte hash, not the documents
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          Dedup.contentHash(col("text")).as("__h"))
       Sampling.stratifiedSample(
-          Dedup.keepCanonical(base, "doc_id", "text"),
+          Dedup.keepCanonicalByKey(base, "doc_id", "__h"),
           "doc_id", "lang_pred", Map("en" -> 500), defaultNum = 300)
         .select("doc_id", "lang_pred", "quality")
     }),
