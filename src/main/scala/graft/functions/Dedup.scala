@@ -160,6 +160,16 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** MinHash Jaccard estimate from two k-wide signatures: the fraction of
+    * equal components (an unbiased estimator of the true Jaccard, stderr
+    * ≈ 1/√k). This is what makes MinHash a SKETCH: similarity of two
+    * documents from 2k longs, never re-touching their shingles. Unrolled
+    * comparison chain — codegen'd, no higher-order functions.
+    */
+  def minHashJaccardEstimate(sigA: Column, sigB: Column, k: Int = 16): Column =
+    (0 until k).map(i => when(sigA(i) === sigB(i), 1.0).otherwise(0.0))
+      .reduce(_ + _) / k
+
   /** Duplicate CLUSTERS from near-dup pairs: connected components with
     * the component's smallest id as the cluster label — what a dedup
     * pipeline actually needs downstream of pair generation (keep one

@@ -76,6 +76,20 @@ object TextQueries {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashCandidatePairs(dupCorpus(docs(s, dir)), "doc_id", "text",
         useMd5 = true)),
+    // sketch-only similarity: candidate pairs scored by the MinHash
+    // Jaccard estimator — 2k longs per pair, shingles never re-touched
+    "dedup_minhash_jaccard" -> ((s, dir) => {
+      val corpus = dupCorpus(docs(s, dir))
+      val sig = Dedup.withMinHashSignature(corpus, "doc_id", "text",
+        useMd5 = true).select(col("id"), col("sig"))
+      val cand = Dedup.minHashCandidatePairs(corpus, "doc_id", "text",
+        useMd5 = true)
+      cand
+        .join(sig.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+        .join(sig.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          Dedup.minHashJaccardEstimate(col("__sa"), col("__sb")).as("est_jaccard"))
+    }),
     // SimHash near-dups with hamming verify — md5 mode for the oracle,
     // same banded-join plan as the xxh64 scale path
     "dedup_simhash" -> ((s, dir) =>
@@ -154,12 +168,12 @@ object TextQueries {
     * with value-string bucket keys — generated from the same
     * [[Dedup.perm]] constants the Spark expression uses.
     */
-  private def minHashOracleSql: String = {
+  private def minHashCtesSql: String = {
     val p = Dedup.MinHashPrime
     val bandRows = (0 until 8).map { b =>
       s"SELECT id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || CAST(mh${2 * b + 1} AS VARCHAR) AS bucket FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH corpus AS ($dupCorpusSql),
+    s"""corpus AS ($dupCorpusSql),
        |sh AS (
        |  $shinglesSql
        |),
@@ -172,10 +186,29 @@ object TextQueries {
        | FROM h GROUP BY id),
        |bands AS (
        |  $bandRows
-       |)
-       |SELECT DISTINCT x.id AS id_a, y.id AS id_b
-       |FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id""".stripMargin
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+       |)""".stripMargin
+  }
+
+  private def minHashOracleSql: String =
+    s"""WITH $minHashCtesSql
+       |SELECT id_a, id_b FROM cand""".stripMargin
+
+  /** Sketch-only Jaccard estimate oracle: fraction of equal signature
+    * components across the same 16 permutations.
+    */
+  private def minHashJaccardOracleSql: String = {
+    val eq = (0 until 16)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END")
+      .mkString(" +\n       |   ")
+    s"""WITH $minHashCtesSql
+       |SELECT c.id_a, c.id_b,
+       |  ($eq) / 16 AS est_jaccard
+       |FROM cand c JOIN mh a ON c.id_a = a.id JOIN mh b ON c.id_b = b.id""".stripMargin
   }
 
   /** SimHash oracle: per-token md5-derived 64-bit hashes, ±1 bit
@@ -212,6 +245,7 @@ object TextQueries {
     val toks = "string_split(text, ' ')"
     Map(
       "dedup_minhash" -> minHashOracleSql,
+      "dedup_minhash_jaccard" -> minHashJaccardOracleSql,
       "dedup_simhash" -> simHashOracleSql,
       "text_stats" ->
         s"""SELECT doc_id,

@@ -62,6 +62,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped.count() >= n.toLong * (n - 1) / 2)
   }
 
+  test("minhash jaccard estimate: 1.0 on exact dups, tracks true jaccard") {
+    val sig = Dedup.withMinHashSignature(corpus, "doc_id", "text")
+      .select(col("id"), col("sig"))
+    val cand = Dedup.minHashCandidatePairs(corpus, "doc_id", "text")
+    val est = cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("__sa")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Dedup.minHashJaccardEstimate(col("__sa"), col("__sb")).as("est"))
+    // injected exact copies (original id < 1e6, copy = id + 1e6) estimate
+    // exactly 1.0
+    val exactDups = est.filter(
+      col("id_a") < 1000000L && col("id_b") === col("id_a") + 1000000L)
+    assert(exactDups.count() > 0)
+    assert(exactDups.filter(col("est") =!= 1.0).count() === 0)
+    // against the true n-gram jaccard of the same pairs: mean absolute
+    // error within the k=16 estimator's expected band (stderr ~ 0.25)
+    val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.0)
+    val err = est.join(truth, Seq("id_a", "id_b"))
+      .agg(avg(abs(col("est") - col("jaccard")))).as[Double].collect()(0)
+    assert(err < 0.25, s"mean |est - true| = $err")
+  }
+
   test("simhash: exact duplicates have hamming distance 0") {
     val pairs = Dedup.simHashNearDups(corpus, "doc_id", "text")
       // injected exact dups only: original id (<1e6) vs its +1e6 copy
