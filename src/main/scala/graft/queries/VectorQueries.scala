@@ -71,6 +71,7 @@ object VectorQueries {
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
         |FROM r WHERE rank <= 5""".stripMargin,
     "embed_neardup" -> neardupOracleSql,
+    "ann_lsh" -> lshTopKOracleSql,
     "embed_dedup_canonical" ->
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($neardupOracleSql)),
          |e AS (
@@ -90,6 +91,65 @@ object VectorQueries {
          |LEFT JOIN (SELECT id FROM cl WHERE id <> cluster_id) d ON v.vec_id = d.id
          |WHERE d.id IS NULL""".stripMargin,
   )
+
+  /** Full DuckDB mirror of [[Similarity.lshTopK]] (bits=24, bands=3,
+    * k=5): the hyperplane sketch is reproducible because bit i is just
+    * `list_dot_product(v, plane_i) > 0` with the ±1 plane literals
+    * generated from the SAME [[Similarity.planeSign]] the Catalyst
+    * expression uses — identical IEEE accumulation order, identical sign.
+    * Banding, candidate join, exact rerank, and rank≤k are plain SQL.
+    */
+  private def lshTopKOracleSql: String = {
+    val bits = 24
+    val bands = 3
+    val planes = (0 until bits).map { i =>
+      (0 until 64).map(j =>
+        if (Similarity.planeSign(i, j) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    }
+    val sketchBits = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(v, $p) > 0 THEN CAST(1 AS UBIGINT) << $i END"
+    }.mkString(",\n       |      ")
+    val bandRows = (0 until bands).map { b =>
+      s"SELECT id, $b AS band, (s >> ${b * 8}) & 255 AS bucket FROM sk"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |),
+       |sk0 AS (
+       |  SELECT id, COALESCE(bit_or(b), CAST(0 AS UBIGINT)) AS s
+       |  FROM (
+       |    SELECT id, unnest([
+       |      $sketchBits
+       |    ]) AS b
+       |    FROM v
+       |  ) GROUP BY id
+       |),
+       |sk AS (
+       |  SELECT v.id, v.v, sqrt(list_dot_product(v.v, v.v)) AS n, sk0.s
+       |  FROM v JOIN sk0 ON v.id = sk0.id
+       |),
+       |banded AS (
+       |  $bandRows
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id
+       |),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_dot_product(a.v, b.v) / (a.n * b.n) AS sim
+       |  FROM cand c JOIN sk a ON c.query_id = a.id JOIN sk b ON c.neighbor_id = b.id
+       |),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
 
   /** Exact cosine-threshold near-dup pairs over the deterministic subset,
     * shared by embed_neardup and (as the edge source)
