@@ -55,6 +55,39 @@ class JoinsSpec extends SparkSpec {
     assert(got === Set(("a", "i1"), ("b", "i1"), ("d", "i2"), ("d", "i3")))
   }
 
+  test("asof join property: equals the naive per-key reference on random data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic random instance: ~40 keys, clustered timestamps so
+    // before/at/after cases and equal-ts ties all occur
+    val rowGen = for {
+      k <- Gen.choose(0L, 39L)
+      t <- Gen.choose(0L, 50L)
+    } yield (k, t)
+    def sample(n: Int, seed: Long): List[(Long, Long)] =
+      Gen.listOfN(n, rowGen).apply(Gen.Parameters.default, Seed(seed)).get
+    val leftRows = sample(300, 1L).zipWithIndex
+      .map { case ((k, t), i) => (k, new Timestamp(t * 1000), i.toLong) }
+    val rightRows = sample(200, 2L).zipWithIndex
+      // distinct (key, ts) on the right: drop later duplicates so the
+      // reference pick is unambiguous
+      .map { case ((k, t), i) => (k, t, 10000L + i) }
+      .groupBy { case (k, t, _) => (k, t) }.map(_._2.head).toList
+      .map { case (k, t, rid) => (k, new Timestamp(t * 1000), rid) }
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "rid")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t", Seq("rid"))
+      .select("lid", "rid_r").as[(Long, Option[Long])].collect().toMap
+    // naive reference: latest right row with ts <= left ts, per key
+    val byKey = rightRows.groupBy(_._1)
+    val want = leftRows.map { case (k, t, lid) =>
+      val cands = byKey.getOrElse(k, Nil).filter(!_._2.after(t))
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got === want)
+  }
+
   test("both joins plan without nested-loop or cartesian operators") {
     val ev = graft.engine.Tables.events(spark, Sf)
     val p = ev.filter(col("event_type") === "purchase")
