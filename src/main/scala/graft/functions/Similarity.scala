@@ -156,10 +156,22 @@ object Similarity {
     * the usual rule) to keep lists, and so join skew, bounded.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame =
+    ivfTopKWith(df, idCol, vecCol, k,
+      trainCentroids(df, idCol, vecCol, nlist, iters), nprobe)
+
+  /** [[ivfTopK]] with a GIVEN coarse quantizer — the search mechanics
+    * (assignment, probe selection, candidate join, exact rerank)
+    * separated from Lloyd training. This split is also what makes the
+    * mechanics oracle-checkable: with literal centroids every dot product
+    * is bit-reproducible in DuckDB, whereas TRAINED centroids never are
+    * (means over doubles are order-dependent across engines).
+    */
+  def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      cents: Array[Array[Double]], nprobe: Int): DataFrame = {
+    val nlist = cents.length
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     import org.apache.spark.sql.expressions.Window
-    val cents = trainCentroids(df, idCol, vecCol, nlist, iters)
     val dots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
@@ -168,13 +180,15 @@ object Similarity {
       .withColumn("list", (array_position(col("__d"), array_max(col("__d"))) - 1).cast("int"))
       .select("id", "v", "n", "list")
     // top-nprobe list ids per query: sort (dot, idx) structs descending —
-    // an nlist-element per-row sort, no shuffle
+    // an nlist-element per-row sort, no shuffle; equal dots break by list
+    // index so probe selection is fully deterministic
     val probes = expr(
       s"""transform(
          |  slice(
          |    array_sort(
          |      transform(sequence(0, ${nlist - 1}), i -> struct(__d[i] AS d, i AS idx)),
-         |      (a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1 ELSE 0 END),
+         |      (a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1
+         |                     WHEN a.idx < b.idx THEN -1 ELSE 1 END),
          |    1, $nprobe),
          |  s -> s.idx)""".stripMargin)
     val queries = base.select(col("id"), col("v"), col("n"),

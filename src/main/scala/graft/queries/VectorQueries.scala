@@ -45,11 +45,24 @@ object VectorQueries {
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", k = 5)),
     // IVF approximate top-k — coarse-quantizer lists, nprobe probing;
-    // rows-only gate + recall ScalaTest
+    // rows-only gate + recall ScalaTest (trained centroids are means over
+    // doubles, order-dependent, so never bit-reproducible cross-engine)
     "ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
         nlist = 16, nprobe = 4)),
+    // IVF MECHANICS value-checked: assignment, probe selection, candidate
+    // join and rerank over FIXED literal centroids, hash-matched in DuckDB
+    "ann_ivf_fixed" -> ((s, dir) =>
+      Similarity.ivfTopKWith(emb(s, dir), "vec_id", "embedding", k = 5,
+        FixedCentroids, nprobe = 4)),
   )
+
+  /** 16 deterministic unit-norm centroids (±1/8 per dimension via the
+    * same splitmix sign source as the LSH planes, offset to decouple) —
+    * literal on both engines, so every dot product is bit-identical.
+    */
+  val FixedCentroids: Array[Array[Double]] =
+    Array.tabulate(16, 64)((i, j) => Similarity.planeSign(i + 100, j) / 8.0)
 
   def oracles: Map[String, String] = Map(
     "ann_topk" ->
@@ -72,6 +85,7 @@ object VectorQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
     "embed_neardup" -> neardupOracleSql,
     "ann_lsh" -> lshTopKOracleSql,
+    "ann_ivf_fixed" -> ivfFixedOracleSql,
     "embed_dedup_canonical" ->
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($neardupOracleSql)),
          |e AS (
@@ -141,6 +155,50 @@ object VectorQueries {
        |  SELECT c.query_id, c.neighbor_id,
        |         list_dot_product(a.v, b.v) / (a.n * b.n) AS sim
        |  FROM cand c JOIN sk a ON c.query_id = a.id JOIN sk b ON c.neighbor_id = b.id
+       |),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.ivfTopKWith]] over [[FixedCentroids]]:
+    * assignment = first argmax of the 16 literal dot products (row_number
+    * by d DESC, idx ASC), probes = top-4 lists per query, then the
+    * candidate join and exact rerank in plain SQL.
+    */
+  private def ivfFixedOracleSql: String = {
+    val centRows = FixedCentroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.map(x => if (x > 0) "0.125" else "-0.125").mkString("[", ",", "]")})"
+    }.mkString(",\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[]))) AS n
+       |  FROM embeddings
+       |),
+       |cents(idx, cv) AS (VALUES
+       |  $centRows
+       |),
+       |dots AS (
+       |  SELECT v.id, c.idx, list_dot_product(v.v, c.cv) AS d,
+       |         ROW_NUMBER() OVER (PARTITION BY v.id
+       |                            ORDER BY list_dot_product(v.v, c.cv) DESC, c.idx) AS rn
+       |  FROM v CROSS JOIN cents c
+       |),
+       |assigned AS (SELECT id, idx AS list FROM dots WHERE rn = 1),
+       |probes AS (SELECT id, idx AS list FROM dots WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.id AS query_id, a.id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON p.list = a.list AND p.id <> a.id
+       |),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_dot_product(x.v, y.v) / (x.n * y.n) AS sim
+       |  FROM cand c JOIN v x ON c.query_id = x.id JOIN v y ON c.neighbor_id = y.id
        |),
        |ranked AS (
        |  SELECT *, ROW_NUMBER() OVER (
