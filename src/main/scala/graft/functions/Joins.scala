@@ -30,25 +30,40 @@ object Joins {
     * with `suffix`.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-      tsCol: String, rightCols: Seq[String], suffix: String = "_r"): DataFrame = {
+      tsCol: String, rightCols: Seq[String], suffix: String = "_r",
+      toleranceMicros: Option[Long] = None): DataFrame = {
     require(rightCols.nonEmpty, "asofJoin needs at least one right payload column")
     import org.apache.spark.sql.expressions.Window
     val leftOnly = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
     val shared = keyCols.map(col) :+ col(tsCol)
+    val rts = "__rts"
     val l = left.select(shared ++ leftOnly.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c + suffix))
-        :+ lit(1).as("__side"): _*)
+        :+ lit(null).cast("long").as(rts) :+ lit(1).as("__side"): _*)
     val r = right.select(shared ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(c + suffix)) :+ lit(0).as("__side"): _*)
+        rightCols.map(c => col(c).as(c + suffix))
+        :+ unix_micros(col(tsCol)).as(rts) :+ lit(0).as("__side"): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc +: col("__side").asc +:
         rightCols.map(c => col(c + suffix).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c + suffix, last(col(c + suffix), ignoreNulls = true).over(w))
+    val filled = (rightCols :+ "").foldLeft(l.unionByName(r)) { (df, c) =>
+      val name = if (c.isEmpty) rts else c + suffix
+      df.withColumn(name, last(col(name), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1).drop("__side")
+    // tolerance (merge_asof semantics): the latest prior match is also the
+    // NEAREST, so a match older than the lookback simply becomes no-match
+    val bounded = toleranceMicros match {
+      case None => filled
+      case Some(tol) =>
+        val within = col(rts).isNotNull &&
+          unix_micros(col(tsCol)) - col(rts) <= tol
+        rightCols.foldLeft(filled) { (df, c) =>
+          df.withColumn(c + suffix, when(within, col(c + suffix)))
+        }
+    }
+    bounded.filter(col("__side") === 1).drop("__side", rts)
   }
 
   /** Range (interval-containment) join: pairs each point row with every

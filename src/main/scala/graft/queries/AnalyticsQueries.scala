@@ -146,6 +146,17 @@ object AnalyticsQueries {
       Joins.asofJoin(purchases, signups, Seq("user_id"), "ts",
         Seq("event_id", "value"))
     }),
+    // as-of with a lookback tolerance (merge_asof semantics): signups
+    // older than 30 minutes stop matching
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select("user_id", "ts", "event_id", "value")
+      Joins.asofJoin(purchases, signups, Seq("user_id"), "ts",
+        Seq("event_id", "value"), toleranceMicros = Some(30L * 60 * 1000000))
+    }),
     // JSON scalar functions over the events props column: extraction,
     // cast, aggregation — pure codegen'd expressions
     "json_extract" -> ((s, dir) =>
@@ -267,6 +278,18 @@ object AnalyticsQueries {
         |      WHERE event_type = 'signup')
         |SELECT l.user_id, l.ts, l.event_id, l.value,
         |       r.event_id AS event_id_r, r.value AS value_r
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "asof_join_tolerance" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type = 'signup')
+        |SELECT l.user_id, l.ts, l.event_id, l.value,
+        |       CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE
+        |            THEN r.event_id END AS event_id_r,
+        |       CASE WHEN r.ts >= l.ts - INTERVAL 30 MINUTE
+        |            THEN r.value END AS value_r
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "json_extract" ->

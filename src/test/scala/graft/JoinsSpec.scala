@@ -37,6 +37,18 @@ class JoinsSpec extends SparkSpec {
     assert(got.toSeq === Seq(7L))
   }
 
+  test("asof join tolerance: stale matches become no-match, fresh ones survive") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "fresh"), // 10 min after right: within
+      (1L, ts("2024-01-01 12:00:00"), "stale")  // 130 min after: out
+    ).toDF("k", "t", "name")
+    val right = Seq((1L, ts("2024-01-01 09:50:00"), 5L)).toDF("k", "t", "rid")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t", Seq("rid"),
+        toleranceMicros = Some(30L * 60 * 1000000))
+      .select("name", "rid_r").as[(String, Option[Long])].collect().toMap
+    assert(got === Map("fresh" -> Some(5L), "stale" -> None))
+  }
+
   test("range join: boundary-inclusive containment, multi-bin spans, all matches") {
     val points = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),  // == interval start
