@@ -23,30 +23,42 @@ object Dedup {
       .filter(col("n_copies") > 1)
 
   /** Materialize the deduplicated corpus: keep exactly one row per
-    * content hash — the canonical (smallest-id) member. One window over
-    * the hash (or a self-join at extreme cardinality); no collect.
+    * content hash — the canonical (smallest-id) member. No collect;
+    * `skewSafe` picks the physical shape (see [[keepCanonicalByKey]]).
     */
-  def keepCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(contentHash(col(textCol)))
-    df.withColumn("__canon", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__canon"))
-      .drop("__canon")
-  }
+  def keepCanonical(df: DataFrame, idCol: String, textCol: String,
+      skewSafe: Boolean = false): DataFrame =
+    keepCanonicalByKey(df.withColumn("__ckey", contentHash(col(textCol))),
+      idCol, "__ckey", skewSafe).drop("__ckey")
 
   /** [[keepCanonical]] over a precomputed dedup-key column — lets callers
-    * project the text payload AWAY before the window, so the shuffle
-    * carries a 32-byte hash instead of kilobytes of document (the text
-    * itself is only needed to compute the key, not to pick the canonical
-    * row).
+    * project the text payload AWAY before the shuffle, so it carries a
+    * 32-byte hash instead of kilobytes of document (the text itself is
+    * only needed to compute the key, not to pick the canonical row).
+    *
+    * Two physical shapes behind one API:
+    *  - default: ONE window over the key — one shuffle, but every copy of
+    *    a key lands in a single task's sort. Right at normal duplication
+    *    rates; a straggler when one viral document has 10⁴+ copies.
+    *  - `skewSafe`: `groupBy(key).agg(min(id))` + left-semi join back —
+    *    the min partial-aggregates map-side, so a hot key reduces to one
+    *    row per input partition BEFORE the exchange; costs a second
+    *    shuffle for the join. Use for corpora with pathological
+    *    duplication skew.
     */
-  def keepCanonicalByKey(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(keyCol))
-    df.withColumn("__canon", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("__canon"))
-      .drop("__canon")
-  }
+  def keepCanonicalByKey(df: DataFrame, idCol: String, keyCol: String,
+      skewSafe: Boolean = false): DataFrame =
+    if (skewSafe) {
+      val canon = df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
+      df.join(canon, Seq(keyCol, idCol), "left_semi")
+        .select(df.columns.toIndexedSeq.map(col): _*)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(keyCol))
+      df.withColumn("__canon", min(col(idCol)).over(w))
+        .filter(col(idCol) === col("__canon"))
+        .drop("__canon")
+    }
 
   /** Word n-gram shingles as an array column: shingle i =
     * words[i..i+n-1] joined by spaces. Evaluated by the native
@@ -190,15 +202,27 @@ object Dedup {
     // branches — without the persist an expensive upstream pair pipeline
     // (e.g. shingle-blocked Jaccard) runs twice
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
+    // empty pair set is the normal healthy case (no near-dups found):
+    // return an empty (id, cluster_id) frame instead of letting the
+    // convergence aggregate come back null and NPE below
+    if (fwd.isEmpty) {
+      fwd.unpersist()
+      return fwd.select(col("src").as("id"), col("src").as("cluster_id")).limit(0)
+    }
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     // first propagation round fused into initialization: lbl = min(self,
-    // neighbors) in the same aggregation that enumerates the nodes
+    // neighbors) in the same aggregation that enumerates the nodes.
+    // localCheckpoint (not persist): `labels` feeds BOTH branches of the
+    // next round's union, so its logical plan would double every round —
+    // caching keeps the DATA hot but Catalyst still re-analyzes the full
+    // lineage, which goes exponential past ~10 rounds. Checkpointing cuts
+    // the plan to a leaf, keeping every round's analysis O(1).
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("id"), least(col("id"), col("__mn")).as("lbl"))
-      .persist()
+      .localCheckpoint(true)
     // convergence via a monotonic invariant instead of a self-join: every
     // label is the min over a set containing its previous value, so
     // labels never increase — sum(lbl) is unchanged iff NO label moved.
@@ -215,9 +239,8 @@ object Dedup {
       val next = labels.select(col("id"), col("lbl"))
         .unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .persist()
+        .localCheckpoint(true) // truncate lineage (see init above)
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -225,6 +248,11 @@ object Dedup {
     }
     fwd.unpersist()
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters: labels still moving after maxIters=$maxIters rounds " +
+          "(component diameter exceeds the bound) — cluster_ids may split " +
+          "one true component into several; raise maxIters")
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

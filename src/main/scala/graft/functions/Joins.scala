@@ -48,10 +48,21 @@ object Joins {
       .orderBy(col(tsCol).asc +: col("__side").asc +:
         rightCols.map(c => col(c + suffix).asc_nulls_first): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (rightCols :+ "").foldLeft(l.unionByName(r)) { (df, c) =>
-      val name = if (c.isEmpty) rts else c + suffix
-      df.withColumn(name, last(col(name), ignoreNulls = true).over(w))
-    }
+    // fill ONE struct of (payloads, ts) so every output column comes
+    // atomically from the SAME matched right row — filling each payload
+    // column independently with last(ignoreNulls) would let a NULL payload
+    // on the matched row silently inherit a value from an older right row
+    // (and different columns from different rows), diverging from
+    // DuckDB ASOF / merge_asof semantics
+    val rpay = "__rpay"
+    val matched = when(col("__side") === 0,
+      struct(rightCols.map(c => col(c + suffix)) :+ col(rts): _*))
+    val filled = rightCols.foldLeft(
+        l.unionByName(r)
+          .withColumn(rpay, last(matched, ignoreNulls = true).over(w))
+          .withColumn(rts, col(rpay)(rts))) { (df, c) =>
+        df.withColumn(c + suffix, col(rpay)(c + suffix))
+      }.drop(rpay)
     // tolerance (merge_asof semantics): the latest prior match is also the
     // NEAREST, so a match older than the lookback simply becomes no-match
     val bounded = toleranceMicros match {

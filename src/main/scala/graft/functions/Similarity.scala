@@ -220,7 +220,9 @@ object Similarity {
       threshold: Double, blocks: Int = 32, maxRows: Long = 2000000L): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    val cnt = v.count()
+    // size guard scans only the pruned id column, not the vectors — the
+    // full-width frame is scanned exactly once, by the query itself
+    val cnt = df.select(col(idCol)).count()
     require(cnt <= maxRows,
       s"nearDupPairs is exact (O(n^2)): corpus has $cnt rows > maxRows=$maxRows; " +
         "use nearDupPairsLsh for unbounded corpora or raise maxRows explicitly")

@@ -105,6 +105,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.filter(col("doc_id") >= 1000000L && col("doc_id") < 2000000L).count() === 0)
   }
 
+  test("keepCanonical skewSafe: same survivors, partial-agg plan, hot key safe") {
+    // 10^4 copies of one viral document + a handful of singletons: the
+    // default window shape puts all copies in one task's sort; the agg
+    // shape must agree on survivors while partial-aggregating map-side
+    val viral = (0 until 10000).map(i => (100000L + i, "copy me " * 20))
+    val rest = (0 until 5).map(i => (i.toLong, s"unique doc $i"))
+    val df = (viral ++ rest).toDF("doc_id", "text").repartition(8)
+    val agg = Dedup.keepCanonical(df, "doc_id", "text", skewSafe = true)
+    val win = Dedup.keepCanonical(df, "doc_id", "text")
+    assert(agg.select("doc_id").as[Long].collect().sorted.toSeq ===
+      win.select("doc_id").as[Long].collect().sorted.toSeq)
+    assert(agg.count() === 6) // 5 singletons + 1 canonical viral copy
+    assert(agg.columns.toSeq === df.columns.toSeq)
+    // physical shape: partial aggregation, no window sort of the hot key
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan.take(1500))
+  }
+
   test("word shingles produce size-n windows and degenerate short docs") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("sh"))
@@ -131,6 +151,28 @@ class DedupSimilaritySpec extends SparkSpec {
     // every +1e6 duplicate labels back to a sub-1e6 canonical
     val dupLabels = clusters.filter(_._1 >= 1000000L).values
     assert(dupLabels.nonEmpty && dupLabels.forall(_ < 1000000L))
+  }
+
+  test("dupClusters: empty pair set returns an empty frame, correct schema") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b").filter(col("id_a") < 0)
+    val got = Dedup.dupClusters(pairs)
+    assert(got.columns.toSeq === Seq("id", "cluster_id"))
+    assert(got.count() === 0)
+  }
+
+  test("dupClusters: chain longer than maxIters still labels every node") {
+    // a 12-node path has diameter 11 > maxIters=3; min-label propagation
+    // cannot finish, but the call must return (id, cluster_id) for every
+    // node (warning logged) rather than loop or throw
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, maxIters = 3).as[(Long, Long)].collect().toMap
+    assert(got.keySet === (0L to 11L).toSet)
+    // labels are monotone toward the min: prefix nodes reached by <=3
+    // rounds carry the true label already
+    assert(got(0L) === 0L && got(1L) === 0L && got(2L) === 0L)
+    // and a diameter within the bound converges fully
+    val ok = Dedup.dupClusters(pairs, maxIters = 12).as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(0L))
   }
 
   test("stratified sample is deterministic, fraction-accurate, shuffle-free") {

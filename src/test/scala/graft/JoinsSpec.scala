@@ -49,6 +49,20 @@ class JoinsSpec extends SparkSpec {
     assert(got === Map("fresh" -> Some(5L), "stale" -> None))
   }
 
+  test("asof join: NULL payload on the matched row stays NULL (no smear from older rows)") {
+    // DuckDB ASOF LEFT JOIN picks ONE right row; its payload nulls are
+    // kept. A per-column last(ignoreNulls) fill would pull a=100 from the
+    // older 10:00 row while b comes from 11:00 — columns from two rows.
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "p")).toDF("k", "t", "name")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100L), "old"),
+      (1L, ts("2024-01-01 11:00:00"), Option.empty[Long], "new")
+    ).toDF("k", "t", "a", "b")
+    val got = Joins.asofJoin(left, right, Seq("k"), "t", Seq("a", "b"))
+      .select("a_r", "b_r").as[(Option[Long], String)].collect().toSeq
+    assert(got === Seq((None, "new")))
+  }
+
   test("range join: boundary-inclusive containment, multi-bin spans, all matches") {
     val points = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),  // == interval start
