@@ -25,7 +25,8 @@ final case class DiffJobConfig(
     options: DiffOptions = DiffOptions(),
     metadataRoot: String = "/tmp/graft-metadata",
     rerun: Boolean = false,
-    partitioner: String = "xxhash64")
+    partitioner: String = "xxhash64",
+    retry: graft.journal.RetryPolicy = graft.journal.RetryPolicy.NoRetry)
 
 final class DiffRunner(
     source: SourceProvider,
@@ -40,7 +41,7 @@ final class DiffRunner(
 
   /** Run the whole job; returns final stats per table. */
   def run(): Map[String, RangeStats] = {
-    val store = new MetadataStore(config.metadataRoot)
+    val store = new MetadataStore(config.metadataRoot, config.retry)
     require(store.acquireRunLock(config.jobId),
       s"job ${config.jobId} already running (running_jobs lock held)") // O21 LWT semantics
     try {
@@ -52,29 +53,47 @@ final class DiffRunner(
       // reference's getJobParams reuse (JobMetadataDb.java:432-490;
       // DiffJob.java:136-143, 213-229). A re-run with conflicting options
       // must not silently diverge from the journal's semantics.
+      // mergeSchema + per-column fallback: a journal written by an older
+      // engine version (fewer columns) must restore the params it HAS and
+      // fall back to the submitted config for the rest, not throw on
+      // fieldIndex of an absent column
       val priorSummary =
         if (store.exists("job_summary"))
-          store.read("job_summary").filter(col("job_id") === config.jobId)
+          store.read("job_summary", mergeSchema = true)
+            .filter(col("job_id") === config.jobId)
             .collect().headOption
         else None
+      def restore[T](row: org.apache.spark.sql.Row, name: String, dflt: T): T =
+        if (row.schema.fieldNames.contains(name) && !row.isNullAt(row.fieldIndex(name)))
+          row.getAs[T](name)
+        else dflt
+      def restoreSeq[T](row: org.apache.spark.sql.Row, name: String,
+          dflt: Seq[T]): Seq[T] =
+        if (row.schema.fieldNames.contains(name) && !row.isNullAt(row.fieldIndex(name)))
+          row.getSeq[T](row.fieldIndex(name)).toSeq
+        else dflt
       val options = priorSummary match {
         case Some(row) => graft.core.DiffOptions(
-          buckets = row.getAs[Int]("buckets"),
-          disallowedTokens = row.getSeq[Long](row.fieldIndex("disallowed_tokens")).toSeq,
-          specificTokens = row.getSeq[Long](row.fieldIndex("specific_tokens")).toSeq,
-          samplingNum = row.getAs[Int]("sampling_num"),
-          samplingDen = row.getAs[Int]("sampling_den"),
-          reverseReadProbability = row.getAs[Double]("reverse_read_probability"))
+          buckets = restore(row, "buckets", config.options.buckets),
+          disallowedTokens = restoreSeq(row, "disallowed_tokens",
+            config.options.disallowedTokens),
+          specificTokens = restoreSeq(row, "specific_tokens",
+            config.options.specificTokens),
+          samplingNum = restore(row, "sampling_num", config.options.samplingNum),
+          samplingDen = restore(row, "sampling_den", config.options.samplingDen),
+          reverseReadProbability = restore(row, "reverse_read_probability",
+            config.options.reverseReadProbability))
         case None => config.options
       }
       val tables = priorSummary match {
         case Some(row) =>
-          val stored = row.getSeq[String](row.fieldIndex("keyspaces")).toSet
+          val stored = restoreSeq(row, "keyspaces",
+            config.tables.map(_.table)).toSet
           config.tables.filter(t => stored(t.table))
         case None => config.tables
       }
       val partitioner = priorSummary match {
-        case Some(row) => row.getAs[String]("partitioner")
+        case Some(row) => restore(row, "partitioner", config.partitioner)
         case None => config.partitioner
       }
       val token = DiffEngine.tokenFunction(partitioner)

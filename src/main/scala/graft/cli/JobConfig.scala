@@ -34,7 +34,7 @@ import graft.core.{DiffOptions, TableSpec}
   * | cluster_config.source/target   | SourceProvider specs (impl + path)  |
   * | specific_tokens                | accept-list (O9)                    |
   * | disallowed_tokens              | reject-list (O9)                    |
-  * | retry_options                  | n/a — spark.task.maxFailures        |
+  * | retry_options                  | journal-write backoff policy (O17)  |
   * | partition_sampling_probability | sampling num/den (O10)              |
   */
 final case class JobConfig(
@@ -51,7 +51,8 @@ final case class JobConfig(
     specificTokens: Seq[Long],
     disallowedTokens: Seq[Long],
     partitionSamplingProbability: Double,
-    clusterConfig: Map[String, Map[String, String]]) {
+    clusterConfig: Map[String, Map[String, String]],
+    retryPolicy: graft.journal.RetryPolicy = graft.journal.RetryPolicy.NoRetry) {
 
   /** Sampling probability → deterministic per-key modulus (O10): keep a
     * partition iff pmod(token, den) < num with num/den ≈ p.
@@ -110,6 +111,24 @@ object JobConfig {
         mo.asScala.map { case (k, v) => k.toString -> v }.toMap
       case _ => Map.empty[String, Any]
     }
+    // retry_options (O17): `impl` selects the strategy exactly as the
+    // reference's RetryStrategyProvider.create does by class name
+    // (RetryStrategyProvider.java:44-66) — an Exponential impl reads
+    // base_delay_ms / total_delay_ms (defaults 1 s / 30 min,
+    // ExponentialRetryStrategyProvider.java:46-48); anything else, or no
+    // retry_options at all, is NoRetry (the reference's fallback).
+    val retryPolicy = m.get("retry_options") match {
+      case Some(ro: JMap[_, _]) =>
+        val opts = ro.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+        if (opts.get("impl").exists(_.contains("Exponential")))
+          graft.journal.RetryPolicy(
+            opts.get("base_delay_ms").map(_.toLong)
+              .getOrElse(graft.journal.RetryPolicy.Exponential.baseDelayMs),
+            opts.get("total_delay_ms").map(_.toLong)
+              .getOrElse(graft.journal.RetryPolicy.Exponential.totalDelayMs))
+        else graft.journal.RetryPolicy.NoRetry
+      case _ => graft.journal.RetryPolicy.NoRetry
+    }
     val clusters = m.get("cluster_config") match {
       case Some(cc: JMap[_, _]) =>
         cc.asScala.map { case (k, v) =>
@@ -139,7 +158,8 @@ object JobConfig {
       specificTokens = tokenList("specific_tokens"),
       disallowedTokens = tokenList("disallowed_tokens"),
       partitionSamplingProbability = dbl("partition_sampling_probability", 1.0),
-      clusterConfig = clusters)
+      clusterConfig = clusters,
+      retryPolicy = retryPolicy)
   }
 
   /** "ks.tbl" → TableSpec with roles from the role registry or inferred

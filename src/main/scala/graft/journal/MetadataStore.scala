@@ -29,17 +29,61 @@ import graft.core.RangeStats
   *                           (JobMetadataDb.java:609-617)
   *   <root>/running_jobs/<job_id>.lock   the concurrency lock (O21)
   */
-final class MetadataStore(val root: String)(implicit spark: SparkSession) {
+final class MetadataStore(val root: String,
+    retry: RetryPolicy = RetryPolicy.NoRetry)(implicit spark: SparkSession) {
 
   private def path(table: String): String = s"$root/$table"
 
-  def write(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Append)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(path(table))
+  def write(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
+    if (partitionBy.isEmpty)
+      retry.retry(s"journal write $table") {
+        df.write.mode(SaveMode.Append).parquet(path(table))
+      }
+    else {
+      // a dynamic-partition write of an EMPTY frame emits no files at all,
+      // leaving a directory spark.read cannot infer a schema from (the
+      // healthy outcomes — clean diff ⇒ empty mismatches, agreeing reverse
+      // checks — hit exactly this). Record the schema in a `_schema`
+      // sidecar instead (underscore-prefixed dirs are invisible to Spark's
+      // file index, so later real appends are unaffected); `read` falls
+      // back to it when the dataset holds no data files.
+      val materialized = df.persist()
+      try {
+        if (materialized.isEmpty)
+          retry.retry(s"journal schema marker $table") {
+            materialized.limit(0).write.mode(SaveMode.Overwrite)
+              .parquet(path(table) + "/_schema")
+          }
+        else
+          retry.retry(s"journal write $table") {
+            materialized.write.mode(SaveMode.Append)
+              .partitionBy(partitionBy: _*).parquet(path(table))
+          }
+      } finally materialized.unpersist()
+    }
+
+  def read(table: String): DataFrame = read(table, mergeSchema = false)
+
+  /** `mergeSchema` widens the read across journal rows written by older
+    * engine versions with fewer columns (schema evolution tolerance).
+    */
+  def read(table: String, mergeSchema: Boolean): DataFrame = {
+    val base = Paths.get(path(table))
+    val marker = base.resolve("_schema")
+    if (Files.exists(marker) && !hasDataFiles(base, marker))
+      spark.read.parquet(marker.toString)
+    else
+      spark.read.option("mergeSchema", mergeSchema.toString)
+        .parquet(path(table))
   }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  /** Any parquet data file outside the `_schema` sidecar? */
+  private def hasDataFiles(base: Path, marker: Path): Boolean = {
+    val walk = Files.walk(base)
+    try walk.anyMatch(f =>
+      f.toString.endsWith(".parquet") && !f.startsWith(marker))
+    finally walk.close()
+  }
 
   def exists(table: String): Boolean = Files.exists(Paths.get(path(table)))
 

@@ -67,6 +67,62 @@ class JobConfigSpec extends SparkSpec {
     assert(c.keyspaceTables.isEmpty)
   }
 
+  test("retry_options parse: exponential impl + delays; absent => NoRetry") {
+    import graft.journal.RetryPolicy
+    val c = JobConfig.loadString(
+      """keyspace_tables:
+        |  - ks.t1
+        |retry_options:
+        |  impl: "org.apache.cassandra.diff.ExponentialRetryStrategyProvider"
+        |  base_delay_ms: 100
+        |  total_delay_ms: 1000
+        |""".stripMargin)
+    assert(c.retryPolicy === RetryPolicy(100L, 1000L))
+    // defaults when only impl is given (1 s base / 30 min budget,
+    // ExponentialRetryStrategyProvider.java:46-48)
+    val d = JobConfig.loadString(
+      "keyspace_tables:\n  - ks.t1\nretry_options:\n  impl: \"Exponential\"\n")
+    assert(d.retryPolicy === RetryPolicy.Exponential)
+    // no retry_options, or an unknown impl => the reference's NoRetry fallback
+    assert(JobConfig.loadString("buckets: 5\n").retryPolicy === RetryPolicy.NoRetry)
+    val u = JobConfig.loadString(
+      "keyspace_tables:\n  - ks.t1\nretry_options:\n  impl: \"bogus\"\n")
+    assert(u.retryPolicy === RetryPolicy.NoRetry)
+  }
+
+  test("retry schedule: doubling pauses, cumulative sleep capped at total") {
+    import graft.journal.RetryPolicy
+    // base 100ms, budget 1000ms: 100+200+400 = 700, then min(300, 800)
+    // truncates the last pause — exactly the reference's Exponential.get
+    assert(RetryPolicy(100L, 1000L).schedule === List(100L, 200L, 400L, 300L))
+    assert(RetryPolicy(100L, 100L).schedule === List(100L))
+    assert(RetryPolicy.NoRetry.schedule === Nil)
+    // schedule sums never exceed the budget even for long horizons
+    val s = RetryPolicy(1L, 1000000L).schedule
+    assert(s.sum === 1000000L && s.head === 1L)
+  }
+
+  test("retry wrapper: flaky action succeeds within budget, rethrows past it") {
+    import graft.journal.RetryPolicy
+    var calls = 0
+    val got = RetryPolicy(1L, 10L).retry("flaky") {
+      calls += 1
+      if (calls < 3) sys.error(s"transient $calls")
+      "ok"
+    }
+    assert(got === "ok" && calls === 3)
+    // NoRetry: one attempt, failure propagates
+    var once = 0
+    assertThrows[RuntimeException](
+      RetryPolicy.NoRetry.retry("fatal") { once += 1; sys.error("boom") })
+    assert(once === 1)
+    // budget exhausted: attempts = schedule size + 1, then rethrow
+    var n = 0
+    assertThrows[RuntimeException](
+      RetryPolicy(1L, 3L).retry("always") { n += 1; sys.error("down") })
+    assert(n === RetryPolicy(1L, 3L).schedule.size + 1)
+  }
+
   test("table specs resolve roles from the corpus registry") {
     val li = JobConfig.tableSpec("keyspace1.lineitem")
     assert(li.pk === Seq("l_orderkey") && li.clustering === Seq("l_linenumber"))

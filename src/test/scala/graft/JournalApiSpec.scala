@@ -149,6 +149,59 @@ class JournalApiSpec extends SparkSpec {
     assert(rerun("orders") === first)   // same scope ⇒ identical stats
   }
 
+  test("fully-matched job: every journal table reads back, empties included") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val src = ParquetSource(Sf)
+    // identical sides + reverse validation on: mismatches AND
+    // reverse_checks are both EMPTY partitioned sinks — they must still
+    // come back as readable (zero-row) datasets, not schema-inference
+    // failures
+    new DiffRunner(src, src,
+      DiffJobConfig("clean-job", Seq(Perturb.ordersSpec),
+        DiffOptions(buckets = 4, reverseReadProbability = 1.0),
+        metadataRoot = root)).run()
+    val store = new MetadataStore(root)
+    for (t <- Seq("job_summary", "task_status", "mismatches",
+        "reverse_checks", "errors", "job_results"))
+      assert(store.exists(t), t)
+    assert(store.read("mismatches").filter(col("job_id") === "clean-job").count() === 0)
+    assert(store.read("reverse_checks").count() === 0)
+    val api = new ResultsApi(store)
+    assert(api.jobMismatches("clean-job").count() === 0)
+    assert(api.mismatchSummary("clean-job").count() === 0)
+    assert(api.jobResults("clean-job").count() === 1)
+    // a later job with real mismatches appends fine after the empty marker
+    val tgt = new SourceProvider {
+      def table(sp: SparkSession, name: String): DataFrame =
+        Perturb.lineitemTarget(ParquetSource(Sf).table(sp, name))
+      def listTables(sp: SparkSession): Seq[String] = src.listTables(sp)
+    }
+    new DiffRunner(src, tgt,
+      DiffJobConfig("dirty-job", Seq(Perturb.lineitemSpec),
+        DiffOptions(buckets = 4), metadataRoot = root)).run()
+    assert(store.read("mismatches").filter(col("job_id") === "dirty-job").count() > 0)
+    assert(store.read("mismatches").filter(col("job_id") === "clean-job").count() === 0)
+  }
+
+  test("param restore tolerates a job_summary written by an older schema") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val store = new MetadataStore(root)
+    // an older engine version journaled fewer columns: restore must use
+    // what is stored (buckets=4) and fall back to config for the rest
+    store.write("job_summary",
+      Seq(("old-job", Seq("orders"), 4, "xxhash64", "2024-01-01T00:00:00.000Z"))
+        .toDF("job_id", "keyspaces", "buckets", "partitioner", "start_time"))
+    val src = ParquetSource(Sf)
+    val stats = new DiffRunner(src, src,
+      DiffJobConfig("old-job", Seq(Perturb.ordersSpec),
+        DiffOptions(buckets = 99), metadataRoot = root)).run()("orders")
+    assert(stats.matchedPartitions > 0)
+    assert(store.read("task_status").filter(col("job_id") === "old-job")
+      .select("bucket").distinct().count() === 4) // stored value wins
+  }
+
   test("reverse-read validation pass journals verdict disagreements") {
     implicit val s: SparkSession = spark
     val root = tmpRoot()
