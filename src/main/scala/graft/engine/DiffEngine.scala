@@ -257,6 +257,89 @@ object DiffEngine {
       .withColumn("token", token(spec.pk.map(col)))
   }
 
+  /** O7, bit-exact fail-fast variant. The reference's PartitionComparator
+    * walks a partition's two row streams POSITIONALLY in clustering order
+    * and STOPS at the first position where the clustering keys differ or
+    * one stream runs out: the partial counters cover only the prefix
+    * before the divergence, and `allClusteringsMatch` records whether the
+    * walk completed (PartitionComparator.java:60-83). [[partitionStats]]
+    * keeps the documented set semantics (SURVEY §7.4) — same final
+    * classification, whole-partition counters; this variant reproduces
+    * the reference's prefix counters bit-for-bit for users who diff the
+    * journals of both engines.
+    *
+    * Plan shape: one row_number window per side (shuffle on pk), a
+    * full-outer positional zip join on (pk, pos) — its keys are a
+    * superset of the windows' pk partitioning, so with
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` the exchange
+    * is reused — then a window-min cutoff + groupBy(pk) on that same
+    * partitioning. No driver iteration; the fail-fast "stop" is the
+    * `pos < cutoff` predicate inside the aggregation.
+    *
+    * One-sided partitions report zero counters and
+    * `all_clusterings_match=false` — the reference never runs a
+    * comparator for them (their record comes from the key-level merge,
+    * RangeComparator.java:115-123); filter on [[keyDiff]] classification
+    * when exact parity for those rows matters.
+    *
+    * Output: pk..., in_src, in_tgt, all_clusterings_match, matched_rows,
+    * matched_values, mismatched_values, token.
+    */
+  def orderedPartitionStats(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val spec = spec0.bind(src)
+    spec.validateSides(src, tgt)
+    import org.apache.spark.sql.expressions.Window
+    val pos = "__pos"
+    // deterministic walk order: clustering columns, then regular columns
+    // as a tie-break for duplicate clusterings (the reference walks
+    // storage order, which files do not preserve — same collation choice
+    // as withOccurrence, mirrored in the SQL oracle)
+    val orderCols = (spec.clustering ++ spec.regular).map(c => col(c).asc_nulls_first)
+    def ranked(df: DataFrame, pfx: String => String): DataFrame =
+      df.withColumn(pos, row_number().over(
+          Window.partitionBy(spec.pk.map(col): _*).orderBy(orderCols: _*)))
+        .select(spec.pk.map(col) ++ (col(pos) +:
+          (spec.clustering ++ spec.regular).map(c => col(c).as(pfx(c)))): _*)
+    val s = ranked(src, srcCol).withColumn(InSrc, lit(true))
+    val t = ranked(tgt, tgtCol).withColumn(InTgt, lit(true))
+    val j = s.join(t, spec.pk :+ pos, "full_outer")
+      .withColumn(InSrc, coalesce(col(InSrc), lit(false)))
+      .withColumn(InTgt, coalesce(col(InTgt), lit(false)))
+    // a position survives the walk iff both rows exist and every
+    // clustering key agrees (null==null agrees: PartitionComparator
+    // clusteringsEqual, :102-114)
+    val clOk = spec.clustering.map(c => col(srcCol(c)) <=> col(tgtCol(c)))
+      .foldLeft(col(InSrc) && col(InTgt))(_ && _)
+    val wPk = Window.partitionBy(spec.pk.map(col): _*)
+    val cut = j
+      .withColumn("__cutoff", min(when(!clOk, col(pos))).over(wPk))
+    val inPrefix = col("__cutoff").isNull || col(pos) < col("__cutoff")
+    val valueMatches =
+      if (spec.regular.isEmpty) lit(0L)
+      else spec.regular.map(c =>
+        when(col(srcCol(c)) <=> col(tgtCol(c)), 1L).otherwise(0L)).reduce(_ + _)
+    val valueMismatches =
+      if (spec.regular.isEmpty) lit(0L)
+      else spec.regular.map(c =>
+        when(col(srcCol(c)) <=> col(tgtCol(c)), 0L).otherwise(1L)).reduce(_ + _)
+    val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    cut.groupBy(spec.pk.map(col): _*)
+      .agg(
+        max(col(InSrc)).as("in_src"),
+        max(col(InTgt)).as("in_tgt"),
+        min(col("__cutoff")).as("__c"),
+        one(inPrefix).as("matched_rows"),
+        sum(when(inPrefix, valueMatches).otherwise(0L)).as("matched_values"),
+        sum(when(inPrefix, valueMismatches).otherwise(0L)).as("mismatched_values"))
+      .withColumn("all_clusterings_match", col("__c").isNull)
+      .drop("__c")
+      .select(spec.pk.map(col) ++ Seq(col("in_src"), col("in_tgt"),
+        col("all_clusterings_match"), col("matched_rows"),
+        col("matched_values"), col("mismatched_values")): _*)
+      .withColumn("token", token(spec.pk.map(col)))
+  }
+
   /** O8: the final RangeStats aggregation — one row of the nine counters
     * (RangeStats.java:29-198; monoid merge at DiffJob.java:184). Spark
     * runs this as partial+final HashAggregate automatically.

@@ -114,6 +114,60 @@ object OracleSql {
        |       CAST(${spec.pk.head} AS BIGINT) AS token
        |FROM cls""".stripMargin
 
+  /** Fail-fast ordered per-partition stats oracle — mirrors
+    * DiffEngine.orderedPartitionStats (the reference's positional walk
+    * with prefix-only counters, PartitionComparator.java:60-83): rank
+    * rows per side in (clustering, regular) order, zip positionally with
+    * a full-outer join, cut at the first failing position, count only the
+    * prefix. Identity token on the first pk column.
+    */
+  def orderedPartitionStats(spec: TableSpec, srcSql: String, tgtSql: String): String = {
+    val pk = spec.pk.mkString(", ")
+    val keySel = spec.pk.map(k => s"COALESCE(s.$k, t.$k) AS $k").mkString(", ")
+    val on = (spec.pk.map(k => s"s.$k = t.$k") :+ "s.__pos = t.__pos").mkString(" AND ")
+    val order = (spec.clustering ++ spec.regular)
+      .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+    val rank =
+      s"ROW_NUMBER() OVER (PARTITION BY $pk ORDER BY $order) AS __pos"
+    val clOk = (Seq("s.__one IS NOT NULL", "t.__one IS NOT NULL") ++
+      spec.clustering.map(c => s"(s.$c IS NOT DISTINCT FROM t.$c)")).mkString(" AND ")
+    val matchedVals =
+      if (spec.regular.isEmpty) "0"
+      else spec.regular.map(c =>
+        s"CASE WHEN s.$c IS NOT DISTINCT FROM t.$c THEN 1 ELSE 0 END").mkString(" + ")
+    val mismatchedVals =
+      if (spec.regular.isEmpty) "0"
+      else spec.regular.map(c =>
+        s"CASE WHEN s.$c IS NOT DISTINCT FROM t.$c THEN 0 ELSE 1 END").mkString(" + ")
+    s"""WITH src AS ($srcSql),
+       |tgt AS ($tgtSql),
+       |j AS (
+       |  SELECT $keySel,
+       |         COALESCE(s.__pos, t.__pos) AS __pos,
+       |         (s.__one IS NOT NULL) AS in_src,
+       |         (t.__one IS NOT NULL) AS in_tgt,
+       |         ($clOk) AS cl_ok,
+       |         $matchedVals AS mv,
+       |         $mismatchedVals AS mm
+       |  FROM (SELECT *, 1 AS __one, $rank FROM src) s
+       |  FULL OUTER JOIN (SELECT *, 1 AS __one, $rank FROM tgt) t ON $on
+       |),
+       |c AS (
+       |  SELECT *,
+       |         MIN(CASE WHEN NOT cl_ok THEN __pos END)
+       |           OVER (PARTITION BY $pk) AS cutoff
+       |  FROM j
+       |)
+       |SELECT $pk,
+       |       bool_or(in_src) AS in_src, bool_or(in_tgt) AS in_tgt,
+       |       (MIN(cutoff) IS NULL) AS all_clusterings_match,
+       |       CAST(SUM(CASE WHEN cutoff IS NULL OR __pos < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS matched_rows,
+       |       CAST(SUM(CASE WHEN cutoff IS NULL OR __pos < cutoff THEN mv ELSE 0 END) AS BIGINT) AS matched_values,
+       |       CAST(SUM(CASE WHEN cutoff IS NULL OR __pos < cutoff THEN mm ELSE 0 END) AS BIGINT) AS mismatched_values,
+       |       CAST(${spec.pk.head} AS BIGINT) AS token
+       |FROM c GROUP BY $pk""".stripMargin
+  }
+
   /** Mismatch-sink oracle (O14). */
   def mismatches(spec: TableSpec, srcSql: String, tgtSql: String, buckets: Int): String =
     s"""WITH ${partitionCtes(spec, srcSql, tgtSql)}

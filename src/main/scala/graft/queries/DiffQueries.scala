@@ -31,6 +31,11 @@ object DiffQueries {
     "diff_partition_stats" -> ((s, dir) =>
       DiffEngine.partitionStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
         lineitemSpec, idTok)),
+    // O7 fail-fast variant: bit-exact prefix counters of the reference's
+    // positional partition walk (stops at the first clustering divergence)
+    "diff_ordered_stats" -> ((s, dir) =>
+      DiffEngine.orderedPartitionStats(li(s, dir),
+        Perturb.lineitemTarget(li(s, dir)), lineitemSpec, idTok)),
     // O14: mismatch journal rows
     "diff_mismatches" -> ((s, dir) =>
       DiffEngine.mismatches(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
@@ -106,6 +111,8 @@ object DiffQueries {
     "diff_mismatches" -> OracleSql.mismatches(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
     "diff_key_classify" -> OracleSql.keyClassify(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_ordered_stats" -> OracleSql.orderedPartitionStats(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_row_classify" -> OracleSql.rowClassify(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),

@@ -64,6 +64,12 @@ object TextQueries {
     "dedup_canonical" -> ((s, dir) =>
       Dedup.keepCanonical(dupCorpus(docs(s, dir)), "doc_id", "text")
         .select("doc_id", "source")),
+    // same result via the skew-safe groupBy+semi-join shape (hot-hash
+    // corpora: the min partial-aggregates map-side instead of sorting all
+    // copies of one document in a single window task)
+    "dedup_canonical_agg" -> ((s, dir) =>
+      Dedup.keepCanonical(dupCorpus(docs(s, dir)), "doc_id", "text",
+        skewSafe = true).select("doc_id", "source")),
     // n-gram Jaccard near-dup pairs (shingle-blocked self-join with a
     // document-frequency cap on the blocking key — see ngramJaccardPairs)
     "dedup_ngram_pairs" -> ((s, dir) =>
@@ -271,6 +277,13 @@ object TextQueries {
            |       MIN(doc_id) AS canonical_id
            |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
       "dedup_canonical" ->
+        s"""WITH corpus AS ($dupCorpusSql)
+           |SELECT doc_id, source FROM (
+           |  SELECT doc_id, source,
+           |         MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canon
+           |  FROM corpus
+           |) WHERE doc_id = canon""".stripMargin,
+      "dedup_canonical_agg" ->
         s"""WITH corpus AS ($dupCorpusSql)
            |SELECT doc_id, source FROM (
            |  SELECT doc_id, source,

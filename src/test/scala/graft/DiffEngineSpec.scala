@@ -82,6 +82,41 @@ class DiffEngineSpec extends SparkSpec {
     assert(stats.getAs[Long]("matched_values") === 2)
   }
 
+  test("ordered stats: walk stops at first clustering divergence (fail-fast)") {
+    // mirrors PartitionComparator.call: counters cover only the positional
+    // prefix before the first clustering mismatch / exhausted side
+    // pk 1: target misses c1=2 — positions shift, walk dies at pos 2:
+    //   prefix = pos 1 only, even though c1=3 matches set-wise
+    // pk 2: value mismatch at pos 1 does NOT stop the walk (flag + continue)
+    // pk 3: identical rows — full walk, all_clusterings_match
+    val src = wide((1L, 1, "a", 10), (1L, 2, "b", 20), (1L, 3, "c", 30),
+      (2L, 1, "x", 40), (2L, 2, "y", 50),
+      (3L, 1, "k", 60))
+    val tgt = wide((1L, 1, "a", 10), (1L, 3, "c", 30),
+      (2L, 1, "DIFF", 40), (2L, 2, "y", 50),
+      (3L, 1, "k", 60))
+    val got = DiffEngine.orderedPartitionStats(src, tgt, wideSpec, idTok)
+      .collect().map(r => r.getAs[Long]("pk") ->
+        ((r.getAs[Boolean]("all_clusterings_match"),
+          r.getAs[Long]("matched_rows"),
+          r.getAs[Long]("matched_values"),
+          r.getAs[Long]("mismatched_values")))).toMap
+    assert(got(1L) === ((false, 1L, 2L, 0L))) // prefix of 1 row, set-wise would be 2
+    assert(got(2L) === ((true, 2L, 3L, 1L)))  // mismatch counted, walk continued
+    assert(got(3L) === ((true, 1L, 2L, 0L)))
+    // leftover rows on one side => allClusteringsMatch=false, prefix kept
+    val shortTgt = wide((3L, 1, "k", 60))
+    val src3 = wide((3L, 1, "k", 60), (3L, 2, "l", 70))
+    val g3 = DiffEngine.orderedPartitionStats(src3, shortTgt, wideSpec, idTok).collect()(0)
+    assert(g3.getAs[Boolean]("all_clusterings_match") === false)
+    assert(g3.getAs[Long]("matched_rows") === 1)
+    // set semantics on pk 1 counts both surviving rows — the two variants
+    // agree everywhere EXCEPT the documented fail-fast prefix
+    val set = DiffEngine.partitionStats(src, tgt, wideSpec, idTok)
+      .filter(col("pk") === 1L).collect()(0)
+    assert(set.getAs[Long]("matched_rows") === 2)
+  }
+
   test("narrow table (no clustering): one row per partition") {
     val src = Seq((1L, "a", 10), (2L, "b", 20)).toDF("pk", "v1", "v2")
     val tgt = Seq((1L, "a", 10), (2L, "B", 20)).toDF("pk", "v1", "v2")
