@@ -219,10 +219,13 @@ object Dedup {
     // caching keeps the DATA hot but Catalyst still re-analyzes the full
     // lineage, which goes exponential past ~10 rounds. Checkpointing cuts
     // the plan to a leaf, keeping every round's analysis O(1).
+    // lazy: the checkpoint materializes as a side effect of the very next
+    // labelSum action, so each round stays ONE job (eager would run a
+    // separate materialization job per round)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("id"), least(col("id"), col("__mn")).as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // convergence via a monotonic invariant instead of a self-join: every
     // label is the min over a set containing its previous value, so
     // labels never increase — sum(lbl) is unchanged iff NO label moved.
@@ -239,7 +242,7 @@ object Dedup {
       val next = labels.select(col("id"), col("lbl"))
         .unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true) // truncate lineage (see init above)
+        .localCheckpoint(false) // truncate lineage, lazily (see init above)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -18,7 +18,7 @@ object Joins {
     * oracle mirror.
     *
     * Union-window formulation — the scale-correct shape: tag sides,
-    * union, and carry each right payload forward with
+    * union, and carry the matched right row forward as ONE struct with
     * `last(ignoreNulls)` over (key, ts) — ONE shuffle on the key, a
     * within-partition sort, no point lookups, no range explosion. Right
     * rows sort before left rows at equal ts, so `ts` ties are inclusive
