@@ -311,10 +311,6 @@ object DiffEngine {
     // clusteringsEqual, :102-114)
     val clOk = spec.clustering.map(c => col(srcCol(c)) <=> col(tgtCol(c)))
       .foldLeft(col(InSrc) && col(InTgt))(_ && _)
-    val wPk = Window.partitionBy(spec.pk.map(col): _*)
-    val cut = j
-      .withColumn("__cutoff", min(when(!clOk, col(pos))).over(wPk))
-    val inPrefix = col("__cutoff").isNull || col(pos) < col("__cutoff")
     val valueMatches =
       if (spec.regular.isEmpty) lit(0L)
       else spec.regular.map(c =>
@@ -323,6 +319,18 @@ object DiffEngine {
       if (spec.regular.isEmpty) lit(0L)
       else spec.regular.map(c =>
         when(col(srcCol(c)) <=> col(tgtCol(c)), 0L).otherwise(1L)).reduce(_ + _)
+    // reduce every per-position flag/counter BEFORE the post-join
+    // exchange: a full-outer join has unknown output partitioning, so
+    // the cutoff window must re-shuffle on pk — projecting first means
+    // that exchange ships 7 scalar columns instead of both sides' full
+    // payloads
+    val flagged = j.select(spec.pk.map(col) ++ Seq(
+      col(pos), col(InSrc), col(InTgt), clOk.as("__cl_ok"),
+      valueMatches.as("__mv"), valueMismatches.as("__mm")): _*)
+    val wPk = Window.partitionBy(spec.pk.map(col): _*)
+    val cut = flagged
+      .withColumn("__cutoff", min(when(!col("__cl_ok"), col(pos))).over(wPk))
+    val inPrefix = col("__cutoff").isNull || col(pos) < col("__cutoff")
     val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
     cut.groupBy(spec.pk.map(col): _*)
       .agg(
@@ -330,8 +338,8 @@ object DiffEngine {
         max(col(InTgt)).as("in_tgt"),
         min(col("__cutoff")).as("__c"),
         one(inPrefix).as("matched_rows"),
-        sum(when(inPrefix, valueMatches).otherwise(0L)).as("matched_values"),
-        sum(when(inPrefix, valueMismatches).otherwise(0L)).as("mismatched_values"))
+        sum(when(inPrefix, col("__mv")).otherwise(0L)).as("matched_values"),
+        sum(when(inPrefix, col("__mm")).otherwise(0L)).as("mismatched_values"))
       .withColumn("all_clusterings_match", col("__c").isNull)
       .drop("__c")
       .select(spec.pk.map(col) ++ Seq(col("in_src"), col("in_tgt"),
