@@ -15,11 +15,13 @@ import graft.journal.MetadataStore
   */
 final class ResultsApi(store: MetadataStore)(implicit spark: SparkSession) {
 
-  private def summary: DataFrame = store.read("job_summary")
-  private def results: DataFrame = store.read("job_results")
-  private def status: DataFrame = store.read("task_status")
-  private def mismatch: DataFrame = store.read("mismatches")
-  private def errors: DataFrame = store.read("errors")
+  // mergeSchema: a journal accumulates rows across engine versions; the
+  // API must serve mixed-schema datasets, not throw on the first footer
+  private def summary: DataFrame = store.read("job_summary", mergeSchema = true)
+  private def results: DataFrame = store.read("job_results", mergeSchema = true)
+  private def status: DataFrame = store.read("task_status", mergeSchema = true)
+  private def mismatch: DataFrame = store.read("mismatches", mergeSchema = true)
+  private def errors: DataFrame = store.read("errors", mergeSchema = true)
 
   /** GET /jobs/running (DiffJobsResource.java:60-66). */
   def runningJobs(): DataFrame = {

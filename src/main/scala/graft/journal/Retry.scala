@@ -43,13 +43,18 @@ final case class RetryPolicy(baseDelayMs: Long, totalDelayMs: Long) {
 
   /** Run `f`, retrying per the schedule on any non-fatal failure;
     * rethrows once the budget is exhausted (RetryStrategy.retry loop).
+    * `excluding` lists exception classes that must NOT be retried —
+    * thrown through immediately, the reference's
+    * `retryIfNot(retryable, excludedExceptions)`
+    * (RetryStrategy.java:45-65).
     */
-  def retry[T](what: String)(f: => T): T = {
+  def retry[T](what: String, excluding: Seq[Class[_]] = Nil)(f: => T): T = {
     var remaining = schedule
     while (true) {
       try return f
       catch {
-        case scala.util.control.NonFatal(e) =>
+        case scala.util.control.NonFatal(e)
+            if !excluding.exists(_.isInstance(e)) =>
           remaining match {
             case pause :: rest =>
               RetryPolicy.log.warn(

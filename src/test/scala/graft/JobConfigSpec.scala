@@ -121,6 +121,15 @@ class JobConfigSpec extends SparkSpec {
     assertThrows[RuntimeException](
       RetryPolicy(1L, 3L).retry("always") { n += 1; sys.error("down") })
     assert(n === RetryPolicy(1L, 3L).schedule.size + 1)
+    // excluded exception classes are never retried (retryIfNot,
+    // RetryStrategy.java:45-65)
+    var x = 0
+    assertThrows[IllegalStateException](
+      RetryPolicy(1L, 100L).retry("excluded",
+        excluding = Seq(classOf[IllegalStateException])) {
+        x += 1; throw new IllegalStateException("no retry")
+      })
+    assert(x === 1)
   }
 
   test("table specs resolve roles from the corpus registry") {
