@@ -294,8 +294,11 @@ object DiffEngine {
     // deterministic walk order: clustering columns, then regular columns
     // as a tie-break for duplicate clusterings (the reference walks
     // storage order, which files do not preserve — same collation choice
-    // as withOccurrence, mirrored in the SQL oracle)
-    val orderCols = (spec.clustering ++ spec.regular).map(c => col(c).asc_nulls_first)
+    // as withOccurrence, mirrored in the SQL oracle); a pk-only table has
+    // nothing to order by — its rows are indistinguishable — but
+    // row_number still needs SOME ordering, so fall back to the pk
+    val ord0 = spec.clustering ++ spec.regular
+    val orderCols = (if (ord0.nonEmpty) ord0 else spec.pk).map(c => col(c).asc_nulls_first)
     def ranked(df: DataFrame, pfx: String => String): DataFrame =
       df.withColumn(pos, row_number().over(
           Window.partitionBy(spec.pk.map(col): _*).orderBy(orderCols: _*)))

@@ -115,6 +115,14 @@ class DiffEngineSpec extends SparkSpec {
     val set = DiffEngine.partitionStats(src, tgt, wideSpec, idTok)
       .filter(col("pk") === 1L).collect()(0)
     assert(set.getAs[Long]("matched_rows") === 2)
+    // degenerate pk-only table (no clustering, no regulars): rows are
+    // indistinguishable; a count imbalance still fails the walk
+    val pkOnly = TableSpec("t", Seq("pk"))
+    val g4 = DiffEngine.orderedPartitionStats(
+      Seq(1L, 1L).toDF("pk"), Seq(1L).toDF("pk"), pkOnly, idTok).collect()(0)
+    assert(g4.getAs[Boolean]("all_clusterings_match") === false)
+    assert(g4.getAs[Long]("matched_rows") === 1)
+    assert(g4.getAs[Long]("matched_values") === 0)
   }
 
   test("narrow table (no clustering): one row per partition") {
