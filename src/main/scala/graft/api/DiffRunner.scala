@@ -87,9 +87,34 @@ final class DiffRunner(
       }
       val tables = priorSummary match {
         case Some(row) =>
-          val stored = restoreSeq(row, "keyspaces",
-            config.tables.map(_.table)).toSet
-          config.tables.filter(t => stored(t.table))
+          // Params immutability covers the TABLE SET too: the reference
+          // re-runs the full stored set regardless of what the new
+          // submission lists (JobMetadataDb.java:432-490; DiffJob.java:
+          // 136-143). Column roles are persisted per table in
+          // `table_params`, so stored specs are reconstructed outright and
+          // the stored set wins — a table omitted from the re-run config
+          // is still diffed. Journals written before `table_params`
+          // existed fall back to intersecting stored names with the
+          // submitted specs (the only roles available).
+          val storedSpecs =
+            if (store.exists("table_params"))
+              store.read("table_params", mergeSchema = true)
+                .filter(col("job_id") === config.jobId)
+                .collect().toSeq
+            else Seq.empty
+          if (storedSpecs.nonEmpty)
+            storedSpecs.map(r => graft.core.TableSpec(
+              table = r.getAs[String]("table_name"),
+              pk = restoreSeq(r, "pk", Nil),
+              clustering = restoreSeq(r, "clustering", Nil),
+              regular = restoreSeq(r, "regular", Nil),
+              uniqueKey = restore(r, "unique_key", false)))
+              .sortBy(_.table)
+          else {
+            val stored = restoreSeq(row, "keyspaces",
+              config.tables.map(_.table)).toSet
+            config.tables.filter(t => stored(t.table))
+          }
         case None => config.tables
       }
       val partitioner = priorSummary match {
@@ -123,6 +148,17 @@ final class DiffRunner(
           "buckets", "disallowed_tokens", "specific_tokens",
           "sampling_num", "sampling_den", "reverse_read_probability",
           "partitioner", "start_time"))
+      if (priorSummary.isEmpty)
+        // per-table column roles, so a re-run can reconstruct the stored
+        // TableSpecs without trusting the resubmitted config (the
+        // reference stores qualified table names and refetches roles from
+        // cluster metadata, TableSpec.java:71-89; file sources have no
+        // metadata service, so roles live in the journal)
+        store.write("table_params", config.tables.map(t =>
+            (config.jobId, t.table, t.pk, t.clustering, t.regular,
+              t.uniqueKey))
+          .toDF("job_id", "table_name", "pk", "clustering", "regular",
+            "unique_key"))
       val results = tables.map { spec0 =>
         require(spec0.pk.nonEmpty,
           s"table ${spec0.table}: partition key columns must be declared")
@@ -144,14 +180,21 @@ final class DiffRunner(
               .select(col("bucket"), col("status"), col("last_token"))
           else spark.emptyDataFrame
         val resuming = journal.columns.nonEmpty && !journal.isEmpty
+        // The pending test is a pure per-row predicate of the key (token =
+        // f(pk), bucket = pmod(token), journal lookup per bucket), so it is
+        // applied directly to each side with a BROADCAST join against the
+        // journal (≤ options.buckets rows) — the earlier key-scan +
+        // semi-join shape scanned every input twice per side just to
+        // rediscover values derivable row-by-row.
         def onlyPending(df: DataFrame): DataFrame =
           if (!resuming || config.rerun) df
           else {
-            val scanned = DiffEngine.keyScan(df, spec, token)
-            val keys = scanned
-              .withColumn("bucket", DiffEngine.bucketOf(scanned, options.buckets))
-            df.join(Resume.pending(keys, journal, config.rerun)
-              .select(spec.pk.map(col): _*), spec.pk, "left_semi")
+            val keyed = df.withColumn("__token", token(spec.pk.map(col)))
+            val bucketed = keyed.withColumn("__bucket",
+              DiffEngine.bucketOf(keyed, options.buckets, tokenCol = "__token"))
+            Resume.pending(bucketed, broadcast(journal), config.rerun,
+                tokenCol = "__token", bucketCol = "__bucket")
+              .drop("__token", "__bucket")
           }
         val src = DiffEngine.applyTokenFilters(onlyPending(sq.valid), spec, options,
           token)

@@ -464,11 +464,11 @@ object DiffEngine {
     * tokens keep the reference's plain modulus (oracle-stable); string
     * tokens (RandomPartitioner's 127-bit decimals) hash first.
     */
-  def bucketOf(df: DataFrame, buckets: Int): Column =
-    df.schema("token").dataType match {
+  def bucketOf(df: DataFrame, buckets: Int, tokenCol: String = "token"): Column =
+    df.schema(tokenCol).dataType match {
       case org.apache.spark.sql.types.StringType =>
-        pmod(xxhash64(col("token")), lit(buckets))
-      case _ => pmod(col("token"), lit(buckets))
+        pmod(xxhash64(col(tokenCol)), lit(buckets))
+      case _ => pmod(col(tokenCol), lit(buckets))
     }
 
   /** O13: per-bucket progress — running stats + highest completed token

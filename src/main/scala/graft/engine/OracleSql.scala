@@ -125,8 +125,13 @@ object OracleSql {
     val pk = spec.pk.mkString(", ")
     val keySel = spec.pk.map(k => s"COALESCE(s.$k, t.$k) AS $k").mkString(", ")
     val on = (spec.pk.map(k => s"s.$k = t.$k") :+ "s.__pos = t.__pos").mkString(" AND ")
-    val order = (spec.clustering ++ spec.regular)
-      .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+    // pk-only spec: no clustering/regular columns to order by — mirror the
+    // Spark side's fallback (DiffEngine.orderedPartitionStats orders by pk)
+    // instead of emitting an empty, syntactically invalid ORDER BY
+    val orderCols =
+      if ((spec.clustering ++ spec.regular).isEmpty) spec.pk
+      else spec.clustering ++ spec.regular
+    val order = orderCols.map(c => s"$c ASC NULLS FIRST").mkString(", ")
     val rank =
       s"ROW_NUMBER() OVER (PARTITION BY $pk ORDER BY $order) AS __pos"
     val clOk = (Seq("s.__one IS NOT NULL", "t.__one IS NOT NULL") ++

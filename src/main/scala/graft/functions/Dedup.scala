@@ -49,9 +49,17 @@ object Dedup {
   def keepCanonicalByKey(df: DataFrame, idCol: String, keyCol: String,
       skewSafe: Boolean = false): DataFrame =
     if (skewSafe) {
-      val canon = df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
-      df.join(canon, Seq(keyCol, idCol), "left_semi")
-        .select(df.columns.toIndexedSeq.map(col): _*)
+      // null-safe (<=>) equality on BOTH join columns: groupBy collects
+      // NULL keys into one group exactly like the window shape's
+      // partitionBy, so the null-key canonical row must still match its
+      // own (key, id) pair here — plain `===` never matches NULL and
+      // would silently drop every row whose dedup key is NULL (e.g. the
+      // contentHash of a null text).
+      val canon = df.groupBy(col(keyCol).as("__ck"))
+        .agg(min(col(idCol)).as("__cid"))
+      df.join(canon,
+          col(keyCol) <=> col("__ck") && col(idCol) <=> col("__cid"),
+          "left_semi")
     } else {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col(keyCol))
@@ -188,23 +196,40 @@ object Dedup {
     * representative per cluster, not per pair; A~B and B~C must collapse
     * to one group even when A~C was never emitted).
     *
-    * Min-label propagation to a fixpoint: each round every node takes the
-    * minimum label among itself and its neighbors (one join + one
-    * groupBy, both shuffling on id). Rounds needed = the component
-    * diameter, and near-dup clusters are shallow (pairs/stars), so this
-    * converges in 2-3 rounds on real corpora; `maxIters` bounds
-    * pathological chains and convergence is detected with one count per
-    * round. Output: (id, cluster_id) for every id appearing in a pair.
+    * Min-label propagation to a fixpoint with an ACTIVE FRONTIER: a label
+    * can only lower a neighbor's label in the round after it moved, so
+    * each round joins the edges against just the labels that changed last
+    * round (initially the nodes whose fused-init label dropped below
+    * their id), not the whole label frame. Near-dup clusters are shallow
+    * (pairs/stars), so the frontier collapses to a handful of rows after
+    * round one and the per-round join cost falls with it; rounds needed =
+    * component diameter, bounded by `maxIters` (fixpoint reached iff the
+    * frontier empties, which doubles as the convergence test — no extra
+    * aggregate). Output: (id, cluster_id) for every id appearing in a pair.
+    *
+    * Lineage: each round's plan references the previous round's labels
+    * AND frontier, so Catalyst's analysis cost doubles per round if never
+    * truncated. Rather than checkpointing every round (which pushed the
+    * measured floor from ~2.3 s to ~5.7+ s — block storage per round is
+    * not free), intermediate rounds only `persist()` and the lineage is
+    * cut every `checkpointEvery` rounds (analysis ≤ 2^checkpointEvery ×
+    * base, a constant). `localCheckpoint` stores blocks on executors and
+    * is NOT recomputable: on a cluster with dynamic allocation /
+    * decommissioning, losing an executor mid-propagation fails the job.
+    * Pass `reliable = true` (after `sparkContext.setCheckpointDir`) to
+    * use fault-tolerant reliable checkpoints for long cluster runs; the
+    * default keeps the fast executor-local path for short-lived jobs.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 10,
+      checkpointEvery: Int = 3, reliable: Boolean = false): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     // persist the pair source FIRST: the symmetrized union below reads it
     // twice, and Spark does not share common subtrees across union
     // branches — without the persist an expensive upstream pair pipeline
     // (e.g. shingle-blocked Jaccard) runs twice
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).persist()
     // empty pair set is the normal healthy case (no near-dups found):
-    // return an empty (id, cluster_id) frame instead of letting the
-    // convergence aggregate come back null and NPE below
+    // return an empty (id, cluster_id) frame instead of joining nothing
     if (fwd.isEmpty) {
       fwd.unpersist()
       return fwd.select(col("src").as("id"), col("src").as("cluster_id")).limit(0)
@@ -212,51 +237,53 @@ object Dedup {
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
     // first propagation round fused into initialization: lbl = min(self,
-    // neighbors) in the same aggregation that enumerates the nodes.
-    // localCheckpoint (not persist): `labels` feeds BOTH branches of the
-    // next round's union, so its logical plan would double every round —
-    // caching keeps the DATA hot but Catalyst still re-analyzes the full
-    // lineage, which goes exponential past ~10 rounds. Checkpointing cuts
-    // the plan to a leaf, keeping every round's analysis O(1).
-    // lazy: the checkpoint materializes as a side effect of the very next
-    // labelSum action, so each round stays ONE job (eager would run a
-    // separate materialization job per round)
-    var labels = edges.groupBy(col("src").as("id"))
+    // neighbors) in the same aggregation that enumerates the nodes;
+    // __moved marks the initial frontier (label already below own id).
+    // All checkpoints/persists here are LAZY — each round's single
+    // `count` action materializes them, so a round stays ONE job.
+    var state = cut(edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__mn"))
-      .select(col("id"), least(col("id"), col("__mn")).as("lbl"))
-      .localCheckpoint(false)
-    // convergence via a monotonic invariant instead of a self-join: every
-    // label is the min over a set containing its previous value, so
-    // labels never increase — sum(lbl) is unchanged iff NO label moved.
-    // One cheap aggregate per round (sum as decimal: overflow-proof).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
-    var prevSum = labelSum(labels)
+      .select(col("id"), least(col("id"), col("__mn")).as("lbl"),
+        (col("__mn") < col("id")).as("__moved")))
+    var frontier = state.filter(col("__moved")).select(col("id"), col("lbl"))
+    var nMoved = frontier.count()
+    // persisted intermediate rounds stay alive until the NEXT checkpoint
+    // truncates the lineage past them (a persist's recompute path reaches
+    // back to the last cut, so freeing it earlier would be unsafe on a
+    // cluster that can lose cached blocks)
+    var sinceCut: List[DataFrame] = Nil
     var iter = 1
-    var converged = false
-    while (iter < maxIters && !converged) {
-      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("lbl"))
-      val next = labels.select(col("id"), col("lbl"))
-        .unionByName(viaNeighbor)
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false) // truncate lineage, lazily (see init above)
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+    while (iter < maxIters && nMoved > 0) {
+      // propagate ONLY the moved labels across edges; everything else was
+      // already offered to its neighbors in the round it last moved
+      val cand = edges
+        .join(frontier.select(col("id").as("__fid"), col("lbl").as("__flbl")),
+          edges("dst") === col("__fid"))
+        .groupBy(edges("src").as("id")).agg(min(col("__flbl")).as("__cand"))
+      val stepped = state.select(col("id"), col("lbl"))
+        .join(cand, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("__cand"), col("lbl"))).as("lbl"),
+          coalesce(col("__cand") < col("lbl"), lit(false)).as("__moved"))
+      val isCut = iter % checkpointEvery == 0
+      state = if (isCut) cut(stepped) else stepped.persist()
+      frontier = state.filter(col("__moved")).select(col("id"), col("lbl"))
+      nMoved = frontier.count() // ONE action: materializes this round's state
+      if (isCut) { sinceCut.foreach(_.unpersist()); sinceCut = Nil }
+      else sinceCut ::= state
       iter += 1
     }
     fwd.unpersist()
     edges.unpersist()
-    if (!converged)
+    if (nMoved > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dupClusters: labels still moving after maxIters=$maxIters rounds " +
           "(component diameter exceeds the bound) — cluster_ids may split " +
           "one true component into several; raise maxIters")
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    state.select(col("id"), col("lbl").as("cluster_id"))
   }
 
   /** 64-bit SimHash per document, evaluated by the native per-row

@@ -90,18 +90,42 @@ object Joins {
     * `binMicros` should approximate the typical interval width: wider
     * bins = fewer replicas per interval, narrower = fewer false
     * candidates per bin.
+    *
+    * The replica count per interval is clamped at `maxBinsPerInterval`: a
+    * degenerate interval (a multi-year validity range at the default
+    * 1-hour bin) would otherwise explode into 10⁴–10⁵ copies of one row
+    * and own the shuffle. Intervals wider than the clamp are routed down
+    * a separate BROADCAST path instead — such outliers are few by the
+    * same assumption that makes binning work (binMicros ≈ typical width),
+    * so the broadcast side stays small while the equi-join plan of the
+    * normal population is preserved. The union of the two paths is
+    * exactly the unclamped result: the two interval populations are
+    * disjoint, and each (point, interval) pair still meets once.
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame, keyCols: Seq[String],
       pointCol: String, startCol: String, endCol: String,
-      binMicros: Long = 3600000000L): DataFrame = {
+      binMicros: Long = 3600000000L,
+      maxBinsPerInterval: Int = 1024): DataFrame = {
     require(binMicros > 0, "binMicros must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val bin = "__bin"
+    val nb = "__nbins"
+    val contains =
+      col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol)
+    val startBin = floor(unix_micros(col(startCol)) / binMicros)
+    val endBin = floor(unix_micros(col(endCol)) / binMicros)
+    val binned = intervals.withColumn(nb, endBin - startBin + 1L)
     val p = points.withColumn(bin, floor(unix_micros(col(pointCol)) / binMicros))
-    val iv = intervals.withColumn(bin,
-      explode(sequence(floor(unix_micros(col(startCol)) / binMicros),
-        floor(unix_micros(col(endCol)) / binMicros))))
-    p.join(iv, keyCols :+ bin)
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+    val narrow = p
+      .join(binned.filter(col(nb) <= maxBinsPerInterval)
+        .withColumn(bin, explode(sequence(startBin, endBin))).drop(nb),
+        keyCols :+ bin)
+      .filter(contains)
       .drop(bin)
+    val wide = points
+      .join(broadcast(binned.filter(col(nb) > maxBinsPerInterval).drop(nb)),
+        keyCols)
+      .filter(contains)
+    narrow.unionByName(wide)
   }
 }

@@ -36,9 +36,7 @@ final class MetadataStore(val root: String,
 
   def write(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit =
     if (partitionBy.isEmpty)
-      retry.retry(s"journal write $table") {
-        df.write.mode(SaveMode.Append).parquet(path(table))
-      }
+      appendAtomic(table, df, Nil)
     else {
       // a dynamic-partition write of an EMPTY frame emits no files at all,
       // leaving a directory spark.read cannot infer a schema from (the
@@ -54,13 +52,66 @@ final class MetadataStore(val root: String,
             materialized.limit(0).write.mode(SaveMode.Overwrite)
               .parquet(path(table) + "/_schema")
           }
-        else
-          retry.retry(s"journal write $table") {
-            materialized.write.mode(SaveMode.Append)
-              .partitionBy(partitionBy: _*).parquet(path(table))
-          }
+        else appendAtomic(table, materialized, partitionBy)
       } finally materialized.unpersist()
     }
+
+  /** Retry-safe append. A raw `SaveMode.Append` is NOT idempotent under
+    * [[RetryPolicy]]: an attempt that dies after (or during) job commit can
+    * leave committed part files behind, and the retry then appends a second
+    * copy of every row — silently inflating the counters the results API
+    * serves (the reference retries idempotent CQL upserts, so this hazard
+    * is file-sink-specific). Instead each append OVERWRITES a write-unique
+    * hidden staging dir — an arbitrary-failure retry replaces its own
+    * partial output rather than adding to the live dataset — and only a
+    * fully-successful attempt is published by renaming the staged part
+    * files into the dataset (driver-local metadata moves, no data rewrite;
+    * dot-prefixed dirs are invisible to Spark's file index, so a crashed
+    * attempt's leftover staging is inert until cleaned).
+    */
+  private def appendAtomic(table: String, df: DataFrame,
+      partitionBy: Seq[String]): Unit = {
+    val staging =
+      Paths.get(path(table), s".staging-${java.util.UUID.randomUUID}")
+    retry.retry(s"journal write $table") {
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+        .parquet(staging.toString)
+    }
+    publish(staging, Paths.get(path(table)))
+  }
+
+  /** Move staged parquet files (keeping their partition subdirs) into the
+    * live dataset, then drop the staging tree. Part-file names carry a
+    * per-write UUID, so renames cannot collide with existing data.
+    */
+  private def publish(staging: Path, dest: Path): Unit = {
+    Files.createDirectories(dest)
+    val walk = Files.walk(staging)
+    val parts =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")).toList
+      } finally walk.close()
+    parts.foreach { f =>
+      val target = dest.resolve(staging.relativize(f))
+      Files.createDirectories(target.getParent)
+      Files.move(f, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteRecursively(staging)
+  }
+
+  private def deleteRecursively(dir: Path): Unit = {
+    val walk = Files.walk(dir)
+    val all =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toList
+      } finally walk.close()
+    all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+  }
 
   def read(table: String): DataFrame = read(table, mergeSchema = false)
 
@@ -77,11 +128,20 @@ final class MetadataStore(val root: String,
         .parquet(path(table))
   }
 
-  /** Any parquet data file outside the `_schema` sidecar? */
+  /** Any parquet data file Spark's file index would actually see — i.e.
+    * outside the `_schema` sidecar and outside hidden (`.`/`_`-prefixed)
+    * dirs such as a crashed attempt's `.staging-*` leftovers?
+    */
   private def hasDataFiles(base: Path, marker: Path): Boolean = {
     val walk = Files.walk(base)
-    try walk.anyMatch(f =>
-      f.toString.endsWith(".parquet") && !f.startsWith(marker))
+    try walk.anyMatch { f =>
+      val rel = base.relativize(f)
+      f.toString.endsWith(".parquet") && !f.startsWith(marker) &&
+        (0 until rel.getNameCount).forall { i =>
+          val n = rel.getName(i).toString
+          !n.startsWith(".") && !n.startsWith("_")
+        }
+    }
     finally walk.close()
   }
 

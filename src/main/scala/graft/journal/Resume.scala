@@ -27,18 +27,19 @@ object Resume {
     * @param rerun   the reference's `isRerun`: when true, done buckets are
     *                re-compared too (error re-runs, Differ.java:166-171)
     */
-  def pending(work: DataFrame, journal: DataFrame, rerun: Boolean = false): DataFrame = {
+  def pending(work: DataFrame, journal: DataFrame, rerun: Boolean = false,
+      tokenCol: String = "token", bucketCol: String = "bucket"): DataFrame = {
     if (rerun) return work
     val j = journal.select(
       col("bucket").as("__j_bucket"),
       col("status").as("__j_status"),
       col("last_token").as("__j_last_token"))
     work
-      .join(j, work("bucket") === col("__j_bucket"), "left_outer")
+      .join(j, work(bucketCol) === col("__j_bucket"), "left_outer")
       .filter(
         col("__j_status").isNull ||                       // untouched bucket
         (col("__j_status") === StatusInProgress &&        // mid-bucket watermark
-          (col("__j_last_token").isNull || col("token") > col("__j_last_token"))))
+          (col("__j_last_token").isNull || col(tokenCol) > col("__j_last_token"))))
       .drop("__j_bucket", "__j_status", "__j_last_token")
   }
 }

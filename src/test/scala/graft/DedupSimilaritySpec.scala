@@ -125,6 +125,21 @@ class DedupSimilaritySpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("keepCanonical skewSafe: NULL dedup keys kept, matching the window shape") {
+    // contentHash(null text) is NULL: the window shape groups the null
+    // keys into one partition and keeps the canonical (min-id) row, so
+    // the skew-safe semi-join must match the null-key pair too (null-safe
+    // equality) instead of silently dropping every null-text row
+    val df = Seq((1L, "same"), (2L, "same"), (3L, null), (4L, null),
+      (5L, "solo")).toDF("doc_id", "text")
+    val win = Dedup.keepCanonical(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val agg = Dedup.keepCanonical(df, "doc_id", "text", skewSafe = true)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(win === Seq(1L, 3L, 5L))
+    assert(agg === win)
+  }
+
   test("word shingles produce size-n windows and degenerate short docs") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("sh"))
@@ -151,6 +166,20 @@ class DedupSimilaritySpec extends SparkSpec {
     // every +1e6 duplicate labels back to a sub-1e6 canonical
     val dupLabels = clusters.filter(_._1 >= 1000000L).values
     assert(dupLabels.nonEmpty && dupLabels.forall(_ < 1000000L))
+  }
+
+  test("dupClusters: deep chain converges across checkpoint boundaries") {
+    // a 10-node path (diameter 9) forces ~9 frontier rounds, crossing the
+    // every-3rd-round lineage cut three times; label 0 must still reach
+    // the far end exactly
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, maxIters = 15)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 9L).map(_ -> 0L).toMap)
+    // per-round cuts (checkpointEvery = 1, the pre-r6 cadence) agree
+    val every = Dedup.dupClusters(pairs, maxIters = 15, checkpointEvery = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(every === got)
   }
 
   test("dupClusters: empty pair set returns an empty frame, correct schema") {

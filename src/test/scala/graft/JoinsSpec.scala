@@ -81,6 +81,34 @@ class JoinsSpec extends SparkSpec {
     assert(got === Set(("a", "i1"), ("b", "i1"), ("d", "i2"), ("d", "i3")))
   }
 
+  test("range join: degenerate wide interval is clamped to the broadcast path") {
+    val points = Seq(
+      (1L, ts("2024-06-15 12:00:00"), "p1"),  // inside both intervals
+      (1L, ts("2025-07-01 00:00:00"), "p2"),  // outside both
+      (2L, ts("2024-06-15 12:00:00"), "p3")   // right time, wrong key
+    ).toDF("k", "t", "name")
+    val ivs = Seq(
+      // ~8,784 one-hour bins — far past the 1,024 clamp: must NOT explode
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-12-31 23:59:59"), "year"),
+      (1L, ts("2024-06-15 11:00:00"), ts("2024-06-15 13:00:00"), "narrow")
+    ).toDF("k", "lo", "hi", "iv")
+    val joined = Joins.rangeJoin(points, ivs, Seq("k"), "t", "lo", "hi")
+    assert(joined.select("name", "iv").as[(String, String)].collect().toSet ===
+      Set(("p1", "year"), ("p1", "narrow")))
+    // wide intervals ride a broadcast-HASH equi-join (key cols), never a
+    // nested loop; the narrow population keeps the binned equi-join
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // routing is result-invariant: all-broadcast and all-binned agree
+    def result(cap: Int) =
+      Joins.rangeJoin(points, ivs, Seq("k"), "t", "lo", "hi",
+          maxBinsPerInterval = cap)
+        .select("name", "iv").as[(String, String)].collect().toSet
+    assert(result(1) === result(1000000))
+  }
+
   test("asof join property: equals the naive per-key reference on random data") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -149,6 +149,51 @@ class JournalApiSpec extends SparkSpec {
     assert(rerun("orders") === first)   // same scope ⇒ identical stats
   }
 
+  test("re-run restores the FULL stored table set — omitted tables still diffed") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val src = ParquetSource(Sf)
+    val first = new DiffRunner(src, src,
+      DiffJobConfig("stored-set", Seq(Perturb.ordersSpec, Perturb.lineitemSpec),
+        DiffOptions(buckets = 4), metadataRoot = root)).run()
+    assert(first.keySet === Set("orders", "lineitem"))
+    // a re-run submitted WITHOUT lineitem must still diff it: column roles
+    // are reconstructed from the table_params journal, so the stored set
+    // wins outright (reference params immutability, JobMetadataDb.java:432-490)
+    val rerun = new DiffRunner(src, src,
+      DiffJobConfig("stored-set", Seq(Perturb.ordersSpec),
+        DiffOptions(buckets = 4), metadataRoot = root, rerun = true)).run()
+    assert(rerun.keySet === Set("orders", "lineitem"))
+    assert(rerun("lineitem") === first("lineitem"))
+    assert(rerun("orders") === first("orders"))
+  }
+
+  test("journal appends publish atomically: stale staging invisible, appends exact") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val store = new MetadataStore(root)
+    store.write("probe", Seq((1L, "a")).toDF("x", "y"))
+    // a crashed attempt's leftover `.staging-*` dir must never be read
+    // back as journal rows (hidden dirs are outside Spark's file index)
+    Seq((99L, "dead")).toDF("x", "y").write
+      .parquet(java.nio.file.Paths.get(root, "probe", ".staging-dead").toString)
+    assert(store.read("probe").count() === 1)
+    // a second append lands NEXT TO the first (publish must not overwrite)
+    store.write("probe", Seq((2L, "b")).toDF("x", "y"))
+    assert(store.read("probe").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // partitioned appends keep their job_id directory layout through the
+    // staging rename, so per-job filters still prune at directory level
+    store.write("bypart", Seq((1L, "j1")).toDF("v", "job_id"),
+      partitionBy = Seq("job_id"))
+    store.write("bypart", Seq((2L, "j2"), (3L, "j1")).toDF("v", "job_id"),
+      partitionBy = Seq("job_id"))
+    assert(Files.exists(java.nio.file.Paths.get(root, "bypart", "job_id=j1")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "bypart", "job_id=j2")))
+    assert(store.read("bypart").filter(col("job_id") === "j1").count() === 2)
+    assert(store.read("bypart").count() === 3)
+  }
+
   test("fully-matched job: every journal table reads back, empties included") {
     implicit val s: SparkSession = spark
     val root = tmpRoot()
