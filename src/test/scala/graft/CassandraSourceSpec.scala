@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CassandraSource, CqlCatalog, CqlSchema}
+import graft.sources.CqlSchema.{Clustering, CqlColumn, PartitionKey, Regular, Static}
+
+/** Offline tests for the CQL schema-discovery mapping — the testable half
+  * of the Cassandra source seam (reference TableSpec.make,
+  * spark-job/.../TableSpec.java:71-89, which needs a live cluster; the
+  * fixtures below are the `system_schema.columns` rows such a cluster
+  * would serve).
+  */
+class CassandraSourceSpec extends AnyFunSuite {
+
+  test("CQL scalar types map to their Catalyst equivalents") {
+    val want = Map(
+      "text" -> StringType, "ascii" -> StringType, "varchar" -> StringType,
+      "bigint" -> LongType, "counter" -> LongType, "time" -> LongType,
+      "int" -> IntegerType, "smallint" -> ShortType, "tinyint" -> ByteType,
+      "varint" -> DecimalType(38, 0), "decimal" -> DecimalType(38, 18),
+      "float" -> FloatType, "double" -> DoubleType,
+      "boolean" -> BooleanType, "blob" -> BinaryType,
+      "timestamp" -> TimestampType, "date" -> DateType,
+      "uuid" -> StringType, "timeuuid" -> StringType,
+      "inet" -> StringType, "duration" -> StringType)
+    want.foreach { case (cql, dt) =>
+      assert(CqlSchema.toCatalyst(cql) === dt, cql)
+    }
+    // case-insensitive, whitespace-tolerant
+    assert(CqlSchema.toCatalyst("  BigInt ") === LongType)
+  }
+
+  test("nested CQL types: collections, frozen, tuples, vectors") {
+    assert(CqlSchema.toCatalyst("list<int>") ===
+      ArrayType(IntegerType, containsNull = true))
+    assert(CqlSchema.toCatalyst("set<text>") ===
+      ArrayType(StringType, containsNull = false))
+    assert(CqlSchema.toCatalyst("map<text, bigint>") ===
+      MapType(StringType, LongType, valueContainsNull = true))
+    // frozen is a storage property, transparent to shape; nesting recurses
+    assert(CqlSchema.toCatalyst("frozen<map<text, frozen<list<int>>>>") ===
+      MapType(StringType, ArrayType(IntegerType, containsNull = true),
+        valueContainsNull = true))
+    assert(CqlSchema.toCatalyst("tuple<int, text, list<double>>") ===
+      StructType(Seq(
+        StructField("_1", IntegerType),
+        StructField("_2", StringType),
+        StructField("_3", ArrayType(DoubleType, containsNull = true)))))
+    // Cassandra 5 vectors land as the embedding shape the ANN operators use
+    assert(CqlSchema.toCatalyst("vector<float, 128>") ===
+      ArrayType(FloatType, containsNull = false))
+    val err = intercept[IllegalArgumentException] {
+      CqlSchema.toCatalyst("some_udt")
+    }
+    assert(err.getMessage.contains("some_udt"))
+  }
+
+  // the reference's multi-key test shape: composite partition key,
+  // two clustering columns, regular + static values
+  private val events = Seq(
+    CqlColumn("bucket", "int", PartitionKey, position = 1),
+    CqlColumn("tenant", "text", PartitionKey, position = 0),
+    CqlColumn("ts", "timestamp", Clustering, position = 0),
+    CqlColumn("seq", "bigint", Clustering, position = 1),
+    CqlColumn("payload", "blob", Regular),
+    CqlColumn("attrs", "map<text, text>", Regular),
+    CqlColumn("owner", "text", Static))
+
+  test("role extraction mirrors TableSpec.make: keys by position, values compared") {
+    val spec = CqlSchema.toTableSpec("events", events)
+    assert(spec.table === "events")
+    assert(spec.pk === Seq("tenant", "bucket"))       // position order, not input order
+    assert(spec.clustering === Seq("ts", "seq"))
+    assert(spec.regular === Seq("attrs", "owner", "payload")) // static compared too
+    // (pk ++ clustering) is unique by CQL semantics: the engine may skip
+    // the duplicate-occurrence window
+    assert(spec.uniqueKey)
+    val err = intercept[IllegalArgumentException] {
+      CqlSchema.toTableSpec("broken", events.filterNot(_.kind == PartitionKey))
+    }
+    assert(err.getMessage.contains("partition_key"))
+  }
+
+  test("schema: keys first and non-nullable, values nullable") {
+    val st = CqlSchema.toStructType(events)
+    assert(st.fieldNames.toSeq === Seq(
+      "tenant", "bucket", "ts", "seq", "attrs", "owner", "payload"))
+    assert(st("tenant").dataType === StringType && !st("tenant").nullable)
+    assert(st("seq").dataType === LongType && !st("seq").nullable)
+    assert(st("payload").dataType === BinaryType && st("payload").nullable)
+    assert(st("attrs").dataType ===
+      MapType(StringType, StringType, valueContainsNull = true))
+  }
+
+  test("CassandraSource: catalog-backed listing and specs; connector format pinned") {
+    val src = CassandraSource("ks",
+      CqlCatalog.fixed(Map("events" -> events)))
+    assert(src.listTables(null) === Seq("events"))
+    assert(src.spec("events").pk === Seq("tenant", "bucket"))
+    assert(src.schema("events").fieldNames.head === "tenant")
+    assert(CassandraSource.Format === "org.apache.spark.sql.cassandra")
+    val err = intercept[IllegalArgumentException] { src.spec("nope") }
+    assert(err.getMessage.contains("nope"))
+  }
+}

@@ -233,6 +233,32 @@ class DiffEngineSpec extends SparkSpec {
       s"final RangeStats agg gathers to one row in:\n$plan")
   }
 
+  test("ordered-stats plan regression: 3 pk shuffles, counters-only post-join exchange") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val q = DiffEngine.orderedPartitionStats(li,
+      graft.engine.Perturb.lineitemTarget(li), graft.engine.Perturb.lineitemSpec,
+      idTok)
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // one pk window exchange per side + ONE post-join pk exchange for the
+    // cutoff window (the groupBy reuses it); a 4th exchange means either
+    // the (pk, __pos) join stopped reusing the window partitioning or the
+    // final agg re-shuffled
+    val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+    assert(shuffles === 3, s"expected 3 shuffles in:\n$plan")
+    // every exchange hashes on pk alone — never on (pk, __pos)
+    assert(!plan.contains("__pos") ||
+      "hashpartitioning\\([^)]*__pos".r.findAllIn(plan).isEmpty,
+      s"join must reuse the pk-only window partitioning in:\n$plan")
+    // the post-join exchange ships ONLY the 7 reduced scalar columns
+    // (pk, __pos, in_src, in_tgt, __cl_ok, __mv, __mm), not both sides'
+    // full payloads (the e4de5ad shrink)
+    val counterExchange =
+      "Exchange\\s*\\nInput \\[7\\]".r.findAllIn(plan).length
+    assert(counterExchange === 1,
+      s"expected one 7-column counter exchange in:\n$plan")
+  }
+
   test("hot partition key: the diff join cannot skew on it, partial agg bounds the rest") {
     // worst-case partition skew: HALF the table lives in one partition
     // key. AQE cannot split a full-outer sort-merge join, so the engine's
