@@ -534,4 +534,96 @@ object DiffEngine {
       .withColumn("agree",
         statCols.map(c => col(s"fwd_$c") <=> col(s"rev_$c")).reduce(_ && _))
   }
+
+  // ─── Merkle-style digest prefilter ────────────────────────────────────
+  //
+  // The reference compares every row of every partition on every run; its
+  // ecosystem's own repair path (Cassandra validation compaction) knows
+  // better: exchange compact per-range digests first and stream data only
+  // for ranges whose digests disagree. The same idea drops straight into
+  // the diff engine as two aggregations and a semi join, and it is THE
+  // 100 TB lever: on a mostly-matching corpus the full-PK sort-merge join
+  // — the engine's only wide shuffle — runs over the few dirty buckets
+  // instead of everything. Phase 1 is a pure scan + map-side partial
+  // aggregate whose shuffle is `buckets` rows per side, regardless of
+  // data size.
+
+  /** Order-independent full-row content hash. Each column is hashed
+    * separately with its ordinal as a leading seed and the per-column
+    * hashes are hashed together: unlike a single flat
+    * `xxhash64(c0, c1, …)` — which skips NULL inputs entirely, so
+    * (NULL, x) and (x, NULL) collide for same-typed neighbors — a NULL
+    * column here still contributes its position-distinct H(i), keeping
+    * shifted-value rows distinct. Everything stays codegen'd.
+    */
+  def rowContentHash(spec: TableSpec): Column = {
+    val cols = spec.primaryKey ++ spec.regular
+    xxhash64(cols.zipWithIndex.map { case (c, i) =>
+      xxhash64(lit(i), col(c)) }: _*)
+  }
+
+  /** Phase 1 of [[digestDiff]]: per-bucket digest of one side —
+    * row count, wrap-free decimal sum and xor of the row content hash.
+    * Sum (multiset-faithful) + xor + count together make an accidental
+    * digest collision on differing buckets a ~2⁻¹²⁸ event; the
+    * `diff_digest_buckets` oracle cross-checks the verdict against a
+    * DuckDB multiset comparison on every run. The groupBy partial-
+    * aggregates map-side, so the shuffle ships at most `buckets` rows.
+    */
+  def bucketDigest(df: DataFrame, spec0: TableSpec, buckets: Int,
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val spec = spec0.bind(df)
+    df.select(
+        bucket(token(spec.pk.map(col)), buckets).as("bucket"),
+        rowContentHash(spec).as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rows"),
+        sum(col("__h").cast("decimal(38,0)")).as("hash_sum"),
+        expr("bit_xor(__h)").as("hash_xor"))
+  }
+
+  /** Per-bucket digest comparison: `(bucket, src_rows, tgt_rows,
+    * digest_match)`. A bucket present on one side only is a mismatch by
+    * construction (null-safe equality against the absent side's nulls).
+    */
+  def digestCompare(src: DataFrame, tgt: DataFrame, spec: TableSpec,
+      buckets: Int, token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val s = bucketDigest(src, spec, buckets, token)
+      .select(col("bucket"), col("rows").as("__sr"),
+        col("hash_sum").as("__ss"), col("hash_xor").as("__sx"))
+    val t = bucketDigest(tgt, spec, buckets, token)
+      .select(col("bucket"), col("rows").as("__tr"),
+        col("hash_sum").as("__ts"), col("hash_xor").as("__tx"))
+    s.join(t, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("__sr"), lit(0L)).as("src_rows"),
+        coalesce(col("__tr"), lit(0L)).as("tgt_rows"),
+        (col("__sr") <=> col("__tr") && col("__ss") <=> col("__ts") &&
+          col("__sx") <=> col("__tx")).as("digest_match"))
+  }
+
+  /** Phase 2: the full mismatch diff restricted to dirty buckets. The
+    * dirty-bucket set (≤ `digestBuckets` rows of one long) broadcasts as
+    * a semi-join filter on each side, so the second scan sheds every row
+    * of every clean bucket BEFORE the full-PK shuffle. Size
+    * `digestBuckets` so a bucket is a unit of re-work: ~10⁵-10⁶ at
+    * 100 TB keeps buckets at tens-of-MB granularity while the phase-1
+    * shuffle stays a few MB. Output and semantics are identical to
+    * [[mismatches]] — every mismatched partition lives in a bucket whose
+    * digest necessarily disagrees — which is exactly what the
+    * `diff_digest_mismatches` oracle asserts.
+    */
+  def digestDiff(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
+      opts: DiffOptions = DiffOptions(), digestBuckets: Int = 4096,
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val spec = spec0.bind(src)
+    val dirty = digestCompare(src, tgt, spec, digestBuckets, token)
+      .filter(!col("digest_match"))
+      .select(col("bucket").as("__dirty_bucket"))
+    def restrict(df: DataFrame): DataFrame =
+      df.join(broadcast(dirty),
+        bucket(token(spec.pk.map(col)), digestBuckets) === col("__dirty_bucket"),
+        "left_semi")
+    mismatches(restrict(src), restrict(tgt), spec, opts, token)
+  }
 }

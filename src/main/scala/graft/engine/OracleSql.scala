@@ -173,6 +173,43 @@ object OracleSql {
        |FROM c GROUP BY $pk""".stripMargin
   }
 
+  /** Digest-prefilter phase-1 oracle: ground-truth per-bucket verdicts.
+    * The engine answers `digest_match` from hash digests; the oracle
+    * recomputes the answer from first principles — a bucket matches iff
+    * the two sides' row MULTISETS in that bucket are identical (group
+    * both sides by every column + bucket, full-join on null-safe
+    * equality, flag any count disagreement). A digest collision — the
+    * engine saying "match" where the multisets differ — fails the hash
+    * gate here. Identity token, matching the engine's oracle queries.
+    */
+  def digestBuckets(spec: TableSpec, srcSql: String, tgtSql: String,
+      buckets: Int): String = {
+    val all = spec.primaryKey ++ spec.regular
+    val cols = all.mkString(", ")
+    val on = (Seq("s.bucket = t.bucket") ++
+      all.map(c => s"s.$c IS NOT DISTINCT FROM t.$c")).mkString(" AND ")
+    s"""WITH src AS ($srcSql), tgt AS ($tgtSql),
+       |sm AS (SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket, $cols, COUNT(*) AS c
+       |       FROM src GROUP BY ALL),
+       |tm AS (SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket, $cols, COUNT(*) AS c
+       |       FROM tgt GROUP BY ALL),
+       |dirty AS (
+       |  SELECT DISTINCT COALESCE(s.bucket, t.bucket) AS bucket
+       |  FROM sm s FULL OUTER JOIN tm t ON $on
+       |  WHERE s.c IS DISTINCT FROM t.c
+       |),
+       |sc AS (SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket,
+       |              CAST(COUNT(*) AS BIGINT) AS src_rows FROM src GROUP BY 1),
+       |tc AS (SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket,
+       |              CAST(COUNT(*) AS BIGINT) AS tgt_rows FROM tgt GROUP BY 1)
+       |SELECT COALESCE(sc.bucket, tc.bucket) AS bucket,
+       |       COALESCE(src_rows, 0) AS src_rows,
+       |       COALESCE(tgt_rows, 0) AS tgt_rows,
+       |       (d.bucket IS NULL) AS digest_match
+       |FROM sc FULL OUTER JOIN tc ON sc.bucket = tc.bucket
+       |LEFT JOIN dirty d ON COALESCE(sc.bucket, tc.bucket) = d.bucket""".stripMargin
+  }
+
   /** Mismatch-sink oracle (O14). */
   def mismatches(spec: TableSpec, srcSql: String, tgtSql: String, buckets: Int): String =
     s"""WITH ${partitionCtes(spec, srcSql, tgtSql)}

@@ -40,6 +40,20 @@ object DiffQueries {
     "diff_mismatches" -> ((s, dir) =>
       DiffEngine.mismatches(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
         lineitemSpec, DiffOptions(buckets = 100), idTok)),
+    // Merkle-style digest prefilter, phase 1: per-bucket digest verdicts
+    // (64 buckets so the output exposes both clean and dirty buckets).
+    // The oracle recomputes each verdict from a first-principles multiset
+    // comparison, so a digest false-match trips the hash gate.
+    "diff_digest_buckets" -> ((s, dir) =>
+      DiffEngine.digestCompare(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, buckets = 64, idTok)),
+    // both phases end-to-end: digests narrow to dirty buckets, the full
+    // mismatch diff runs over those only — and must find EXACTLY the
+    // same mismatch set as the unfiltered diff (same oracle as
+    // diff_mismatches), proving the prefilter drops nothing
+    "diff_digest_mismatches" -> ((s, dir) =>
+      DiffEngine.digestDiff(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, DiffOptions(buckets = 100), digestBuckets = 4096, idTok)),
     // O1+O4: partition-key scan + presence classification counts
     "diff_key_classify" -> ((s, dir) =>
       DiffEngine.keyDiff(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
@@ -109,6 +123,10 @@ object DiffQueries {
     "diff_partition_stats" -> OracleSql.partitionStats(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_mismatches" -> OracleSql.mismatches(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
+    "diff_digest_buckets" -> OracleSql.digestBuckets(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 64),
+    "diff_digest_mismatches" -> OracleSql.mismatches(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
     "diff_key_classify" -> OracleSql.keyClassify(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),

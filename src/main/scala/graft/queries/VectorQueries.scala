@@ -44,12 +44,34 @@ object VectorQueries {
     // no cross product); rows-only gate + recall ScalaTest
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", k = 5)),
-    // IVF approximate top-k — coarse-quantizer lists, nprobe probing;
-    // rows-only gate + recall ScalaTest (trained centroids are means over
-    // doubles, order-dependent, so never bit-reproducible cross-engine)
-    "ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), "vec_id", "embedding", k = 5,
-        nlist = 16, nprobe = 4)),
+    // IVF approximate top-k — coarse-quantizer lists, nprobe probing.
+    // TRAINED centroids (means over doubles) are never bit-reproducible
+    // cross-engine, so the raw neighbor list cannot be hash-matched;
+    // instead the query grades itself: recall@5 of the trained-IVF result
+    // against the in-plan brute-force truth for a fixed query subset,
+    // thresholded at 0.3 (measured 0.577 on this corpus — the floor
+    // catches a broken quantizer/probe/join, not centroid jitter). The
+    // oracle recomputes n_queries and asserts the verdict TRUE, the same
+    // self-grading pattern as q_approx_distinct.
+    "ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4).filter(col("query_id") < 64)
+      val truth = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 64), e, "vec_id", "embedding", k = 5)
+      val hits = ivf.as("i").join(truth.as("b"),
+          col("i.query_id") === col("b.query_id") &&
+            col("i.neighbor_id") === col("b.neighbor_id"))
+        .groupBy(col("i.query_id").as("query_id"))
+        .agg(count(lit(1)).as("hits"))
+      e.filter(col("vec_id") < 64).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(coalesce(col("hits"), lit(0L))) / (count(lit(1)) * 5.0))
+            .as("recall"))
+        .select(col("n_queries"),
+          (col("recall") >= 0.3).as("recall_floor_met"))
+    }),
     // IVF MECHANICS value-checked: assignment, probe selection, candidate
     // join and rerank over FIXED literal centroids, hash-matched in DuckDB
     "ann_ivf_fixed" -> ((s, dir) =>
@@ -85,6 +107,14 @@ object VectorQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
     "embed_neardup" -> neardupOracleSql,
     "ann_lsh" -> lshTopKOracleSql,
+    // self-grading verdict (see the ann_ivf query comment): DuckDB owns
+    // n_queries; TRUE is the asserted recall verdict — if Spark's trained
+    // IVF ever drops below the 0.3 recall floor the flag flips and the
+    // hash gate trips
+    "ann_ivf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 64""".stripMargin,
     "ann_ivf_fixed" -> ivfFixedOracleSql,
     "embed_dedup_canonical" ->
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($neardupOracleSql)),

@@ -334,4 +334,76 @@ class DiffEngineSpec extends SparkSpec {
       DiffEngine.rowLevel(src, tgt, wideSpec.copy(regular = Nil))
     }
   }
+
+  test("digest prefilter: identical sides all match and the diff is empty") {
+    val t = wide((1L, 1, "a", 10), (2L, 1, "b", 20), (17L, 2, "c", null))
+    val cmp = DiffEngine.digestCompare(t, t, wideSpec, buckets = 8, idTok).collect()
+    assert(cmp.nonEmpty && cmp.forall(_.getAs[Boolean]("digest_match")))
+    assert(DiffEngine.digestDiff(t, t, wideSpec, DiffOptions(),
+      digestBuckets = 8, token = idTok).isEmpty)
+  }
+
+  test("digest prefilter: dirty buckets are exactly the buckets holding mismatches") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val tgt = graft.engine.Perturb.lineitemTarget(li)
+    val spec = graft.engine.Perturb.lineitemSpec
+    val b = 64
+    val dirty = DiffEngine.digestCompare(li, tgt, spec, b, idTok)
+      .filter(!col("digest_match")).select("bucket")
+      .as[Long].collect().toSet
+    val truth = DiffEngine.partitionStats(li, tgt, spec, idTok)
+      .filter(col("classification") =!= C.Matched)
+      .select(pmod(col("token"), lit(b)).as("bucket"))
+      .distinct().as[Long].collect().toSet
+    assert(dirty === truth)
+  }
+
+  test("digest diff finds exactly the full diff's mismatch set") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val tgt = graft.engine.Perturb.lineitemTarget(li)
+    val spec = graft.engine.Perturb.lineitemSpec
+    val opts = DiffOptions(buckets = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("token", "mismatch_type").as[(Long, String)].collect().toSet
+    val full = rows(DiffEngine.mismatches(li, tgt, spec, opts, idTok))
+    val two = rows(DiffEngine.digestDiff(li, tgt, spec, opts,
+      digestBuckets = 512, token = idTok))
+    assert(full.nonEmpty && two === full)
+  }
+
+  test("row content hash distinguishes a value shifted into a NULL neighbor") {
+    // a flat xxhash64(a, b) skips NULLs, making these two rows collide;
+    // the per-column-salted hash must not
+    val spec = TableSpec("ns", Seq("pk"), Nil, Seq("a", "b"))
+    val src = Seq((1L, Option.empty[String], Option("x"))).toDF("pk", "a", "b")
+    val tgt = Seq((1L, Option("x"), Option.empty[String])).toDF("pk", "a", "b")
+    val cmp = DiffEngine.digestCompare(src, tgt, spec, buckets = 4, idTok).collect()
+    assert(cmp.length === 1 && !cmp(0).getAs[Boolean]("digest_match"))
+  }
+
+  test("digest plan regression: phase 1 ships digests, phase 2 broadcasts the dirty set") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val tgt = graft.engine.Perturb.lineitemTarget(li)
+    val spec = graft.engine.Perturb.lineitemSpec
+    val p1 = DiffEngine.digestCompare(li, tgt, spec, 64, idTok)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // one bucket-keyed exchange per side (post partial-agg, so it ships
+    // at most `buckets` digest rows), nothing else
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p1).length === 2,
+      s"phase 1 must shuffle only the two digest aggregations in:\n$p1")
+    assert("hashpartitioning\\(bucket".r.findAllIn(p1).length === 2,
+      s"phase-1 exchanges must key on bucket in:\n$p1")
+    val p2 = DiffEngine.digestDiff(li, tgt, spec, DiffOptions(),
+        digestBuckets = 512, token = idTok)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the dirty-bucket restriction must be broadcast semi joins — never a
+    // shuffle of the data on the bucket key (one per side, and more when
+    // the filter pushes into union branches, which is desirable)
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p2).length >= 2,
+      s"expected broadcast semi joins on both sides in:\n$p2")
+    assert(!"hashpartitioning\\(__dirty_bucket".r.findAllIn(p2).hasNext,
+      s"dirty-bucket set must broadcast, not shuffle, in:\n$p2")
+  }
 }
