@@ -571,15 +571,20 @@ object DiffEngine {
     * aggregates map-side, so the shuffle ships at most `buckets` rows.
     */
   def bucketDigest(df: DataFrame, spec0: TableSpec, buckets: Int,
-      token: Seq[Column] => Column = defaultToken): DataFrame = {
+      token: Seq[Column] => Column = defaultToken,
+      partitionCounts: Boolean = false): DataFrame = {
     val spec = spec0.bind(df)
-    df.select(
-        bucket(token(spec.pk.map(col)), buckets).as("bucket"),
-        rowContentHash(spec).as("__h"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("rows"),
-        sum(col("__h").cast("decimal(38,0)")).as("hash_sum"),
-        expr("bit_xor(__h)").as("hash_xor"))
+    val base = df.select(
+      bucket(token(spec.pk.map(col)), buckets).as("bucket") +:
+        spec.pk.map(col) :+ rowContentHash(spec).as("__h"): _*)
+    val aggs = Seq(count(lit(1)).as("rows"),
+      sum(col("__h").cast("decimal(38,0)")).as("hash_sum"),
+      expr("bit_xor(__h)").as("hash_xor")) ++
+      // [[digestRangeStats]] needs the per-bucket partition count to
+      // credit clean buckets with matched_partitions without joining them
+      (if (partitionCounts) Seq(countDistinct(spec.pk.head,
+        spec.pk.tail: _*).as("parts")) else Nil)
+    base.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Per-bucket digest comparison: `(bucket, src_rows, tgt_rows,
@@ -625,5 +630,74 @@ object DiffEngine {
         bucket(token(spec.pk.map(col)), digestBuckets) === col("__dirty_bucket"),
         "left_semi")
     mismatches(restrict(src), restrict(tgt), spec, opts, token)
+  }
+
+  /** [[rangeStats]] through the digest prefilter — the headline query's
+    * 100 TB shape. Clean buckets never reach the join: their counter
+    * contribution is pure arithmetic (every partition matched, every row
+    * matched, every value matched — `rows × |regular|`), with the
+    * per-bucket distinct-pk count carried by phase 1. Only dirty buckets
+    * run [[partitionStats]]. The result is bit-identical to
+    * [[rangeStats]] (same oracle), but on a mostly-matching corpus the
+    * wide shuffle shrinks to the dirty fraction; the extra cost is the
+    * phase-1 distinct-pk partial aggregate, which ships one narrow row
+    * per partition instead of every data row with payloads.
+    */
+  def digestRangeStats(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
+      opts: DiffOptions = DiffOptions(), digestBuckets: Int = 4096,
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val spec = spec0.bind(src)
+    spec.validateSides(src, tgt)
+    val fs = applyTokenFilters(src, spec, opts, token)
+    val ft = applyTokenFilters(tgt, spec, opts, token)
+    val s = bucketDigest(fs, spec, digestBuckets, token, partitionCounts = true)
+      .select(col("bucket"), col("rows").as("__sr"), col("parts").as("__sp"),
+        col("hash_sum").as("__ss"), col("hash_xor").as("__sx"))
+    val t = bucketDigest(ft, spec, digestBuckets, token, partitionCounts = true)
+      .select(col("bucket"), col("rows").as("__tr"),
+        col("hash_sum").as("__ts"), col("hash_xor").as("__tx"))
+    val cmp = s.join(t, Seq("bucket"), "full_outer")
+      .withColumn("__match",
+        col("__sr") <=> col("__tr") && col("__ss") <=> col("__ts") &&
+          col("__sx") <=> col("__tx"))
+    val clean = cmp.filter(col("__match")).agg(
+      coalesce(sum(col("__sp")), lit(0L)).as("__clean_parts"),
+      coalesce(sum(col("__sr")), lit(0L)).as("__clean_rows"))
+    val dirtyBuckets = cmp.filter(!col("__match"))
+      .select(col("bucket").as("__dirty_bucket"))
+    def restrict(df: DataFrame): DataFrame =
+      df.join(broadcast(dirtyBuckets),
+        bucket(token(spec.pk.map(col)), digestBuckets) === col("__dirty_bucket"),
+        "left_semi")
+    val ps = partitionStats(restrict(fs), restrict(ft), spec, token)
+    val both = col("in_src") && col("in_tgt")
+    val dirty = ps.agg(
+      sum(when(col("classification") === C.Matched, 1L).otherwise(0L)).as("__d_mp"),
+      sum(when(col("classification") === C.PartitionMismatch, 1L).otherwise(0L)).as("__d_mm"),
+      sum(when(col("classification") === C.OnlyInSource, 1L).otherwise(0L)).as("__d_os"),
+      sum(when(col("classification") === C.OnlyInTarget, 1L).otherwise(0L)).as("__d_ot"),
+      sum(when(both, col("matched_rows")).otherwise(0L)).as("__d_mr"),
+      sum(when(both, col("matched_values")).otherwise(0L)).as("__d_mv"),
+      sum(when(both, col("mismatched_values")).otherwise(0L)).as("__d_mmv"))
+    val noFilters = opts.disallowedTokens.isEmpty && !opts.samplingEnabled &&
+      opts.specificTokens.isEmpty
+    val skipped =
+      if (noFilters)
+        src.sparkSession.range(1).select(lit(0L).as("skipped_partitions"))
+      else skippedPartitions(src, tgt, spec, opts, token)
+        .agg(count(lit(1)).as("skipped_partitions"))
+    // all three sides are single-row aggregates — 1x1 attaches, like
+    // rangeStatsFromPartitions' skipped counter
+    clean.crossJoin(dirty).select(
+        (col("__clean_parts") + coalesce(col("__d_mp"), lit(0L))).as("matched_partitions"),
+        coalesce(col("__d_mm"), lit(0L)).as("mismatched_partitions"),
+        coalesce(col("__d_os"), lit(0L)).as("only_in_source"),
+        coalesce(col("__d_ot"), lit(0L)).as("only_in_target"),
+        (col("__clean_rows") + coalesce(col("__d_mr"), lit(0L))).as("matched_rows"),
+        (col("__clean_rows") * lit(spec.regular.size.toLong) +
+          coalesce(col("__d_mv"), lit(0L))).as("matched_values"),
+        coalesce(col("__d_mmv"), lit(0L)).as("mismatched_values"))
+      .crossJoin(skipped)
+      .withColumn("table_name", lit(spec.table))
   }
 }

@@ -54,6 +54,12 @@ object DiffQueries {
     "diff_digest_mismatches" -> ((s, dir) =>
       DiffEngine.digestDiff(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
         lineitemSpec, DiffOptions(buckets = 100), digestBuckets = 4096, idTok)),
+    // the headline RangeStats through the prefilter: clean buckets are
+    // credited arithmetically, only dirty buckets join — bit-identical
+    // output to diff_range_stats (same oracle)
+    "diff_digest_range_stats" -> ((s, dir) =>
+      DiffEngine.digestRangeStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
+        lineitemSpec, DiffOptions(), digestBuckets = 4096, idTok)),
     // O1+O4: partition-key scan + presence classification counts
     "diff_key_classify" -> ((s, dir) =>
       DiffEngine.keyDiff(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
@@ -128,6 +134,8 @@ object DiffQueries {
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 64),
     "diff_digest_mismatches" -> OracleSql.mismatches(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
+    "diff_digest_range_stats" -> OracleSql.rangeStats(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_key_classify" -> OracleSql.keyClassify(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_ordered_stats" -> OracleSql.orderedPartitionStats(lineitemSpec,

@@ -371,6 +371,39 @@ class DiffEngineSpec extends SparkSpec {
     assert(full.nonEmpty && two === full)
   }
 
+  test("digest range stats is bit-identical to the full range stats") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val liTgt = graft.engine.Perturb.lineitemTarget(li)
+    val full = DiffEngine.rangeStats(li, liTgt,
+      graft.engine.Perturb.lineitemSpec, DiffOptions(), idTok).collect()(0)
+    val digest = DiffEngine.digestRangeStats(li, liTgt,
+      graft.engine.Perturb.lineitemSpec, DiffOptions(),
+      digestBuckets = 512, token = idTok).collect()(0)
+    assert(digest === full)
+    // narrow uniqueKey shape too (no clustering, different counter paths)
+    val o = graft.engine.Tables.load(spark, Sf, "orders")
+    val oTgt = graft.engine.Perturb.ordersTarget(o)
+    val fullN = DiffEngine.rangeStats(o, oTgt,
+      graft.engine.Perturb.ordersSpec, DiffOptions(), idTok).collect()(0)
+    val digestN = DiffEngine.digestRangeStats(o, oTgt,
+      graft.engine.Perturb.ordersSpec, DiffOptions(),
+      digestBuckets = 512, token = idTok).collect()(0)
+    assert(digestN === fullN)
+  }
+
+  test("digest range stats honors token filters (sampling + disallowed)") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val liTgt = graft.engine.Perturb.lineitemTarget(li)
+    val opts = DiffOptions(samplingNum = 1, samplingDen = 3,
+      disallowedTokens = Seq(6L))
+    val full = DiffEngine.rangeStats(li, liTgt,
+      graft.engine.Perturb.lineitemSpec, opts, idTok).collect()(0)
+    val digest = DiffEngine.digestRangeStats(li, liTgt,
+      graft.engine.Perturb.lineitemSpec, opts,
+      digestBuckets = 512, token = idTok).collect()(0)
+    assert(digest === full)
+  }
+
   test("row content hash distinguishes a value shifted into a NULL neighbor") {
     // a flat xxhash64(a, b) skips NULLs, making these two rows collide;
     // the per-column-salted hash must not
