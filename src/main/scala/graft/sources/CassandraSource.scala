@@ -28,10 +28,13 @@ object CqlSchema {
   case object Static extends Kind("static")
 
   /** One row of table metadata, as served by `system_schema.columns`.
-    * `position` orders multi-column partition/clustering keys.
+    * `position` orders multi-column partition/clustering keys;
+    * `clusteringOrder` is the declared sort direction (`asc`/`desc` for
+    * clustering columns, `none` otherwise — the literal values
+    * `system_schema.columns.clustering_order` serves).
     */
   final case class CqlColumn(name: String, cqlType: String, kind: Kind,
-      position: Int = 0)
+      position: Int = 0, clusteringOrder: String = "none")
 
   /** CQL scalar type → Catalyst type (public CQL grammar; same pairings
     * the open-source Spark connector documents). Cassandra-only notions
@@ -125,10 +128,85 @@ object CqlSchema {
       uniqueKey = true)
   }
 
-  private def ordered(cols: Seq[CqlColumn]): Seq[CqlColumn] =
+  private[sources] def ordered(cols: Seq[CqlColumn]): Seq[CqlColumn] =
     cols.filter(_.kind == PartitionKey).sortBy(_.position) ++
       cols.filter(_.kind == Clustering).sortBy(_.position) ++
       cols.filter(c => c.kind == Regular || c.kind == Static).sortBy(_.name)
+}
+
+/** CQL read-statement generation — the query half of the connector seam,
+  * mirroring the three prepared reads the reference builds per table
+  * (DiffCluster.java:214-251): the token-range DISTINCT key scan (O1),
+  * the forward full-partition read (O2), and the reverse read with every
+  * declared clustering order flipped (O3, skipped when the table has no
+  * clustering columns, DiffCluster.java:258-261). Identifiers are
+  * double-quoted like the reference's cqlizedString/columnToString
+  * (DiffContext.java:63-69, DiffCluster.java:281-284), with embedded
+  * quotes escaped per CQL. `?` bind markers stand where the reference
+  * binds split bounds / key values.
+  */
+object CqlStatements {
+  import CqlSchema._
+
+  /** Quote an identifier (idempotent on already-quoted names, like the
+    * reference; embedded `"` doubled per the CQL grammar).
+    */
+  def quote(id: String): String =
+    if (id.startsWith("\"")) id
+    else "\"" + id.replace("\"", "\"\"") + "\""
+
+  private def tokenOf(pk: Seq[String]): String =
+    pk.map(quote).mkString("token(", ",", ")")
+
+  private def pkOf(cols: Seq[CqlColumn]): Seq[String] = {
+    val pk = cols.filter(_.kind == PartitionKey).sortBy(_.position).map(_.name)
+    require(pk.nonEmpty, "no partition_key columns in metadata")
+    pk
+  }
+
+  /** O1: `SELECT DISTINCT token(pk...), pk... WHERE token > ? AND
+    * token <= ?` — one page of distinct partition keys per split.
+    */
+  def keyScan(keyspace: String, table: String, cols: Seq[CqlColumn]): String = {
+    val pk = pkOf(cols)
+    val tok = tokenOf(pk)
+    s"SELECT DISTINCT $tok,${pk.map(quote).mkString(",")} " +
+      s"FROM ${quote(keyspace)}.${quote(table)} " +
+      s"WHERE $tok>? AND $tok<=?;"
+  }
+
+  /** O2: full-partition forward read — token + every column in metadata
+    * order (keys first, then remaining columns alphabetically, the same
+    * deterministic projection [[CqlSchema.toStructType]] produces),
+    * keyed by equality on each partition-key column.
+    */
+  def forwardRead(keyspace: String, table: String, cols: Seq[CqlColumn]): String = {
+    val pk = pkOf(cols)
+    val all = ordered(cols).map(c => quote(c.name)).mkString(",")
+    s"SELECT ${tokenOf(pk)},$all " +
+      s"FROM ${quote(keyspace)}.${quote(table)} " +
+      s"WHERE ${pk.map(c => s"${quote(c)}=?").mkString(" AND ")};"
+  }
+
+  /** O3: the reverse read — [[forwardRead]] plus ORDER BY with every
+    * declared clustering direction flipped (`asc`→DESC, `desc`→ASC).
+    * None when the table has no clustering columns: a reverse read makes
+    * no sense and the reference never prepares one.
+    */
+  def reverseRead(keyspace: String, table: String,
+      cols: Seq[CqlColumn]): Option[String] = {
+    val cl = cols.filter(_.kind == Clustering).sortBy(_.position)
+    if (cl.isEmpty) None
+    else {
+      val order = cl.map { c =>
+        val dir =
+          if (c.clusteringOrder.equalsIgnoreCase("desc")) "ASC" else "DESC"
+        s"${quote(c.name)} $dir"
+      }.mkString(",")
+      Some(forwardRead(keyspace, table, cols).dropRight(1) +
+        s" ORDER BY $order;")
+    }
+  }
 }
 
 /** Table metadata catalog for a CQL source. The live implementation is a

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{CassandraSource, CqlCatalog, CqlSchema}
+import graft.sources.{CassandraSource, CqlCatalog, CqlSchema, CqlStatements}
 import graft.sources.CqlSchema.{Clustering, CqlColumn, PartitionKey, Regular, Static}
 
 /** Offline tests for the CQL schema-discovery mapping — the testable half
@@ -92,6 +92,40 @@ class CassandraSourceSpec extends AnyFunSuite {
     assert(st("payload").dataType === BinaryType && st("payload").nullable)
     assert(st("attrs").dataType ===
       MapType(StringType, StringType, valueContainsNull = true))
+  }
+
+  test("key scan CQL: DISTINCT token + pk columns, token-range bounds (O1)") {
+    assert(CqlStatements.keyScan("ks", "events", events) ===
+      """SELECT DISTINCT token("tenant","bucket"),"tenant","bucket" """.trim +
+        """ FROM "ks"."events" WHERE token("tenant","bucket")>? AND token("tenant","bucket")<=?;""")
+  }
+
+  test("forward read CQL: token + all columns in metadata order, pk equality (O2)") {
+    assert(CqlStatements.forwardRead("ks", "events", events) ===
+      """SELECT token("tenant","bucket"),"tenant","bucket","ts","seq","attrs","owner","payload" """.trim +
+        """ FROM "ks"."events" WHERE "tenant"=? AND "bucket"=?;""")
+  }
+
+  test("reverse read CQL flips each declared clustering order (O3)") {
+    // ts declared asc (default), seq declared desc: reverse = ts DESC, seq ASC
+    val declared = events.map {
+      case c if c.name == "ts" => c.copy(clusteringOrder = "asc")
+      case c if c.name == "seq" => c.copy(clusteringOrder = "desc")
+      case c => c
+    }
+    val rev = CqlStatements.reverseRead("ks", "events", declared)
+    assert(rev.get.endsWith("""ORDER BY "ts" DESC,"seq" ASC;"""))
+    assert(rev.get.startsWith("""SELECT token("tenant","bucket")"""))
+    // no clustering columns => no reverse statement, like the reference
+    // (DiffCluster.java:258-261)
+    val flat = events.filterNot(_.kind == Clustering)
+    assert(CqlStatements.reverseRead("ks", "flat", flat).isEmpty)
+  }
+
+  test("identifier quoting is idempotent and escapes embedded quotes") {
+    assert(CqlStatements.quote("CamelCase") === "\"CamelCase\"")
+    assert(CqlStatements.quote("\"already\"") === "\"already\"")
+    assert(CqlStatements.quote("odd\"name") === "\"odd\"\"name\"")
   }
 
   test("CassandraSource: catalog-backed listing and specs; connector format pinned") {
