@@ -562,6 +562,17 @@ object DiffEngine {
       xxhash64(lit(i), col(c)) }: _*)
   }
 
+  /** Digest bucket of a frame's token expression, tolerant of token type
+    * like [[bucketOf]]: numeric tokens take the plain modulus (oracle-
+    * stable); RandomPartitioner's 127-bit decimal strings hash first.
+    */
+  private def digestBucket(df: DataFrame, tok: Column, buckets: Int): Column = {
+    val t = df.select(tok.as("__t")).schema("__t").dataType
+    if (t == org.apache.spark.sql.types.StringType)
+      pmod(xxhash64(tok), lit(buckets))
+    else pmod(tok, lit(buckets))
+  }
+
   /** Phase 1 of [[digestDiff]]: per-bucket digest of one side —
     * row count, wrap-free decimal sum and xor of the row content hash.
     * Sum (multiset-faithful) + xor + count together make an accidental
@@ -575,7 +586,7 @@ object DiffEngine {
       partitionCounts: Boolean = false): DataFrame = {
     val spec = spec0.bind(df)
     val base = df.select(
-      bucket(token(spec.pk.map(col)), buckets).as("bucket") +:
+      digestBucket(df, token(spec.pk.map(col)), buckets).as("bucket") +:
         spec.pk.map(col) :+ rowContentHash(spec).as("__h"): _*)
     val aggs = Seq(count(lit(1)).as("rows"),
       sum(col("__h").cast("decimal(38,0)")).as("hash_sum"),
@@ -627,9 +638,70 @@ object DiffEngine {
       .select(col("bucket").as("__dirty_bucket"))
     def restrict(df: DataFrame): DataFrame =
       df.join(broadcast(dirty),
-        bucket(token(spec.pk.map(col)), digestBuckets) === col("__dirty_bucket"),
+        digestBucket(df, token(spec.pk.map(col)), digestBuckets) ===
+          col("__dirty_bucket"),
         "left_semi")
     mismatches(restrict(src), restrict(tgt), spec, opts, token)
+  }
+
+  /** Side-by-side per-bucket digests of BOTH sides — the journalable
+    * unit of [[incrementalDiff]]: `(bucket, src_rows, src_sum, src_xor,
+    * tgt_rows, tgt_sum, tgt_xor)`, one row per bucket seen on either
+    * side (absent side reads null). Persist this frame with a run's
+    * journal and the next run can prove per-bucket that NOTHING changed
+    * on either side since — something the reference's per-token resume
+    * watermark (JobMetadataDb.java:292-315) cannot express.
+    */
+  def sideDigests(src: DataFrame, tgt: DataFrame, spec: TableSpec,
+      buckets: Int, token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val s = bucketDigest(src, spec, buckets, token)
+      .select(col("bucket"), col("rows").as("src_rows"),
+        col("hash_sum").as("src_sum"), col("hash_xor").as("src_xor"))
+    val t = bucketDigest(tgt, spec, buckets, token)
+      .select(col("bucket"), col("rows").as("tgt_rows"),
+        col("hash_sum").as("tgt_sum"), col("hash_xor").as("tgt_xor"))
+    s.join(t, Seq("bucket"), "full_outer")
+  }
+
+  private val DigestCols = Seq("src_rows", "src_sum", "src_xor",
+    "tgt_rows", "tgt_sum", "tgt_xor")
+
+  /** Cross-RUN incremental diff. Given the previous run's
+    * [[sideDigests]] frame and its mismatch journal, re-diffs ONLY the
+    * buckets whose digest rows changed on either side since that run —
+    * for unchanged buckets the previous mismatch rows are replayed
+    * verbatim (same inputs ⇒ same diff). At 100 TB with a slowly-
+    * mutating corpus this turns re-verification cost from
+    * O(total data) into O(changed data) + two digest scans.
+    *
+    * A bucket counts as unchanged only when present in BOTH frames with
+    * every digest field null-safe equal; buckets new, gone, or touched
+    * on either side all take the fresh path (a gone bucket has no
+    * current rows, so its fresh diff is correctly empty). The unchanged
+    * set broadcasts: an anti join restricts the fresh diff, a semi join
+    * (on the mismatch row's token) selects the replay.
+    */
+  def incrementalDiff(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
+      priorDigests: DataFrame, priorMismatches: DataFrame,
+      opts: DiffOptions = DiffOptions(), digestBuckets: Int = 4096,
+      token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val spec = spec0.bind(src)
+    val cur = sideDigests(src, tgt, spec, digestBuckets, token)
+    val prior = priorDigests.select(
+      col("bucket") +: DigestCols.map(c => col(c).as(s"__p_$c")): _*)
+    val unchanged = cur.join(prior, Seq("bucket"))
+      .filter(DigestCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _))
+      .select(col("bucket").as("__same_bucket"))
+    def fresh(df: DataFrame): DataFrame =
+      df.join(broadcast(unchanged),
+        digestBucket(df, token(spec.pk.map(col)), digestBuckets) ===
+          col("__same_bucket"),
+        "left_anti")
+    val replay = priorMismatches.join(broadcast(unchanged),
+      bucketOf(priorMismatches, digestBuckets) === col("__same_bucket"),
+      "left_semi")
+    mismatches(fresh(src), fresh(tgt), spec, opts, token)
+      .unionByName(replay)
   }
 
   /** [[rangeStats]] through the digest prefilter — the headline query's
@@ -667,7 +739,8 @@ object DiffEngine {
       .select(col("bucket").as("__dirty_bucket"))
     def restrict(df: DataFrame): DataFrame =
       df.join(broadcast(dirtyBuckets),
-        bucket(token(spec.pk.map(col)), digestBuckets) === col("__dirty_bucket"),
+        digestBucket(df, token(spec.pk.map(col)), digestBuckets) ===
+          col("__dirty_bucket"),
         "left_semi")
     val ps = partitionStats(restrict(fs), restrict(ft), spec, token)
     val both = col("in_src") && col("in_tgt")

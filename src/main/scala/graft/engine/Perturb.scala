@@ -49,6 +49,27 @@ object Perturb {
     kept.unionByName(inserted)
   }
 
+  /** The PREVIOUS run's target for the incremental-diff query: the same
+    * perturbations as [[lineitemTarget]] minus the cell mutation, so
+    * between "yesterday's run" (src vs this) and "today's run" (src vs
+    * [[lineitemTarget]]) exactly the MutateCellMod buckets change while
+    * the rest stay bit-identical — exercising both the replay and the
+    * fresh path of `DiffEngine.incrementalDiff`. Spark-side only: the
+    * oracle checks the final result against the CURRENT pair.
+    */
+  def lineitemTargetStale(li: DataFrame): DataFrame = {
+    val kept = li
+      .filter(col("l_orderkey") % DropPartitionMod =!= 0)
+      .filter(!(col("l_orderkey") % DropRowMod === 0 && col("l_linenumber") === 1))
+      .withColumn("l_returnflag",
+        when(col("l_orderkey") % NullCellMod === 0, lit(null).cast("string"))
+          .otherwise(col("l_returnflag")))
+    val inserted = li
+      .filter(col("l_orderkey") % InsertPartitionMod === 0 && col("l_linenumber") === 1)
+      .withColumn("l_orderkey", col("l_orderkey") + InsertKeyOffset)
+    kept.unionByName(inserted)
+  }
+
   /** SQL mirror of [[lineitemTarget]]. */
   val lineitemTargetSql: String =
     s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,

@@ -60,6 +60,21 @@ object DiffQueries {
     "diff_digest_range_stats" -> ((s, dir) =>
       DiffEngine.digestRangeStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
         lineitemSpec, DiffOptions(), digestBuckets = 4096, idTok)),
+    // cross-run incremental diff: "yesterday's" journal (digests +
+    // mismatches vs the stale target) lets today's run re-diff only the
+    // buckets the cell mutation touched and replay the rest — the result
+    // must equal a full diff of the current pair (diff_mismatches oracle)
+    "diff_incremental" -> ((s, dir) => {
+      val src = li(s, dir)
+      val stale = Perturb.lineitemTargetStale(src)
+      val priorDigests = DiffEngine.sideDigests(src, stale, lineitemSpec,
+        buckets = 4096, idTok)
+      val priorMismatches = DiffEngine.mismatches(src, stale, lineitemSpec,
+        DiffOptions(buckets = 100), idTok)
+      DiffEngine.incrementalDiff(src, Perturb.lineitemTarget(src),
+        lineitemSpec, priorDigests, priorMismatches,
+        DiffOptions(buckets = 100), digestBuckets = 4096, token = idTok)
+    }),
     // O1+O4: partition-key scan + presence classification counts
     "diff_key_classify" -> ((s, dir) =>
       DiffEngine.keyDiff(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
@@ -136,6 +151,8 @@ object DiffQueries {
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
     "diff_digest_range_stats" -> OracleSql.rangeStats(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_incremental" -> OracleSql.mismatches(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
     "diff_key_classify" -> OracleSql.keyClassify(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_ordered_stats" -> OracleSql.orderedPartitionStats(lineitemSpec,

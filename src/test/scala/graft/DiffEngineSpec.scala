@@ -404,6 +404,38 @@ class DiffEngineSpec extends SparkSpec {
     assert(digest === full)
   }
 
+  test("incremental diff: replay + fresh equals the full current diff") {
+    val li = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val spec = graft.engine.Perturb.lineitemSpec
+    val opts = DiffOptions(buckets = 10)
+    val b = 512
+    val stale = graft.engine.Perturb.lineitemTargetStale(li)
+    val cur = graft.engine.Perturb.lineitemTarget(li)
+    // the fixture must exercise BOTH paths: some buckets unchanged
+    // between the runs (replay), some changed (fresh)
+    val priorD = DiffEngine.sideDigests(li, stale, spec, b, idTok)
+    val curD = DiffEngine.sideDigests(li, cur, spec, b, idTok)
+    val pCols = Seq("src_rows", "src_sum", "src_xor", "tgt_rows", "tgt_sum", "tgt_xor")
+    val joinedD = curD.join(
+      priorD.select(col("bucket") +: pCols.map(c => col(c).as(s"p_$c")): _*),
+      Seq("bucket"))
+    val same = joinedD.filter(pCols.map(c => col(c) <=> col(s"p_$c")).reduce(_ && _)).count()
+    val total = joinedD.count()
+    assert(same > 0 && same < total, s"vacuous fixture: $same/$total unchanged")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("token", "mismatch_type").as[(Long, String)].collect().toSet
+    val full = rows(DiffEngine.mismatches(li, cur, spec, opts, idTok))
+    val inc = rows(DiffEngine.incrementalDiff(li, cur, spec,
+      priorD, DiffEngine.mismatches(li, stale, spec, opts, idTok),
+      opts, digestBuckets = b, token = idTok))
+    assert(full.nonEmpty && inc === full)
+    // no-change re-run: everything replays, fresh path contributes nothing
+    val rerun = rows(DiffEngine.incrementalDiff(li, cur, spec,
+      curD, DiffEngine.mismatches(li, cur, spec, opts, idTok),
+      opts, digestBuckets = b, token = idTok))
+    assert(rerun === full)
+  }
+
   test("row content hash distinguishes a value shifted into a NULL neighbor") {
     // a flat xxhash64(a, b) skips NULLs, making these two rows collide;
     // the per-column-salted hash must not
