@@ -26,7 +26,13 @@ final case class DiffJobConfig(
     metadataRoot: String = "/tmp/graft-metadata",
     rerun: Boolean = false,
     partitioner: String = "xxhash64",
-    retry: graft.journal.RetryPolicy = graft.journal.RetryPolicy.NoRetry)
+    retry: graft.journal.RetryPolicy = graft.journal.RetryPolicy.NoRetry,
+    // cross-RUN incremental mode: journal per-bucket side digests each
+    // run; a later run of the same job_id re-diffs ONLY buckets whose
+    // digests changed on either side — unchanged buckets keep their
+    // journal rows (task_status latest-per-bucket totals and persisted
+    // mismatch rows ARE the replay). Subsumes the resume filter.
+    incremental: Boolean = false)
 
 final class DiffRunner(
     source: SourceProvider,
@@ -187,7 +193,7 @@ final class DiffRunner(
         // semi-join shape scanned every input twice per side just to
         // rediscover values derivable row-by-row.
         def onlyPending(df: DataFrame): DataFrame =
-          if (!resuming || config.rerun) df
+          if (!resuming || config.rerun || config.incremental) df
           else {
             val keyed = df.withColumn("__token", token(spec.pk.map(col)))
             val bucketed = keyed.withColumn("__bucket",
@@ -196,16 +202,66 @@ final class DiffRunner(
                 tokenCol = "__token", bucketCol = "__bucket")
               .drop("__token", "__bucket")
           }
-        val src = DiffEngine.applyTokenFilters(onlyPending(sq.valid), spec, options,
-          token)
-        val tgt = DiffEngine.applyTokenFilters(onlyPending(tq.valid), spec, options,
-          token)
+        val fsrc = DiffEngine.applyTokenFilters(onlyPending(sq.valid), spec,
+          options, token)
+        val ftgt = DiffEngine.applyTokenFilters(onlyPending(tq.valid), spec,
+          options, token)
+        // Incremental mode: digest both sides at the journal-bucket
+        // granularity (digest bucket rule == task_status bucket rule, so
+        // the latest-per-bucket totals below replay unchanged buckets from
+        // the previous run), restrict the diff to changed buckets, and
+        // journal this run's digests for the next one. The unchanged set
+        // is ≤ options.buckets longs — collected and re-broadcast rather
+        // than left lazy so the digest pass runs exactly once.
+        val curDigests =
+          if (config.incremental)
+            Some(DiffEngine.sideDigests(fsrc, ftgt, spec, options.buckets,
+              token).persist())
+          else None
+        val digestCols = Seq("src_rows", "src_sum", "src_xor",
+          "tgt_rows", "tgt_sum", "tgt_xor")
+        val unchangedBuckets: Seq[Long] = curDigests match {
+          case Some(cur) if store.exists("bucket_digests") =>
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col("bucket")).orderBy(col("run_ts").desc)
+            val prior = store.read("bucket_digests", mergeSchema = true)
+              .filter(col("job_id") === config.jobId &&
+                col("table_name") === spec.table)
+              .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+              .select(col("bucket") +:
+                digestCols.map(c => col(c).as(s"__p_$c")): _*)
+            cur.join(prior, Seq("bucket"))
+              .filter(digestCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _))
+              .select("bucket").as[Long].collect().toSeq
+          case _ => Nil
+        }
+        def changedOnly(df: DataFrame): DataFrame =
+          if (unchangedBuckets.isEmpty) df
+          else {
+            val keyed = df.withColumn("__token", token(spec.pk.map(col)))
+            val bucketed = keyed.withColumn("__bucket",
+              DiffEngine.bucketOf(keyed, options.buckets, tokenCol = "__token"))
+            bucketed.join(
+                broadcast(unchangedBuckets.toDF("__same_bucket")),
+                col("__bucket") === col("__same_bucket"), "left_anti")
+              .drop("__token", "__bucket")
+          }
+        val src = changedOnly(fsrc)
+        val tgt = changedOnly(ftgt)
         // ONE diff computation per table: persist the per-partition stats
         // and derive progress, mismatches and totals from it (without the
         // persist, each journal sink would re-run the join+agg)
         val ps = DiffEngine.partitionStats(src, tgt, spec, token).persist()
         try {
           val runTs = System.currentTimeMillis()
+          curDigests.foreach { cur =>
+            store.write("bucket_digests", cur
+              .withColumn("table_name", lit(spec.table))
+              .withColumn("job_id", lit(config.jobId))
+              .withColumn("run_ts", lit(runTs)),
+              partitionBy = Seq("job_id"))
+            cur.unpersist()
+          }
           // checkpoint ordering mirrors the reference (mismatches recorded
           // BEFORE a range is marked complete, RangeComparator.java:201-241):
           // a crash between the writes must re-compare, never lose records.

@@ -20,7 +20,16 @@ final class ResultsApi(store: MetadataStore)(implicit spark: SparkSession) {
   private def summary: DataFrame = store.read("job_summary", mergeSchema = true)
   private def results: DataFrame = store.read("job_results", mergeSchema = true)
   private def status: DataFrame = store.read("task_status", mergeSchema = true)
-  private def mismatch: DataFrame = store.read("mismatches", mergeSchema = true)
+  // The reference journals mismatches as CQL UPSERTS keyed
+  // (job_id, bucket, table, token) — re-writing the same mismatch on a
+  // rerun/incremental run is idempotent (JobMetadataDb.java:229-236).
+  // Parquet appends instead, so reads dedupe on the logical key to keep
+  // the same semantics (stale rows persisting is reference behavior too:
+  // it never deletes mismatch rows).
+  private def mismatch: DataFrame =
+    store.read("mismatches", mergeSchema = true)
+      .dropDuplicates(Seq("job_id", "table_name", "bucket", "token",
+        "mismatch_type"))
   private def errors: DataFrame = store.read("errors", mergeSchema = true)
 
   /** GET /jobs/running (DiffJobsResource.java:60-66). */
