@@ -180,11 +180,17 @@ final class DiffRunner(
         // O12 resume: completed buckets of a previous run of this job are
         // skipped (rerun=true re-compares them — Differ.java:166-171)
         val journal =
-          if (store.exists("task_status"))
+          if (store.exists("task_status")) {
+            // latest row per bucket: after a rerun the append-only journal
+            // holds one row per bucket PER RUN, and feeding duplicates to
+            // the per-row pending join would replicate input rows
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col("bucket")).orderBy(col("run_ts").desc)
             store.read("task_status")
               .filter(col("job_id") === config.jobId && col("table_name") === spec.table)
+              .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
               .select(col("bucket"), col("status"), col("last_token"))
-          else spark.emptyDataFrame
+          } else spark.emptyDataFrame
         val resuming = journal.columns.nonEmpty && !journal.isEmpty
         // The pending test is a pure per-row predicate of the key (token =
         // f(pk), bucket = pmod(token), journal lookup per bucket), so it is
@@ -218,21 +224,32 @@ final class DiffRunner(
             Some(DiffEngine.sideDigests(fsrc, ftgt, spec, options.buckets,
               token).persist())
           else None
-        val digestCols = Seq("src_rows", "src_sum", "src_xor",
-          "tgt_rows", "tgt_sum", "tgt_xor")
-        val unchangedBuckets: Seq[Long] = curDigests match {
-          case Some(cur) if store.exists("bucket_digests") =>
+        val priorDigests = curDigests.flatMap { _ =>
+          if (!store.exists("bucket_digests")) None
+          else {
             import org.apache.spark.sql.expressions.Window
             val w = Window.partitionBy(col("bucket")).orderBy(col("run_ts").desc)
-            val prior = store.read("bucket_digests", mergeSchema = true)
+            Some(store.read("bucket_digests", mergeSchema = true)
               .filter(col("job_id") === config.jobId &&
                 col("table_name") === spec.table)
-              .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-              .select(col("bucket") +:
-                digestCols.map(c => col(c).as(s"__p_$c")): _*)
-            cur.join(prior, Seq("bucket"))
-              .filter(digestCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _))
-              .select("bucket").as[Long].collect().toSeq
+              .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1))
+          }
+        }
+        val unchangedBuckets: Seq[Long] = (curDigests, priorDigests) match {
+          case (Some(cur), Some(prior)) =>
+            DiffEngine.unchangedDigestBuckets(cur, prior)
+              .as[Long].collect().toSeq
+          case _ => Nil
+        }
+        // RETIRED buckets: journaled last run, gone from both sides now.
+        // They take the fresh path (no current rows ⇒ an empty diff), but
+        // with no partitionStats rows they would never get a new journal
+        // row and the latest-per-bucket totals would replay their stale
+        // counters forever — so they get explicit zero rows below.
+        val retiredBuckets: Seq[Long] = (curDigests, priorDigests) match {
+          case (Some(cur), Some(prior)) =>
+            prior.select("bucket").as[Long].collect().toSeq
+              .diff(cur.select("bucket").as[Long].collect().toSeq)
           case _ => Nil
         }
         def changedOnly(df: DataFrame): DataFrame =
@@ -254,14 +271,6 @@ final class DiffRunner(
         val ps = DiffEngine.partitionStats(src, tgt, spec, token).persist()
         try {
           val runTs = System.currentTimeMillis()
-          curDigests.foreach { cur =>
-            store.write("bucket_digests", cur
-              .withColumn("table_name", lit(spec.table))
-              .withColumn("job_id", lit(config.jobId))
-              .withColumn("run_ts", lit(runTs)),
-              partitionBy = Seq("job_id"))
-            cur.unpersist()
-          }
           // checkpoint ordering mirrors the reference (mismatches recorded
           // BEFORE a range is marked complete, RangeComparator.java:201-241):
           // a crash between the writes must re-compare, never lose records.
@@ -279,6 +288,38 @@ final class DiffRunner(
               .withColumn("job_id", lit(config.jobId))
               .withColumn("run_ts", lit(runTs)),
             partitionBy = Seq("job_id"))
+          // retired buckets (journaled before, empty on both sides now)
+          // get explicit zero rows so the latest-per-bucket totals stop
+          // replaying their stale counters
+          if (retiredBuckets.nonEmpty) {
+            val tokenType = fsrc
+              .select(token(spec.pk.map(col)).as("__t")).schema("__t").dataType
+            var zero = retiredBuckets.toDF("bucket")
+            Seq("matched_partitions", "mismatched_partitions",
+              "only_in_source", "only_in_target", "matched_rows",
+              "matched_values", "mismatched_values")
+              .foreach(c => zero = zero.withColumn(c, lit(0L)))
+            store.write("task_status", zero
+              .withColumn("last_token", lit(null).cast(tokenType))
+              .withColumn("table_name", lit(spec.table))
+              .withColumn("status", lit("done"))
+              .withColumn("job_id", lit(config.jobId))
+              .withColumn("run_ts", lit(runTs)),
+              partitionBy = Seq("job_id"))
+          }
+          // digests are journaled LAST: a crash before this point leaves
+          // the OLD digests in place, so the next incremental run still
+          // sees the affected buckets as changed and re-compares them —
+          // writing digests first would instead mask a half-journaled run
+          // as fully unchanged and lose its records permanently
+          curDigests.foreach { cur =>
+            store.write("bucket_digests", cur
+              .withColumn("table_name", lit(spec.table))
+              .withColumn("job_id", lit(config.jobId))
+              .withColumn("run_ts", lit(runTs)),
+              partitionBy = Seq("job_id"))
+            cur.unpersist()
+          }
           // O3: the sampled reverse-read validation pass
           // (DiffContext.java:54-57) — re-compare sampled partitions with
           // reversed duplicate pairing; journal any verdict disagreement
@@ -332,7 +373,10 @@ final class DiffRunner(
               "mismatched_values", "skipped_partitions"),
             partitionBy = Seq("job_id"))
           spec.table -> stats
-        } finally ps.unpersist()
+        } finally {
+          ps.unpersist()
+          curDigests.foreach(_.unpersist()) // no-op if already freed
+        }
       }.toMap
       // metrics parity: the reference's per-table counter series
       // (Differ.updateMetrics) as named Spark accumulators

@@ -20,16 +20,21 @@ final class ResultsApi(store: MetadataStore)(implicit spark: SparkSession) {
   private def summary: DataFrame = store.read("job_summary", mergeSchema = true)
   private def results: DataFrame = store.read("job_results", mergeSchema = true)
   private def status: DataFrame = store.read("task_status", mergeSchema = true)
-  // The reference journals mismatches as CQL UPSERTS keyed
-  // (job_id, bucket, table, token) — re-writing the same mismatch on a
-  // rerun/incremental run is idempotent (JobMetadataDb.java:229-236).
-  // Parquet appends instead, so reads dedupe on the logical key to keep
-  // the same semantics (stale rows persisting is reference behavior too:
-  // it never deletes mismatch rows).
-  private def mismatch: DataFrame =
+  // The reference journals mismatches as CQL UPSERTS with PRIMARY KEY
+  // ((job_id, bucket), qualified_table_name, mismatching_token) —
+  // mismatch_type is a VALUE, so re-recording a token overwrites and the
+  // latest classification wins (JobMetadataDb.java:552-559, 229-236).
+  // Parquet appends instead, so reads keep the newest row per key
+  // (stale rows of vanished mismatches persisting is reference behavior
+  // too: it never deletes mismatch rows).
+  private def mismatch: DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("job_id", "table_name", "bucket", "token")
+      .orderBy(coalesce(col("run_ts"), lit(0L)).desc)
     store.read("mismatches", mergeSchema = true)
-      .dropDuplicates(Seq("job_id", "table_name", "bucket", "token",
-        "mismatch_type"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
   private def errors: DataFrame = store.read("errors", mergeSchema = true)
 
   /** GET /jobs/running (DiffJobsResource.java:60-66). */

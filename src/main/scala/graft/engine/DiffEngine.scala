@@ -663,8 +663,25 @@ object DiffEngine {
     s.join(t, Seq("bucket"), "full_outer")
   }
 
-  private val DigestCols = Seq("src_rows", "src_sum", "src_xor",
+  /** The [[sideDigests]] payload columns — the full set a bucket must
+    * match null-safely to count as unchanged. Public so journal-side
+    * consumers (DiffRunner) share one definition with
+    * [[unchangedDigestBuckets]] instead of drifting copies.
+    */
+  val DigestCols: Seq[String] = Seq("src_rows", "src_sum", "src_xor",
     "tgt_rows", "tgt_sum", "tgt_xor")
+
+  /** Buckets present in BOTH digest frames with every [[DigestCols]]
+    * field null-safe equal — the replay-eligible set of
+    * [[incrementalDiff]] and the runner's incremental mode.
+    */
+  def unchangedDigestBuckets(cur: DataFrame, prior: DataFrame): DataFrame = {
+    val p = prior.select(
+      col("bucket") +: DigestCols.map(c => col(c).as(s"__p_$c")): _*)
+    cur.join(p, Seq("bucket"))
+      .filter(DigestCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _))
+      .select("bucket")
+  }
 
   /** Cross-RUN incremental diff. Given the previous run's
     * [[sideDigests]] frame and its mismatch journal, re-diffs ONLY the
@@ -687,10 +704,7 @@ object DiffEngine {
       token: Seq[Column] => Column = defaultToken): DataFrame = {
     val spec = spec0.bind(src)
     val cur = sideDigests(src, tgt, spec, digestBuckets, token)
-    val prior = priorDigests.select(
-      col("bucket") +: DigestCols.map(c => col(c).as(s"__p_$c")): _*)
-    val unchanged = cur.join(prior, Seq("bucket"))
-      .filter(DigestCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _))
+    val unchanged = unchangedDigestBuckets(cur, priorDigests)
       .select(col("bucket").as("__same_bucket"))
     def fresh(df: DataFrame): DataFrame =
       df.join(broadcast(unchanged),

@@ -78,7 +78,15 @@ final class MetadataStore(val root: String,
       (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
         .parquet(staging.toString)
     }
-    publish(staging, Paths.get(path(table)))
+    // the publish is retried too, and is naturally resumable: each moved
+    // file leaves the staging tree, so a re-attempt only moves the
+    // remainder (REPLACE_EXISTING covers a rename that half-completed).
+    // A PROCESS crash mid-publish can still leave a partial append — the
+    // runner's write ordering is what bounds that blast radius (digests
+    // last, so a torn run re-compares instead of replaying).
+    retry.retry(s"journal publish $table") {
+      publish(staging, Paths.get(path(table)))
+    }
   }
 
   /** Move staged parquet files (keeping their partition subdirs) into the

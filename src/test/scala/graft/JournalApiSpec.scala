@@ -108,6 +108,11 @@ class JournalApiSpec extends SparkSpec {
     // rerun=true ignores the journal and re-compares everything
     val third = new DiffRunner(src, src, mkConfig(true)).run()("orders")
     assert(third.matchedPartitions === first.matchedPartitions)
+    // after the rerun the journal holds TWO rows per bucket; a plain
+    // resume must take the latest row per bucket, not join data rows
+    // against both (which would duplicate input rows into the diff)
+    val fourth = new DiffRunner(src, src, mkConfig(false)).run()("orders")
+    assert(fourth === first)
     // append-only journal + latest-run dedupe: the API still serves ONE
     // row per table / bucket
     val api = new ResultsApi(store)
@@ -158,6 +163,46 @@ class JournalApiSpec extends SparkSpec {
       .jobMismatches("full-job")
       .select("token", "mismatch_type").as[(Long, String)].collect().toSet
     assert(incSet === fullSet && incSet.nonEmpty)
+    // run 3: most partitions vanish from BOTH sides, emptying most
+    // buckets entirely — retired buckets must get zero journal rows, not
+    // replay run 2's counters forever
+    def shrink(df: DataFrame): DataFrame = df.filter(col("l_orderkey") < 100)
+    val srcShrunk = new SourceProvider {
+      def table(sp: SparkSession, name: String): DataFrame =
+        shrink(src.table(sp, name))
+      def listTables(sp: SparkSession): Seq[String] = src.listTables(sp)
+    }
+    val shrunkTgt = tgtOf(d => Perturb.lineitemTarget(shrink(d)))
+    val incShrunk = new DiffRunner(srcShrunk, shrunkTgt, mk(root)).run()("lineitem")
+    val fullShrunk = new DiffRunner(srcShrunk, shrunkTgt,
+      DiffJobConfig("full-shrunk", Seq(Perturb.lineitemSpec),
+        DiffOptions(buckets = buckets), metadataRoot = tmpRoot())).run()("lineitem")
+    assert(incShrunk === fullShrunk)
+    // retirement really happened: the latest journal rows include
+    // zeroed-out buckets
+    val latest3 = store.read("task_status")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    val zeroed = latest3.filter(
+      col("matched_partitions") + col("mismatched_partitions") +
+        col("only_in_source") + col("only_in_target") === 0).count()
+    assert(zeroed > 0, "expected retired buckets with zero rows")
+  }
+
+  test("mismatch reads: latest classification wins per (job, table, bucket, token)") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val store = new MetadataStore(root)
+    // reference PK ((job_id, bucket), table, token): mismatch_type is a
+    // VALUE — re-recording a token upserts, latest classification wins
+    store.write("mismatches", Seq(
+      ("t1", 1L, 42L, "PARTITION_MISMATCH", "j1", 1000L),
+      ("t1", 1L, 42L, "ONLY_IN_SOURCE", "j1", 2000L),
+      ("t1", 1L, 43L, "ONLY_IN_TARGET", "j1", 1000L))
+      .toDF("table_name", "bucket", "token", "mismatch_type", "job_id", "run_ts"),
+      partitionBy = Seq("job_id"))
+    val got = new ResultsApi(store).jobMismatches("j1")
+      .select("token", "mismatch_type").as[(Long, String)].collect().toSet
+    assert(got === Set((42L, "ONLY_IN_SOURCE"), (43L, "ONLY_IN_TARGET")))
   }
 
   test("re-run keeps the stored bucket count (params immutability)") {
