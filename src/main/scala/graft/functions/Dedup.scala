@@ -49,16 +49,19 @@ object Dedup {
   def keepCanonicalByKey(df: DataFrame, idCol: String, keyCol: String,
       skewSafe: Boolean = false): DataFrame =
     if (skewSafe) {
-      // null-safe (<=>) equality on BOTH join columns: groupBy collects
-      // NULL keys into one group exactly like the window shape's
-      // partitionBy, so the null-key canonical row must still match its
-      // own (key, id) pair here — plain `===` never matches NULL and
+      // null-safe (<=>) equality on the KEY: groupBy collects NULL keys
+      // into one group exactly like the window shape's partitionBy, so
+      // the null-key canonical row must still match here — plain `===`
       // would silently drop every row whose dedup key is NULL (e.g. the
-      // contentHash of a null text).
+      // contentHash of a null text). The ID comparison stays STRICT:
+      // min() ignores null ids in both shapes, and a group whose ids are
+      // ALL null has no canonical member in the window shape (null ===
+      // null filters false) — a null-safe id match would instead keep
+      // every row of such a group and the shapes would diverge.
       val canon = df.groupBy(col(keyCol).as("__ck"))
         .agg(min(col(idCol)).as("__cid"))
       df.join(canon,
-          col(keyCol) <=> col("__ck") && col(idCol) <=> col("__cid"),
+          col(keyCol) <=> col("__ck") && col(idCol) === col("__cid"),
           "left_semi")
     } else {
       import org.apache.spark.sql.expressions.Window
@@ -237,8 +240,17 @@ object Dedup {
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // reliable checkpoints re-run the plan to write checkpoint files at
+    // the end of the materializing job; persisting the frame first makes
+    // that second pass a cache read instead of a full recompute. The aux
+    // persists drain with sinceCut once the checkpoint is materialized.
+    var auxPersists: List[DataFrame] = Nil
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(false) else df.localCheckpoint(false)
+      if (reliable) {
+        val cached = df.persist()
+        auxPersists ::= cached
+        cached.checkpoint(false)
+      } else df.localCheckpoint(false)
     // first propagation round fused into initialization: lbl = min(self,
     // neighbors) in the same aggregation that enumerates the nodes;
     // __moved marks the initial frontier (label already below own id).
@@ -272,12 +284,19 @@ object Dedup {
       state = if (isCut) cut(stepped) else stepped.persist()
       frontier = state.filter(col("__moved")).select(col("id"), col("lbl"))
       nMoved = frontier.count() // ONE action: materializes this round's state
-      if (isCut) { sinceCut.foreach(_.unpersist()); sinceCut = Nil }
-      else sinceCut ::= state
+      if (isCut) {
+        sinceCut.foreach(_.unpersist()); sinceCut = Nil
+        auxPersists.foreach(_.unpersist()); auxPersists = Nil
+      } else sinceCut ::= state
       iter += 1
     }
     fwd.unpersist()
     edges.unpersist()
+    // the loop can exit on a non-cut round: free the persisted
+    // intermediates it left behind — except the final state itself,
+    // which the caller consumes
+    sinceCut.filterNot(_ eq state).foreach(_.unpersist())
+    auxPersists.foreach(_.unpersist())
     if (nMoved > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dupClusters: labels still moving after maxIters=$maxIters rounds " +

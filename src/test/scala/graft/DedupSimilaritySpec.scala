@@ -140,6 +140,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(agg === win)
   }
 
+  test("keepCanonical skewSafe: all-NULL-id groups dropped in BOTH shapes") {
+    // min() ignores null ids; a group whose ids are ALL null has no
+    // canonical member — the window shape filters it out (null === null
+    // is not true), and the skew-safe shape must agree (strict id
+    // equality in the semi join) instead of keeping every row
+    val df = Seq((Option(1L), "same"), (Option.empty[Long], "same"),
+      (Option.empty[Long], "ghost"), (Option.empty[Long], "ghost"))
+      .toDF("doc_id", "text")
+    def ids(skew: Boolean) =
+      Dedup.keepCanonicalByKey(df.withColumn("__k", col("text")),
+        "doc_id", "__k", skewSafe = skew)
+        .select("doc_id").as[Option[Long]].collect().toSeq.sorted
+    assert(ids(skew = false) === Seq(Some(1L)))
+    assert(ids(skew = true) === ids(skew = false))
+  }
+
   test("word shingles produce size-n windows and degenerate short docs") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("sh"))
