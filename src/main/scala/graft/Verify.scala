@@ -30,10 +30,16 @@ object Verify {
     // own job group; on timeout the group is cancelled and the dump moves
     // on — that query alone fails its check.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong
+    // Local-iteration filter (NOT used by the driver): comma-separated
+    // query names; restricts both the dump and the emitted oracle json so
+    // tools/check_oracle.py checks exactly the selected queries.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       val work = Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -56,7 +62,7 @@ object Verify {
     // The driver keys its correctness rows by the result-directory name
     // INCLUDING the ".parquet" suffix; emit each oracle under both the bare
     // name and the suffixed name so either lookup convention resolves.
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

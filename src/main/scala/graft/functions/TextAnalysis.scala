@@ -107,4 +107,66 @@ object TextAnalysis {
     * [[graft.functions.RollingHash]] as a native Catalyst expression.
     */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  // --- Repetition metrics (Gopher-style quality filters) ---------------
+  //
+  // Within-document repetition signals used by public corpus-curation
+  // recipes (duplicate n-gram fraction, most-common-word share). All are
+  // per-row array expressions: zero shuffle, the whole profile rides the
+  // parquet scan inside one WholeStageCodegen span — at 100 TB this is
+  // embarrassingly parallel map work.
+
+  /** Non-distinct word n-grams (multiplicity preserved — unlike
+    * [[graft.functions.Dedup.wordShingles]], which dedups for set
+    * Jaccard). Shorter-than-n docs yield an empty list.
+    */
+  def tokenNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val w = tokens(text)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+  }
+
+  /** Fraction of array elements that are repeats of an earlier element:
+    * (len - distinct len) / len, 0 for empty.
+    */
+  def dupFrac(arr: Column): Column = {
+    val a = arr
+    when(size(a) === 0, lit(0.0)).otherwise(
+      (size(a) - size(array_distinct(a))).cast("double") /
+        size(a).cast("double"))
+  }
+
+  /** Share of tokens taken by the single most frequent token. Quadratic
+    * in DISTINCT tokens per row (document-local, bounded by doc length) —
+    * deliberately an array expression rather than an explode+groupBy so
+    * the corpus never shuffles.
+    */
+  def topTokenFrac(text: Column): Column = {
+    val w = tokens(text)
+    when(size(w) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(w), x =>
+          size(filter(w, y => y === x))))
+        .cast("double") / size(w).cast("double"))
+  }
+
+  /** DuckDB mirrors of the repetition metrics, generated so both engines
+    * share one definition. `w` must be a VARCHAR[] expression.
+    */
+  def tokenNgramsSql(w: String, n: Int): String =
+    s"""CASE WHEN len($w) < $n THEN CAST([] AS VARCHAR[])
+       |     ELSE list_transform(range(0, len($w) - ${n - 1}),
+       |            i -> array_to_string(list_slice($w, i + 1, i + $n), ' ')) END""".stripMargin
+
+  def dupFracSql(a: String): String =
+    s"""CASE WHEN len($a) = 0 THEN 0.0
+       |     ELSE CAST(len($a) - len(list_distinct($a)) AS DOUBLE)
+       |          / CAST(len($a) AS DOUBLE) END""".stripMargin
+
+  def topTokenFracSql(w: String): String =
+    s"""CASE WHEN len($w) = 0 THEN 0.0
+       |     ELSE CAST(list_max(list_transform(list_distinct($w),
+       |            x -> len(list_filter($w, y -> y = x)))) AS DOUBLE)
+       |          / CAST(len($w) AS DOUBLE) END""".stripMargin
 }

@@ -57,6 +57,14 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
+    // within-document repetition profile (Gopher-style quality filters);
+    // pure array expressions — the whole profile rides the scan
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TA.dupFrac(TA.tokenNgrams(col("text"), 2)).as("dup_2gram_frac"),
+        TA.dupFrac(TA.tokenNgrams(col("text"), 3)).as("dup_3gram_frac"),
+        TA.topTokenFrac(col("text")).as("top_token_frac"))),
     // exact dedup: hash-groupBy over the dup-injected corpus
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDups(dupCorpus(docs(s, dir)), "doc_id", "text")),
@@ -270,6 +278,12 @@ object TextQueries {
            |FROM documents""".stripMargin,
       "text_fingerprint" ->
         "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+      "text_repetition" ->
+        s"""SELECT doc_id,
+           |  ${TA.dupFracSql(TA.tokenNgramsSql(toks, 2))} AS dup_2gram_frac,
+           |  ${TA.dupFracSql(TA.tokenNgramsSql(toks, 3))} AS dup_3gram_frac,
+           |  ${TA.topTokenFracSql(toks)} AS top_token_frac
+           |FROM documents""".stripMargin,
       "dedup_exact" ->
         s"""WITH corpus AS ($dupCorpusSql)
            |SELECT md5(lower(trim(text))) AS content_hash,

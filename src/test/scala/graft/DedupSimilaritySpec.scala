@@ -327,6 +327,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("repetition metrics: hand-computed fractions and degenerate docs") {
+    val df = Seq(
+      // 4 tokens, 3 bigrams ("a b","b a","a b") → dup_2gram 1/3;
+      // top token "a" 2/4
+      ("a b a b", 1.0 / 3.0, 0.5),
+      // all same: 2 bigrams both "x x" → 1/2; top token 3/3
+      ("x x x", 0.5, 1.0),
+      // all distinct: 0 dup; top 1/3
+      ("p q r", 0.0, 1.0 / 3.0),
+      // shorter than n: no bigrams → 0
+      ("solo", 0.0, 1.0)).toDF("text", "want2", "wantTop")
+    val bad = df.select(
+        TA.dupFrac(TA.tokenNgrams(col("text"), 2)).as("got2"),
+        TA.topTokenFrac(col("text")).as("gotTop"),
+        col("want2"), col("wantTop"))
+      .filter(col("got2") =!= col("want2") || col("gotTop") =!= col("wantTop"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString(","))
+  }
+
   test("LSH topk recall vs brute force is measured and bounded") {
     val e = Tables.load(spark, Sf, "embeddings")
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
