@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.Joins
+import graft.functions.{Joins, Sessions}
 
 /** Analytical queries over the corpus — joins, aggregation, window, top-k.
   * The reference has none of these in its data path (SURVEY §2.2); Spark
@@ -142,6 +142,16 @@ object AnalyticsQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+    // gap-based sessionization, per-event numbering (12 h gap; event_id
+    // tie-break keeps the numbering total)
+    "events_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(Tables.events(s, dir), "user_id", "ts",
+          gapMicros = 12L * 3600 * 1000000, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("session_seq"))),
+    // session-level rollup via the built-in session_window grouping
+    "events_sessions" -> ((s, dir) =>
+      Sessions.sessionStats(Tables.events(s, dir), "user_id", "ts",
+        gap = "12 hours", valueCol = "value")),
     // as-of join: each purchase picks the user's latest signup at-or-
     // before it (union-window formulation — one shuffle, no point reads)
     "asof_join" -> ((s, dir) => {
@@ -281,6 +291,39 @@ object AnalyticsQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    // boundary rule mirrors Spark's session_window: only a gap STRICTLY
+    // greater than the duration (12 h = 43 200 000 000 us) starts a new
+    // session — an exactly-equal gap merges (pinned in SessionsSpec)
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM g""".stripMargin,
+    "events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM g
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 12 HOUR AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, seq""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN is the independent mirror of the
     // union-window formulation
     "asof_join" ->

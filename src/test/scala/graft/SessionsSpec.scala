@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sessions
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // user 1: a 1.5 h gap (00:30 -> 02:00) splits; the exact-gap pair
+  // (02:00 -> 03:00 at gap=1h) MERGES (session_window only splits on a
+  // strictly greater gap); user 2: single event
+  private lazy val ev = Seq(
+    (1L, 10L, ts("2024-01-01 00:00:00"), 1.0),
+    (1L, 11L, ts("2024-01-01 00:30:00"), 2.0),
+    (1L, 12L, ts("2024-01-01 02:00:00"), 4.0),
+    (1L, 13L, ts("2024-01-01 03:00:00"), 8.0),
+    (2L, 20L, ts("2024-01-01 05:00:00"), 16.0))
+    .toDF("user_id", "event_id", "ts", "value")
+
+  private val HourMicros = 3600000000L
+
+  test("sessionize: only a gap > duration starts a new session; ties broken by id") {
+    val got = Sessions.sessionize(ev, "user_id", "ts", HourMicros,
+        tieBreak = Seq("event_id"))
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 13L -> 2L, 20L -> 1L))
+  }
+
+  test("sessionStats matches the built-in session_window boundary rule") {
+    val got = Sessions.sessionStats(ev, "user_id", "ts", "1 hour", "value")
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:30:00"), 2L, 3.0),
+      (1L, ts("2024-01-01 02:00:00"), ts("2024-01-01 04:00:00"), 2L, 12.0),
+      (2L, ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00"), 1L, 16.0)))
+  }
+
+  test("streaming sessions: append emits a session once its window closes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = graft.streaming.StreamingSessions.sessionStats(
+        input.toDS().toDF("user_id", "ts", "value"),
+        "user_id", "ts", gap = "5 minutes", valueCol = "value",
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one session for user 1: [00:00, 00:02 + 5min]
+      input.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:02:00"), 2.0))
+      q.processAllAvailable()
+      // nothing emitted yet — the watermark has not passed the session end
+      assert(spark.table("sessions").count() === 0)
+      // far-future event advances the watermark past it; session 1 closes
+      input.addData((2L, ts("2024-01-01 06:00:00"), 4.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 12:00:00"), 8.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+      assert(got.contains(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:07:00"), 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("session plans shuffle once on the user key") {
+    for ((name, df) <- Seq(
+        "sessionize" -> Sessions.sessionize(ev, "user_id", "ts", HourMicros,
+          tieBreak = Seq("event_id")),
+        "sessionStats" -> Sessions.sessionStats(ev, "user_id", "ts",
+          "1 hour", "value"))) {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(plan).length
+      // ONE user-key exchange: the running sum rides the sessionize
+      // window, and the rollup's hash agg on (user, window) is satisfied
+      // by HashPartitioning(user) — a 2nd exchange means that reuse broke
+      assert(shuffles === 1, s"$name expected 1 shuffle in:\n$plan")
+    }
+  }
+}
