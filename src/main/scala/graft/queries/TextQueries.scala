@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.{Dedup, Multimodal, Sampling, TextAnalysis => TA}
+import graft.functions.{Decontaminate, Dedup, Multimodal, Sampling, TextAnalysis => TA}
 
 /** Text-analysis + deduplication + multimodal queries over the
   * `documents` table. Dedup queries run over a deterministically
@@ -57,6 +57,13 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
+    // benchmark decontamination: dup-injected corpus vs a "benchmark"
+    // subset (doc_id % 25) — exact copies hit 100%, near-dups partially
+    "decontaminate" -> ((s, dir) =>
+      Decontaminate.ngramHits(
+        dupCorpus(docs(s, dir)),
+        docs(s, dir).filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", n = 5)),
     // within-document repetition profile (Gopher-style quality filters);
     // pure array expressions — the whole profile rides the scan
     "text_repetition" -> ((s, dir) =>
@@ -278,6 +285,27 @@ object TextQueries {
            |FROM documents""".stripMargin,
       "text_fingerprint" ->
         "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+      "decontaminate" -> {
+        def sh5(src: String): String =
+          s"""SELECT DISTINCT doc_id, unnest(
+             |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+             |         ELSE list_transform(range(0, len(w) - 4),
+             |                i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) END
+             |  ) AS shingle
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
+        s"""WITH corpus AS ($dupCorpusSql),
+           |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+           |bsh AS (SELECT DISTINCT shingle FROM (${sh5("bench")})),
+           |csh AS (${sh5("corpus")}),
+           |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY doc_id),
+           |hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+           |         FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY c.doc_id)
+           |SELECT h.doc_id,
+           |  CAST(h.n_hits AS BIGINT) AS n_hit_ngrams,
+           |  CAST(t.n_sh AS BIGINT) AS n_shingles,
+           |  CAST(h.n_hits AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS hit_frac
+           |FROM hits h JOIN tot t ON h.doc_id = t.doc_id""".stripMargin
+      },
       "text_repetition" ->
         s"""SELECT doc_id,
            |  ${TA.dupFracSql(TA.tokenNgramsSql(toks, 2))} AS dup_2gram_frac,

@@ -327,6 +327,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("decontaminate: verbatim leak hits fully, partial overlap counted, clean doc absent") {
+    import graft.functions.Decontaminate
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f"),          // verbatim: both 5-grams hit
+      (2L, "x a b c d e y"),        // contains "a b c d e" → 1 of 3 hits
+      (3L, "p q r s t u")).toDF("doc_id", "text") // clean
+    val got = Decontaminate.ngramHits(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "n_hit_ngrams", "n_shingles")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 2L), (2L, 1L, 3L)))
+    // the benchmark side must broadcast — a clean corpus then shuffles ~0
+    val plan = Decontaminate.ngramHits(corpus, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("repetition metrics: hand-computed fractions and degenerate docs") {
     val df = Seq(
       // 4 tokens, 3 bigrams ("a b","b a","a b") → dup_2gram 1/3;
