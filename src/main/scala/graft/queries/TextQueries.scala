@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.{Decontaminate, Dedup, Multimodal, Sampling, TextAnalysis => TA}
+import graft.functions.{Decontaminate, Dedup, Multimodal, Packing, Sampling, TextAnalysis => TA}
 
 /** Text-analysis + deduplication + multimodal queries over the
   * `documents` table. Dedup queries run over a deterministically
@@ -57,6 +57,13 @@ object TextQueries {
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"), TA.fingerprint(col("text")).as("fp"))),
+    // sequence packing: shard-local concat-and-chunk token offsets
+    // (8 shards, 2048-token sequences, whitespace token count)
+    "pack_offsets" -> ((s, dir) =>
+      Packing.concatOffsets(docs(s, dir), "doc_id",
+          TA.tokenCount(col("text")), shards = 8, seqLen = 2048)
+        .select("doc_id", "shard", "start_offset", "end_offset",
+          "first_seq", "last_seq")),
     // benchmark decontamination: dup-injected corpus vs a "benchmark"
     // subset (doc_id % 25) — exact copies hit 100%, near-dups partially
     "decontaminate" -> ((s, dir) =>
@@ -285,6 +292,23 @@ object TextQueries {
            |FROM documents""".stripMargin,
       "text_fingerprint" ->
         "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+      "pack_offsets" ->
+        """WITH d AS (
+          |  SELECT doc_id, doc_id % 8 AS shard,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, shard,
+          |    SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+          |                 ROWS UNBOUNDED PRECEDING) AS end_offset, n
+          |  FROM d
+          |)
+          |SELECT doc_id, shard,
+          |  end_offset - n AS start_offset, end_offset,
+          |  (end_offset - n) // 2048 AS first_seq,
+          |  CASE WHEN end_offset > end_offset - n THEN (end_offset - 1) // 2048
+          |       ELSE (end_offset - n) // 2048 END AS last_seq
+          |FROM c""".stripMargin,
       "decontaminate" -> {
         def sh5(src: String): String =
           s"""SELECT DISTINCT doc_id, unnest(

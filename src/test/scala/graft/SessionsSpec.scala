@@ -72,6 +72,29 @@ class SessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packing: shard offsets are gapless from 0; sequence spans are exact") {
+    import graft.functions.Packing
+    val docs = Seq((0L, 5L), (2L, 10L), (4L, 3L), (1L, 7L), (3L, 2L))
+      .toDF("doc_id", "n")
+    val got = Packing.concatOffsets(docs, "doc_id", col("n"),
+        shards = 2, seqLen = 8)
+      .select("doc_id", "shard", "start_offset", "end_offset", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // shard 0: docs 0(5),2(10),4(3) -> [0,5),[5,15),[15,18)
+    // shard 1: docs 1(7),3(2)       -> [0,7),[7,9)
+    assert(got === Set(
+      (0L, 0L, 0L, 5L, 0L, 0L),
+      (2L, 0L, 5L, 15L, 0L, 1L),   // straddles the seq 0/1 boundary at 8
+      (4L, 0L, 15L, 18L, 1L, 2L),
+      (1L, 1L, 0L, 7L, 0L, 0L),
+      (3L, 1L, 7L, 9L, 0L, 1L)))
+    val plan = Packing.concatOffsets(docs, "doc_id", col("n"), 2, 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).length === 1,
+      s"one shard shuffle expected in:\n$plan")
+  }
+
   test("session plans shuffle once on the user key") {
     for ((name, df) <- Seq(
         "sessionize" -> Sessions.sessionize(ev, "user_id", "ts", HourMicros,
