@@ -108,6 +108,51 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  // --- PII redaction ----------------------------------------------------
+  //
+  // Standard curation scrubbing: emails, dotted-quad IPs, US-style phone
+  // numbers → typed placeholder tags. Patterns are deliberately restricted
+  // to syntax Java regex and RE2 (DuckDB) interpret identically — no
+  // lookaround, no backrefs, no \b (RE2 and Java agree on \b, but word
+  // boundaries around punctuation-adjacent PII differ subtly; explicit
+  // delimiter classes are deterministic in both). Pure regexp_replace
+  // expressions: per-row map work that rides the scan at any scale.
+
+  /** Each (pattern, replacement); applied in order. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** Redact all [[PiiPatterns]] from `text`, in order. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Count of PII matches found (pre-redaction), for audit columns. */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) =>
+      (size(split(text, pat, -1)) - 1).cast("long")
+    }.reduce(_ + _)
+
+  /** DuckDB mirrors, generated from [[PiiPatterns]] so both engines share
+    * one pattern list. `e` is a VARCHAR expression.
+    */
+  def redactPiiSql(e: String): String =
+    PiiPatterns.foldLeft(e) { case (s, (pat, rep)) =>
+      // DuckDB '...' literals are raw (no backslash processing): the
+      // Java-regex pattern string passes through verbatim to RE2
+      val p = pat.replace("'", "''")
+      s"regexp_replace($s, '$p', '$rep', 'g')"
+    }
+
+  def piiCountSql(e: String): String =
+    PiiPatterns.map { case (pat, _) =>
+      val p = pat.replace("'", "''")
+      s"CAST(len(regexp_split_to_array($e, '$p')) - 1 AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
   // --- Repetition metrics (Gopher-style quality filters) ---------------
   //
   // Within-document repetition signals used by public corpus-curation

@@ -71,6 +71,24 @@ object TextQueries {
         dupCorpus(docs(s, dir)),
         docs(s, dir).filter(col("doc_id") % 25 === 0),
         "doc_id", "text", n = 5)),
+    // PII redaction over a corpus with deterministically injected PII
+    // (emails / phone+IP on a doc_id rotation) so the oracle proves the
+    // scrubbing really fires, not just that clean text passes through
+    "text_redact" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("dirty",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"),
+              col("doc_id").cast("string"), lit("@example.com now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" or visit 10.0."),
+              (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(col("text")))
+        .select(col("doc_id"),
+          TA.piiCount(col("dirty")).as("n_pii"),
+          TA.redactPii(col("dirty")).as("clean"))),
     // within-document repetition profile (Gopher-style quality filters);
     // pure array expressions — the whole profile rides the scan
     "text_repetition" -> ((s, dir) =>
@@ -330,6 +348,19 @@ object TextQueries {
            |  CAST(h.n_hits AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS hit_frac
            |FROM hits h JOIN tot t ON h.doc_id = t.doc_id""".stripMargin
       },
+      "text_redact" ->
+        s"""SELECT doc_id,
+           |  ${TA.piiCountSql("dirty")} AS n_pii,
+           |  ${TA.redactPiiSql("dirty")} AS clean
+           |FROM (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0
+           |           THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+           |         WHEN doc_id % 3 = 1
+           |           THEN text || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |                || ' or visit 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+           |         ELSE text END AS dirty
+           |  FROM documents)""".stripMargin,
       "text_repetition" ->
         s"""SELECT doc_id,
            |  ${TA.dupFracSql(TA.tokenNgramsSql(toks, 2))} AS dup_2gram_frac,

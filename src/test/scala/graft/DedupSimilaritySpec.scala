@@ -344,6 +344,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("PII redaction replaces emails, IPs, phones with typed tags") {
+    val df = Seq(
+      "mail a.b+c@ex-y.co now",
+      "host 192.168.0.1 port",
+      "call 555-123-4567 pls",
+      "clean text only").toDF("text")
+      .select(TA.redactPii(col("text")).as("clean"),
+        TA.piiCount(col("text")).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(df === Set(
+      ("mail <EMAIL> now", 1L),
+      ("host <IP> port", 1L),
+      ("call <PHONE> pls", 1L),
+      ("clean text only", 0L)))
+  }
+
   test("repetition metrics: hand-computed fractions and degenerate docs") {
     val df = Seq(
       // 4 tokens, 3 bigrams ("a b","b a","a b") → dup_2gram 1/3;
