@@ -138,4 +138,40 @@ class CassandraSourceSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException] { src.spec("nope") }
     assert(err.getMessage.contains("nope"))
   }
+
+  test("split planning tiles the ring exactly once under (start, end] scans") {
+    import graft.sources.CqlSplits
+    import graft.sources.CqlSplits._
+    for ((ring, n) <- Seq((Murmur3Ring: Ring, 7), (RandomRing: Ring, 13),
+        (Murmur3Ring: Ring, 1))) {
+      val splits = CqlSplits.calculate(n, 4, ring)
+      assert(splits.length === n)
+      assert(splits.head.start === ring.min)
+      assert(splits.last.end === ring.max)
+      // gapless + overlap-free: each start IS the previous end (the
+      // reference's +1 would skip one token per interior boundary)
+      splits.sliding(2).foreach {
+        case Seq(a, b) => assert(b.start === a.end)
+        case _ =>
+      }
+      // bucket sharding mirrors splitNumber % numBuckets
+      assert(splits.forall(s => s.bucket === s.splitNumber % 4))
+    }
+  }
+
+  test("specific-token filter keeps exactly the owning splits") {
+    import graft.sources.CqlSplits
+    import graft.sources.CqlSplits._
+    val splits = CqlSplits.calculate(8, 2, Murmur3Ring)
+    // a boundary token: the CLOSED-bound filter (reference verbatim)
+    // keeps both adjacent splits — conservative (split 4's strict
+    // `token > start` scan just returns nothing extra), never missing
+    val t = splits(3).end
+    val picked = CqlSplits.forTokens(Set(t), splits)
+    assert(picked.map(_.splitNumber) === Seq(3, 4))
+    // a token strictly inside split 5
+    val mid = (splits(5).start + splits(5).end) / 2
+    assert(CqlSplits.forTokens(Set(mid), splits).map(_.splitNumber) === Seq(5))
+    assert(CqlSplits.forTokens(Set.empty, splits).isEmpty)
+  }
 }
