@@ -35,6 +35,22 @@ object Sampling {
     df.filter(pmod(keyHash60(col(keyCol)), lit(den)) < lit(num))
   }
 
+  /** Weight-proportional deterministic sample: keep each row with
+    * probability `clamp(weight, 0, 1)` decided by its key hash — e.g.
+    * quality-proportional downsampling, where a 0.9-quality doc is kept
+    * 9× as often as a 0.1 one. Same reproducibility contract as the
+    * fixed-fraction samplers, and still one codegen'd scan filter; the
+    * weight can be any deterministic Column (both engines must compute
+    * identical doubles for the oracle, so derive it from row fields).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+      den: Int = DefaultDen): DataFrame = {
+    require(den > 0, "den must be positive")
+    val p = least(greatest(weight, lit(0.0)), lit(1.0))
+    df.filter(
+      pmod(keyHash60(col(keyCol)), lit(den)).cast("double") < p * lit(den))
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (in
     * 1/`den` units) with a default for unlisted strata. One codegen'd
     * filter over the scan — no shuffle, no per-stratum pass; fractions

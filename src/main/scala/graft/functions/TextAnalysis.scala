@@ -102,6 +102,15 @@ object TextAnalysis {
     least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
       stopwordRatio(text) * lit(0.5)
 
+  /** DuckDB mirror of [[qualityScore]] over a VARCHAR[] tokens
+    * expression — single source of truth for every oracle that scores
+    * quality (text_stats, curation, weighted sampling).
+    */
+  def qualityScoreSql(toksExpr: String): String =
+    s"""(LEAST(CAST(len($toksExpr) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+       |  (CAST(${stopwordCountSql(toksExpr)} AS DOUBLE)
+       |   / CAST(GREATEST(len($toksExpr), 1) AS DOUBLE)) * 0.5)""".stripMargin
+
   /** Content fingerprint: md5 of the lower-cased trimmed text (md5 hex is
     * identical across engines). A rolling-hash variant lives in
     * [[graft.functions.RollingHash]] as a native Catalyst expression.

@@ -154,6 +154,12 @@ object TextQueries {
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 500, "de" -> 200), defaultNum = 100)
         .select("doc_id", "lang")),
+    // quality-proportional sample: keep probability = quality score,
+    // deterministic per doc_id
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id",
+          TA.qualityScore(col("text")))
+        .select("doc_id", "lang")),
     // the end-to-end curation pipeline a training-data run performs:
     // score → language-filter → exact-dedup (keep canonical) →
     // stratified mix — every stage one of this engine's operators, the
@@ -361,6 +367,12 @@ object TextQueries {
            |                || ' or visit 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
            |         ELSE text END AS dirty
            |  FROM documents)""".stripMargin,
+      "sample_weighted" ->
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, ${TA.qualityScoreSql(toks)} AS q
+           |  FROM documents)
+           |WHERE CAST(${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} AS DOUBLE)
+           |      < q * ${Sampling.DefaultDen}""".stripMargin,
       "text_repetition" ->
         s"""SELECT doc_id,
            |  ${TA.dupFracSql(TA.tokenNgramsSql(toks, 2))} AS dup_2gram_frac,

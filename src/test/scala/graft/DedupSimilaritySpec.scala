@@ -344,6 +344,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("weighted sample: degenerate weights keep none/all; mid-weight is proportional") {
+    import graft.functions.Sampling
+    val df = spark.range(2000).toDF("doc_id")
+    assert(Sampling.weightedSample(df, "doc_id", lit(0.0)).count() === 0)
+    assert(Sampling.weightedSample(df, "doc_id", lit(1.0)).count() === 2000)
+    assert(Sampling.weightedSample(df, "doc_id", lit(-3.0)).count() === 0)
+    assert(Sampling.weightedSample(df, "doc_id", lit(7.0)).count() === 2000)
+    val mid = Sampling.weightedSample(df, "doc_id", lit(0.5)).count()
+    assert(mid > 800 && mid < 1200, s"~50% expected, got $mid")
+  }
+
   test("PII redaction replaces emails, IPs, phones with typed tags") {
     val df = Seq(
       "mail a.b+c@ex-y.co now",
