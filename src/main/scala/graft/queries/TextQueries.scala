@@ -179,6 +179,33 @@ object TextQueries {
           "doc_id", "lang_pred", Map("en" -> 500), defaultNum = 300)
         .select("doc_id", "lang_pred", "quality")
     }),
+    // the FULL curation pipeline: repetition + quality + language gates
+    // → decontamination anti-join → exact-dedup canonical → PII audit +
+    // redacted fingerprint → quality-weighted sample. One declarative
+    // plan; text is projected away before any shuffle (hash/fingerprint/
+    // counts all computed in the scan), the contaminated set rides a
+    // broadcast anti-join
+    "curate_corpus_full" -> ((s, dir) => {
+      val corpus = dupCorpus(docs(s, dir))
+      val bench = docs(s, dir).filter(col("doc_id") % 25 === 0)
+      val contaminated = Decontaminate
+        .ngramHits(corpus, bench, "doc_id", "text", n = 5)
+        .filter(col("hit_frac") >= 0.5).select("doc_id")
+      val base = corpus
+        .withColumn("quality", TA.qualityScore(col("text")))
+        .withColumn("lang_pred", TA.langId(col("text")))
+        .filter(col("quality") >= 0.3 && col("lang_pred") =!= "unknown" &&
+          TA.dupFrac(TA.tokenNgrams(col("text"), 2)) <= 0.08)
+        .select(col("doc_id"), col("lang_pred"), col("quality"),
+          TA.piiCount(col("text")).as("n_pii"),
+          md5(TA.redactPii(col("text"))).as("clean_fp"),
+          Dedup.contentHash(col("text")).as("__h"))
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      Sampling.weightedSample(
+          Dedup.keepCanonicalByKey(base, "doc_id", "__h"),
+          "doc_id", col("quality"))
+        .select("doc_id", "lang_pred", "quality", "n_pii", "clean_fp")
+    }),
     // multimodal plumbing: binary blobs → batched stub decode
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -197,6 +224,18 @@ object TextQueries {
         .select(col("doc_id"), col("width"), col("height"),
           length(col("data")).cast("bigint").as("n_bytes"))),
   )
+
+  /** Shared oracle fragment: distinct word 5-gram shingles per doc from
+    * `src` (mirrors `array_distinct(Dedup.wordShingles(text, 5))`) —
+    * used by the decontamination oracles.
+    */
+  private def sh5(src: String): String =
+    s"""SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+       |         ELSE list_transform(range(0, len(w) - 4),
+       |                i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) END
+       |  ) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
 
   /** Shared oracle fragment: distinct word 3-gram shingles per doc over
     * the dup-injected corpus (mirrors Dedup.wordShingles exactly).
@@ -333,14 +372,7 @@ object TextQueries {
           |  CASE WHEN end_offset > end_offset - n THEN (end_offset - 1) // 2048
           |       ELSE (end_offset - n) // 2048 END AS last_seq
           |FROM c""".stripMargin,
-      "decontaminate" -> {
-        def sh5(src: String): String =
-          s"""SELECT DISTINCT doc_id, unnest(
-             |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-             |         ELSE list_transform(range(0, len(w) - 4),
-             |                i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) END
-             |  ) AS shingle
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
+      "decontaminate" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
            |bsh AS (SELECT DISTINCT shingle FROM (${sh5("bench")})),
@@ -352,8 +384,40 @@ object TextQueries {
            |  CAST(h.n_hits AS BIGINT) AS n_hit_ngrams,
            |  CAST(t.n_sh AS BIGINT) AS n_shingles,
            |  CAST(h.n_hits AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS hit_frac
-           |FROM hits h JOIN tot t ON h.doc_id = t.doc_id""".stripMargin
-      },
+           |FROM hits h JOIN tot t ON h.doc_id = t.doc_id""".stripMargin,
+      "curate_corpus_full" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+           |bsh AS (SELECT DISTINCT shingle FROM (${sh5("bench")})),
+           |csh AS (${sh5("corpus")}),
+           |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY doc_id),
+           |hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+           |         FROM csh c JOIN bsh b ON c.shingle = b.shingle GROUP BY c.doc_id),
+           |contaminated AS (
+           |  SELECT h.doc_id FROM hits h JOIN tot t ON h.doc_id = t.doc_id
+           |  WHERE CAST(h.n_hits AS DOUBLE) / CAST(t.n_sh AS DOUBLE) >= 0.5),
+           |scored AS (
+           |  SELECT doc_id, text, string_split(text, ' ') AS w FROM corpus),
+           |flt AS (
+           |  SELECT doc_id, text,
+           |    ${TA.qualityScoreSql("w")} AS quality,
+           |    ${TA.langIdSql("w")} AS lang_pred
+           |  FROM scored
+           |  WHERE ${TA.qualityScoreSql("w")} >= 0.3
+           |    AND ${TA.langIdSql("w")} <> 'unknown'
+           |    AND ${TA.dupFracSql(TA.tokenNgramsSql("w", 2))} <= 0.08
+           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |canon AS (
+           |  SELECT doc_id, lang_pred, quality, text FROM (
+           |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS c
+           |    FROM flt
+           |  ) WHERE doc_id = c)
+           |SELECT doc_id, lang_pred, quality,
+           |  ${TA.piiCountSql("text")} AS n_pii,
+           |  md5(${TA.redactPiiSql("text")}) AS clean_fp
+           |FROM canon
+           |WHERE CAST(${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} AS DOUBLE)
+           |      < quality * ${Sampling.DefaultDen}""".stripMargin,
       "text_redact" ->
         s"""SELECT doc_id,
            |  ${TA.piiCountSql("dirty")} AS n_pii,
