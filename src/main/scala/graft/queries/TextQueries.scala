@@ -200,9 +200,15 @@ object TextQueries {
           TA.piiCount(col("text")).as("n_pii"),
           md5(TA.redactPii(col("text"))).as("clean_fp"),
           Dedup.contentHash(col("text")).as("__h"))
-        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      // the anti-join sits ABOVE the canonical window, not on `base`:
+      // below it Catalyst pushes the join into each union leg of the
+      // dup-injected corpus and evaluates the whole contamination branch
+      // once per leg (no exchange reuse across legs). Equivalent result
+      // either way — the verdict is a pure function of the text, so an
+      // identical-text group is contaminated all-or-nothing
       Sampling.weightedSample(
-          Dedup.keepCanonicalByKey(base, "doc_id", "__h"),
+          Dedup.keepCanonicalByKey(base, "doc_id", "__h")
+            .join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
           "doc_id", col("quality"))
         .select("doc_id", "lang_pred", "quality", "n_pii", "clean_fp")
     }),
