@@ -35,6 +35,24 @@ object Sampling {
     df.filter(pmod(keyHash60(col(keyCol)), lit(den)) < lit(num))
   }
 
+  /** Per-key quota: keep at most `k` rows per `keyCol` group, best
+    * first by `order` (break ties for determinism). The source-balancing
+    * step of a mix ("≤ N docs per domain/language"). Plans as ONE
+    * key exchange, and the rank-≤-k filter lets Spark run it as
+    * WindowGroupLimit — per-partition top-k heaps on the map side, so
+    * the exchange ships at most k rows per (key, input partition), not
+    * the group.
+    */
+  def topKPerKey(df: DataFrame, keyCol: String, k: Int,
+      order: Seq[Column]): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(order.nonEmpty, "need at least one ordering column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Weight-proportional deterministic sample: keep each row with
     * probability `clamp(weight, 0, 1)` decided by its key hash — e.g.
     * quality-proportional downsampling, where a 0.9-quality doc is kept

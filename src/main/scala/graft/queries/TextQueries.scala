@@ -154,6 +154,13 @@ object TextQueries {
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 500, "de" -> 200), defaultNum = 100)
         .select("doc_id", "lang")),
+    // per-language quota: best 40 docs per lang by quality (ties by id)
+    "sample_topk_per_lang" -> ((s, dir) =>
+      Sampling.topKPerKey(
+          docs(s, dir).withColumn("quality", TA.qualityScore(col("text"))),
+          "lang", k = 40,
+          order = Seq(col("quality").desc, col("doc_id")))
+        .select("doc_id", "lang", "quality")),
     // quality-proportional sample: keep probability = quality score,
     // deterministic per doc_id
     "sample_weighted" -> ((s, dir) =>
@@ -437,6 +444,14 @@ object TextQueries {
            |                || ' or visit 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
            |         ELSE text END AS dirty
            |  FROM documents)""".stripMargin,
+      "sample_topk_per_lang" ->
+        s"""SELECT doc_id, lang, quality FROM (
+           |  SELECT doc_id, lang, q AS quality,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |                       ORDER BY q DESC, doc_id) AS rn
+           |  FROM (SELECT doc_id, lang,
+           |          ${TA.qualityScoreSql(toks)} AS q FROM documents))
+           |WHERE rn <= 40""".stripMargin,
       "sample_weighted" ->
         s"""SELECT doc_id, lang FROM (
            |  SELECT doc_id, lang, ${TA.qualityScoreSql(toks)} AS q

@@ -344,6 +344,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("per-key quota: exact winners, and the plan runs as WindowGroupLimit") {
+    import graft.functions.Sampling
+    val df = Seq((1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7),
+      (4L, "b", 0.1), (5L, "b", 0.1)).toDF("doc_id", "key", "q")
+    val top = Sampling.topKPerKey(df, "key", 2,
+      Seq(col("q").desc, col("doc_id")))
+    assert(top.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 4L, 5L))
+    // rank<=k must trigger the map-side group-limit (per-partition top-k
+    // heaps before the exchange) — a plain Window here would ship whole
+    // groups
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   test("weighted sample: degenerate weights keep none/all; mid-weight is proportional") {
     import graft.functions.Sampling
     val df = spark.range(2000).toDF("doc_id")
