@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document chunking: split each document into fixed-size character
+  * windows with overlap — the context-window preparation step for
+  * retrieval indexing and long-document training. Pure generator
+  * expressions (sequence + explode + substr): per-row map work with no
+  * shuffle at any scale, and deterministic chunk boundaries so the same
+  * document always yields the same chunks.
+  */
+object Chunking {
+
+  /** One row per chunk: `chunk_idx` (0-based), `chunk_start` (0-based
+    * char offset), `chunk_end` (exclusive, clamped to the text length),
+    * `chunk_text`. Windows start every `chunkLen - overlap` chars; a
+    * document no longer than `chunkLen` yields exactly one chunk.
+    * Every other column of `df` is carried through unchanged.
+    */
+  def chunk(df: DataFrame, textCol: String,
+      chunkLen: Int, overlap: Int): DataFrame = {
+    require(chunkLen >= 1, "chunkLen must be >= 1")
+    require(overlap >= 0 && overlap < chunkLen,
+      "need 0 <= overlap < chunkLen")
+    val stride = chunkLen - overlap
+    val len = length(col(textCol)).cast("long")
+    // chunks past the first exist only for the span beyond chunkLen,
+    // one per started stride: 1 + ceil((len - chunkLen) / stride)
+    val extra = greatest(len - chunkLen, lit(0L))
+    // ceil div on non-negative longs (the double quotient is exact well
+    // past any document length; cast truncates = floor)
+    val n = lit(1L) + ((extra + (stride - 1)) / lit(stride)).cast("long")
+    df.withColumn("chunk_idx", explode(sequence(lit(0L), n - 1)))
+      .withColumn("chunk_start", col("chunk_idx") * stride)
+      .withColumn("chunk_end", least(col("chunk_start") + chunkLen, len))
+      .withColumn("chunk_text",
+        col(textCol).substr(
+          (col("chunk_start") + 1).cast("int"), lit(chunkLen)))
+  }
+}

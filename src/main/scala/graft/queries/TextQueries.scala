@@ -154,6 +154,13 @@ object TextQueries {
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 500, "de" -> 200), defaultNum = 100)
         .select("doc_id", "lang")),
+    // overlapping 200-char chunks (50 overlap) with offsets — retrieval
+    // / context-window prep; pure generator expressions, no shuffle
+    "text_chunks" -> ((s, dir) =>
+      graft.functions.Chunking.chunk(docs(s, dir), "text",
+          chunkLen = 200, overlap = 50)
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_end",
+          "chunk_text")),
     // per-language quota: best 40 docs per lang by quality (ties by id)
     "sample_topk_per_lang" -> ((s, dir) =>
       Sampling.topKPerKey(
@@ -444,6 +451,14 @@ object TextQueries {
            |                || ' or visit 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
            |         ELSE text END AS dirty
            |  FROM documents)""".stripMargin,
+      "text_chunks" ->
+        """SELECT doc_id, i AS chunk_idx,
+          |  i * 150 AS chunk_start,
+          |  LEAST(i * 150 + 200, length(text)) AS chunk_end,
+          |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
+          |FROM documents, UNNEST(range(0,
+          |  1 + CASE WHEN length(text) > 200
+          |           THEN (length(text) - 200 + 149) // 150 ELSE 0 END)) AS t(i)""".stripMargin,
       "sample_topk_per_lang" ->
         s"""SELECT doc_id, lang, quality FROM (
            |  SELECT doc_id, lang, q AS quality,

@@ -344,6 +344,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("chunking: short docs one chunk, windows tile with overlap, ends clamped") {
+    import graft.functions.Chunking
+    val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunk(df, "text", chunkLen = 8, overlap = 3)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_end", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 0L, 8L, "abcdefgh"), // stride 5; 10 chars -> 2 chunks
+      (1L, 1L, 5L, 10L, "fghij"),
+      (2L, 0L, 0L, 3L, "abc"),      // shorter than chunkLen -> 1 chunk
+      (3L, 0L, 0L, 8L, "abcdefgh"))) // exactly chunkLen -> 1 chunk
+  }
+
   test("per-key quota: exact winners, and the plan runs as WindowGroupLimit") {
     import graft.functions.Sampling
     val df = Seq((1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7),
