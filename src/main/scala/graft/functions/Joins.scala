@@ -128,4 +128,35 @@ object Joins {
       .filter(contains)
     narrow.unionByName(wide)
   }
+
+  /** Skew-safe shuffle equi-join: when one join key owns a disproportionate
+    * share of `large` (a viral document, a null-ish default key), the
+    * plain shuffle pins that key's entire volume on one task. Salting
+    * splits it: `large` rows get a deterministic salt from `discCol`
+    * (any column unique-ish per row — a row id), `small` is replicated
+    * across all `buckets` salts, and the join key becomes (keys, salt) —
+    * the hot key now spreads over `buckets` tasks. Result-identical to
+    * the unsalted join (each large row meets each matching small row in
+    * exactly one salt bucket).
+    *
+    * `inner` and `left_outer` only: each large row carries ONE salt, so
+    * large-side semantics survive replication; small-side outer
+    * semantics would need a dedup pass and are not offered. AQE's
+    * skew-join split handles moderate skew on its own — reach for
+    * explicit salting when a single key exceeds what one task can hold
+    * even after AQE splits, or when AQE is off.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+      discCol: String, buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    require(keys.nonEmpty, "need at least one join key")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left_outer, not $joinType")
+    val l = large.withColumn("__salt",
+      pmod(xxhash64(col(discCol)), lit(buckets)).cast("int"))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    l.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -136,6 +136,19 @@ object AnalyticsQueries {
         .select(col("l_orderkey")).distinct()
       src.except(tgt).unionByName(tgt.except(src).withColumn("l_orderkey", -col("l_orderkey")))
     }),
+    // skew-safe salted shuffle join (result-identical to the plain join;
+    // the hot-key demo is in JoinsSpec — here the oracle pins equivalence)
+    "q_salted_join" -> ((s, dir) =>
+      Joins.saltedJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+            "l_suppkey", "l_quantity"),
+          t(s, dir, "supplier")
+            .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+          keys = Seq("l_suppkey"),
+          discCol = "l_orderkey", buckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))),
     // events table: time-bucketed aggregation (streaming-shaped, batch run)
     "events_by_hour" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -291,6 +304,11 @@ object AnalyticsQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     // boundary rule mirrors Spark's session_window: only a gap STRICTLY
     // greater than the duration (12 h = 43 200 000 000 us) starts a new
     // session — an exactly-equal gap merges (pinned in SessionsSpec)

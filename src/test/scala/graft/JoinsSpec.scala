@@ -160,4 +160,34 @@ class JoinsSpec extends SparkSpec {
       assert(df.count() > 0)
     }
   }
+
+  test("salted join equals the plain join and spreads the hot key") {
+    import org.apache.spark.sql.functions._
+    // 90% of the large side lands on one hot key
+    val large = spark.range(2000).toDF("row_id")
+      .withColumn("k", when(col("row_id") % 10 < 9, 7L).otherwise(col("row_id") % 5))
+      .withColumn("v", col("row_id") * 3)
+    val small = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("k", "name")
+    val plain = large.join(small, Seq("k")).select("row_id", "k", "name")
+    val salted = Joins.saltedJoin(large, small, Seq("k"), "row_id", 8)
+      .select("row_id", "k", "name")
+    assert(salted.collect().toSet === plain.collect().toSet)
+    // with broadcast off, the shuffle key must include the salt — that is
+    // what spreads key 7 across 8 reducers instead of one
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Joins.saltedJoin(large, small, Seq("k"), "row_id", 8)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"), plan.take(2000))
+      assert("hashpartitioning\\(k#\\d+L?, __salt".r.findAllIn(plan).nonEmpty,
+        plan.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // left_outer keeps unmatched large rows exactly once
+    val lo = Joins.saltedJoin(large.filter(col("k") === 3L), small,
+      Seq("k"), "row_id", 4, "left_outer")
+    assert(lo.filter(col("name").isNull).count() ===
+      large.filter(col("k") === 3L).count())
+  }
 }
