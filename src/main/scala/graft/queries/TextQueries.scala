@@ -154,6 +154,11 @@ object TextQueries {
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 500, "de" -> 200), defaultNum = 100)
         .select("doc_id", "lang")),
+    // top-3 distinctive terms per doc (tf desc, df asc, term) — integer
+    // tf-idf ranking, three narrow id+count shuffles, never text
+    "text_top_terms" -> ((s, dir) =>
+      graft.functions.TermStats.topTerms(docs(s, dir), "doc_id", "text",
+        k = 3)),
     // overlapping 200-char chunks (50 overlap) with offsets — retrieval
     // / context-window prep; pure generator expressions, no shuffle
     "text_chunks" -> ((s, dir) =>
@@ -451,6 +456,21 @@ object TextQueries {
            |                || ' or visit 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
            |         ELSE text END AS dirty
            |  FROM documents)""".stripMargin,
+      "text_top_terms" ->
+        """WITH pairs AS (
+          |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          |        FROM documents)
+          |  GROUP BY doc_id, term
+          |), dfreq AS (
+          |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY term
+          |)
+          |SELECT doc_id, term, tf, df, rank FROM (
+          |  SELECT p.doc_id, p.term, p.tf, d.df,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY p.doc_id
+          |      ORDER BY p.tf DESC, d.df ASC, p.term) AS BIGINT) AS rank
+          |  FROM pairs p JOIN dfreq d ON p.term = d.term)
+          |WHERE rank <= 3""".stripMargin,
       "text_chunks" ->
         """SELECT doc_id, i AS chunk_idx,
           |  i * 150 AS chunk_start,
