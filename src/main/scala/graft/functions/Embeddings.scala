@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-column aggregation: per-label centroids (element-wise
+  * means), the building block of class analysis, cluster drift checks,
+  * and label-conditioned near-dup thresholds.
+  *
+  * Two shapes with one semantics:
+  *
+  *  - [[labelCentroids]] — oracle-exact: element sums evaluate as a
+  *    SEQUENTIAL fold in pinned `vec_id` order (window cumsum), so the
+  *    float-addition order — and therefore every last bit of the double
+  *    result — is identical in any engine that follows the same order.
+  *    Costs a (label, dim) shuffle without map-side combine.
+  *  - [[labelCentroidsAgg]] — the at-scale shape: plain groupBy avg
+  *    with partial aggregation (combiner runs map-side, the exchange
+  *    carries one partial per (label, dim, input partition)). Float
+  *    addition order is partition-dependent, so results agree with the
+  *    exact shape only to rounding (~1e-9 relative); the parity spec
+  *    bounds the drift.
+  *
+  * Output long-form: (label, pos, mean_v, n_vecs) — reassembly into an
+  * array column is a `collect_list` over pos when callers want it.
+  */
+object Embeddings {
+
+  private def exploded(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String) =
+    df.select(col(labelCol), col(idCol),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(labelCol), col(idCol),
+        col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+
+  /** Deterministic bit-exact centroids (see object doc). */
+  def labelCentroids(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val w = Window.partitionBy(col(labelCol), col("pos"))
+      .orderBy(col(idCol))
+    val grp = Window.partitionBy(col(labelCol), col("pos"))
+    exploded(df, idCol, vecCol, labelCol)
+      .withColumn("cs", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(grp))
+      .filter(col("rn") === col("cnt"))
+      .select(col(labelCol), col("pos"),
+        (col("cs") / col("cnt")).as("mean_v"),
+        col("cnt").as("n_vecs"))
+  }
+
+  /** Partial-aggregation centroids — the shape to run at 100 TB. */
+  def labelCentroidsAgg(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    exploded(df, idCol, vecCol, labelCol)
+      .groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("v")).as("mean_v"), count(lit(1)).as("n_vecs"))
+}

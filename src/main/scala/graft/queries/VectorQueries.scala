@@ -23,6 +23,10 @@ object VectorQueries {
       Similarity.bruteForceTopK(
         e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
     }),
+    // per-label centroids, bit-exact via the pinned-order fold
+    "embed_centroids" -> ((s, dir) =>
+      graft.functions.Embeddings.labelCentroids(
+        emb(s, dir), "vec_id", "embedding", "label")),
     // embedding-cosine near-dup pairs over a deterministic subset
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
@@ -105,6 +109,24 @@ object VectorQueries {
         |)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
         |FROM r WHERE rank <= 5""".stripMargin,
+    // the same sequential fold in vec_id order — float addition order
+    // pinned, so the doubles match bit-for-bit
+    "embed_centroids" ->
+      """WITH e AS (
+        |  SELECT label, vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS v
+        |  FROM embeddings
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+        |),
+        |c AS (
+        |  SELECT label, pos,
+        |    SUM(v) OVER (PARTITION BY label, pos ORDER BY vec_id
+        |                 ROWS UNBOUNDED PRECEDING) AS cs,
+        |    ROW_NUMBER() OVER (PARTITION BY label, pos ORDER BY vec_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY label, pos) AS cnt
+        |  FROM e
+        |)
+        |SELECT label, pos, cs / cnt AS mean_v, CAST(cnt AS BIGINT) AS n_vecs
+        |FROM c WHERE rn = cnt""".stripMargin,
     "embed_neardup" -> neardupOracleSql,
     "ann_lsh" -> lshTopKOracleSql,
     // self-grading verdict (see the ann_ivf query comment): DuckDB owns

@@ -344,6 +344,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("centroids: exact fold and partial-agg shapes agree to rounding") {
+    import graft.functions.Embeddings
+    val e = Tables.load(spark, Sf, "embeddings")
+    val exact = Embeddings.labelCentroids(e, "vec_id", "embedding", "label")
+      .select("label", "pos", "mean_v").as[(Int, Long, Double)]
+      .collect().map { case (l, p, v) => (l, p) -> v }.toMap
+    val agg = Embeddings.labelCentroidsAgg(e, "vec_id", "embedding", "label")
+      .select("label", "pos", "mean_v").as[(Int, Long, Double)]
+      .collect().map { case (l, p, v) => (l, p) -> v }.toMap
+    assert(exact.keySet === agg.keySet && exact.nonEmpty)
+    val worst = exact.keysIterator
+      .map(k => math.abs(exact(k) - agg(k))).max
+    // same semantics, different float-addition association: only
+    // rounding apart. A real divergence (wrong group, dropped rows)
+    // shows up orders of magnitude above this bound.
+    assert(worst < 1e-9, s"max |exact - agg| = $worst")
+  }
+
   test("chunking: short docs one chunk, windows tile with overlap, ends clamped") {
     import graft.functions.Chunking
     val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "abcdefgh"))
