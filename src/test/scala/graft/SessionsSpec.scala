@@ -95,6 +95,36 @@ class SessionsSpec extends SparkSpec {
       s"one shard shuffle expected in:\n$plan")
   }
 
+  test("sessionize property: equals the naive per-user fold on random data") {
+    val rnd = new scala.util.Random(20260813)
+    val rows = for {
+      u <- 1L to 20L
+      i <- 0 until (1 + rnd.nextInt(40))
+    } yield (u, i.toLong, rnd.nextInt(100000).toLong) // ts in ms
+    // unique (user, ts) so ordering by ts alone is total
+    val data = rows.groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+    val gapMs = 5000L
+    val df = data.map { case (u, i, tsMs) =>
+      (u, u * 1000 + i, new Timestamp(tsMs))
+    }.toDF("user_id", "event_id", "ts")
+    val got = Sessions.sessionize(df, "user_id", "ts", gapMs * 1000)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    // naive reference: sort each user's events, walk, bump on gap > g
+    val want = data.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(_._3)
+      var seq = 0L
+      var prev = Long.MinValue
+      sorted.map { case (_, i, tsMs) =>
+        if (prev == Long.MinValue || tsMs - prev > gapMs) seq += 1
+        prev = tsMs
+        (u * 1000 + i) -> seq
+      }
+    }
+    assert(got.size === want.size)
+    val bad = want.collect { case (id, s) if got(id) != s => (id, s, got(id)) }
+    assert(bad.isEmpty, s"first disagreements: ${bad.take(5)}")
+  }
+
   test("session plans shuffle once on the user key") {
     for ((name, df) <- Seq(
         "sessionize" -> Sessions.sessionize(ev, "user_id", "ts", HourMicros,
