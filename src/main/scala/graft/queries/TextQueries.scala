@@ -154,6 +154,24 @@ object TextQueries {
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
         Map("en" -> 500, "de" -> 200), defaultNum = 100)
         .select("doc_id", "lang")),
+    // per-language doc-length profile: discrete order-statistic
+    // quantiles (value at rank ceil(p*n)) — integer-exact, and
+    // PARTITIONED windows only (a global percentile would serialize on
+    // one task; per-stratum profiles are how 100 TB corpora get audited)
+    "text_len_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val grp = Window.partitionBy(col("lang"))
+      def at(p: Double) =
+        min(when(col("rn") === ceil(col("n") * p), col("n_chars")))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(grp))
+        .groupBy(col("lang"))
+        .agg(max(col("n")).as("n_docs"),
+          at(0.25).as("p25"), at(0.5).as("p50"), at(0.9).as("p90"))
+    }),
     // top-3 distinctive terms per doc (tf desc, df asc, term) — integer
     // tf-idf ranking, three narrow id+count shuffles, never text
     "text_top_terms" -> ((s, dir) =>
@@ -456,6 +474,17 @@ object TextQueries {
            |                || ' or visit 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
            |         ELSE text END AS dirty
            |  FROM documents)""".stripMargin,
+      "text_len_quantiles" ->
+        """WITH r AS (
+          |  SELECT lang, n_chars,
+          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+          |    COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents)
+          |SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+          |  MIN(CASE WHEN rn = CAST(CEIL(n * 0.25) AS BIGINT) THEN n_chars END) AS p25,
+          |  MIN(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN n_chars END) AS p50,
+          |  MIN(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN n_chars END) AS p90
+          |FROM r GROUP BY lang""".stripMargin,
       "text_top_terms" ->
         """WITH pairs AS (
           |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
