@@ -148,6 +148,29 @@ object TextQueries {
         Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
           shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)
           .select("id_a", "id_b"))),
+    // near-dup cluster canonicalization by QUALITY: within each
+    // connected component keep the highest-quality member (ties by id) —
+    // the real-world keep rule when duplicates differ in cleanliness.
+    // Singleton docs (no near-dup edges) pass through untouched
+    "dedup_cluster_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = dupCorpus(docs(s, dir))
+        .withColumn("quality", TA.qualityScore(col("text")))
+        .select("doc_id", "quality")
+      val clusters = Dedup.dupClusters(
+        Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)
+          .select("id_a", "id_b"))
+      val member = corpus
+        .join(broadcast(clusters), corpus("doc_id") === clusters("id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      member
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("best_id"),
+          col("quality"))
+    }),
     // deterministic stratified sample (dataset mixing): 50% en, 20% de,
     // 10% of everything else, reproducible per key
     "sample_stratified" -> ((s, dir) =>
@@ -561,6 +584,28 @@ object TextQueries {
            |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
            |)
            |SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+      "dedup_cluster_best" ->
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($ngramPairsOracleSql)),
+           |e AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |),
+           |reach(id, lbl) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+           |),
+           |clusters AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |corpus AS ($dupCorpusSql),
+           |member AS (
+           |  SELECT COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           |    d.doc_id, ${TA.qualityScoreSql(toks)} AS quality
+           |  FROM corpus d LEFT JOIN clusters c ON d.doc_id = c.id)
+           |SELECT cluster_id, doc_id AS best_id, quality FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |    ORDER BY quality DESC, doc_id) AS rn FROM member)
+           |WHERE rn = 1""".stripMargin,
       "sample_stratified" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} <
