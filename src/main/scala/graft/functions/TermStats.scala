@@ -19,16 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object TermStats {
 
-  /** Per-(doc, term) tf plus per-term df over the whole corpus. */
+  /** Per-(doc, term) tf plus per-term df over the whole corpus. df is a
+    * COUNT window over the pair frame, not a groupBy + self-join — the
+    * join shape evaluates the tokenize+count subtree twice (no exchange
+    * reuse across the two consumers); the window keeps one pipeline:
+    * pairs exchange on (doc, term), then one on term.
+    */
   def docTermStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val pairs = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df_ = pairs.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-    pairs.join(df_, Seq("term"))
+    pairs.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
   }
 
   /** The `k` most distinctive terms per document: highest tf first,
