@@ -24,7 +24,10 @@ object Chunking {
     require(overlap >= 0 && overlap < chunkLen,
       "need 0 <= overlap < chunkLen")
     val stride = chunkLen - overlap
-    val len = length(col(textCol)).cast("long")
+    // null text ⇒ zero-length: one degenerate [0, 0) chunk with null
+    // text, instead of a phantom chunk_end = chunkLen (greatest/least
+    // skip nulls, so an unguarded null length would leak through them)
+    val len = coalesce(length(col(textCol)).cast("long"), lit(0L))
     // chunks past the first exist only for the span beyond chunkLen,
     // one per started stride: 1 + ceil((len - chunkLen) / stride)
     val extra = greatest(len - chunkLen, lit(0L))

@@ -33,6 +33,11 @@ object Embeddings {
         posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select(col(labelCol), col(idCol),
         col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+      // drop null elements HERE so both shapes agree on them: the window
+      // shape's sum skips nulls but its count(*) would not, while avg
+      // divides by the non-null count — a ragged/null element would
+      // otherwise push the two shapes apart by far more than rounding
+      .filter(col("v").isNotNull)
 
   /** Deterministic bit-exact centroids (see object doc). */
   def labelCentroids(df: DataFrame, idCol: String, vecCol: String,

@@ -19,20 +19,27 @@ import org.apache.spark.sql.functions._
   */
 object TermStats {
 
-  /** Per-(doc, term) tf plus per-term df over the whole corpus. df is a
-    * COUNT window over the pair frame, not a groupBy + self-join — the
-    * join shape evaluates the tokenize+count subtree twice (no exchange
-    * reuse across the two consumers); the window keeps one pipeline:
-    * pairs exchange on (doc, term), then one on term.
+  /** Per-(doc, term) tf plus per-term df over the whole corpus.
+    *
+    * df shape, deliberately: groupBy(term) with a BROADCAST join back,
+    * not a term-partitioned count window. The window evaluates the pair
+    * subtree once but concentrates EVERY row of a hot term ("the" ≈
+    * every doc) into a single task — an unbounded straggler at corpus
+    * scale. The groupBy partial-aggregates map-side (the term exchange
+    * carries one row per term per partition, hot or not) at the cost of
+    * evaluating the tokenize+count subtree twice; a 2× constant beats a
+    * single-task hotspot. The df table is one row per distinct term —
+    * broadcast at vocabulary sizes, switch to a shuffle join only past
+    * that.
     */
   def docTermStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val pairs = docs
+    def pairs = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    pairs.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
+    val df_ = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    pairs.join(broadcast(df_), Seq("term"))
   }
 
   /** The `k` most distinctive terms per document: highest tf first,

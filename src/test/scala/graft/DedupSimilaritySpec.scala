@@ -374,6 +374,13 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, 1L, 5L, 10L, "fghij"),
       (2L, 0L, 0L, 3L, "abc"),      // shorter than chunkLen -> 1 chunk
       (3L, 0L, 0L, 8L, "abcdefgh"))) // exactly chunkLen -> 1 chunk
+    // null text: one degenerate [0, 0) chunk, never a phantom chunkLen end
+    val nul = Chunking.chunk(
+        Seq((9L, Option.empty[String])).toDF("doc_id", "text"),
+        "text", chunkLen = 8, overlap = 3)
+      .select("chunk_idx", "chunk_start", "chunk_end").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(nul === Seq((0L, 0L, 0L)))
   }
 
   test("per-key quota: exact winners, and the plan runs as WindowGroupLimit") {
