@@ -79,10 +79,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","shuffle_read_bytes":${footprint.shuffleRead.get}""" +
-      s""","shuffle_write_bytes":${footprint.shuffleWrite.get}""" +
-      s""","spilled_bytes":${footprint.spill.get}}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","shuffle_read_bytes":${footprint.shuffleRead.get}""" +
+        s""","shuffle_write_bytes":${footprint.shuffleWrite.get}""" +
+        s""","spilled_bytes":${footprint.spill.get}}"""
+    println(json)
+    // also persist the full report: stdout tails get truncated by log
+    // capture, which has lost per-query times in past runs — the file is
+    // the self-contained artifact
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_report.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] report write failed: $e") }
     spark.stop()
   }
 }

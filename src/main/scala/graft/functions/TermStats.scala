@@ -29,17 +29,19 @@ object TermStats {
     * carries one row per term per partition, hot or not) at the cost of
     * evaluating the tokenize+count subtree twice; a 2× constant beats a
     * single-task hotspot. The df table is one row per distinct term —
-    * broadcast at vocabulary sizes, switch to a shuffle join only past
-    * that.
+    * broadcast at vocabulary sizes (`broadcastDf = true`, the default);
+    * past that — web corpora reach 10⁸+ distinct tokens — pass
+    * `broadcastDf = false` for a plain shuffle join on the term key
+    * (AQE still promotes it to broadcast if the table turns out small).
     */
-  def docTermStats(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  def docTermStats(docs: DataFrame, idCol: String, textCol: String,
+      broadcastDf: Boolean = true): DataFrame = {
     def pairs = docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df_ = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    pairs.join(broadcast(df_), Seq("term"))
+    pairs.join(if (broadcastDf) broadcast(df_) else df_, Seq("term"))
   }
 
   /** The `k` most distinctive terms per document: highest tf first,
@@ -47,11 +49,11 @@ object TermStats {
     * ranking with no float in sight.
     */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, broadcastDf: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
-    docTermStats(docs, idCol, textCol)
+    docTermStats(docs, idCol, textCol, broadcastDf)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"),

@@ -192,13 +192,17 @@ object TextAnalysis {
         size(a).cast("double"))
   }
 
-  /** Share of tokens taken by the single most frequent token. Quadratic
-    * in DISTINCT tokens per row (document-local, bounded by doc length) —
-    * deliberately an array expression rather than an explode+groupBy so
-    * the corpus never shuffles.
+  /** Share of tokens taken by the single most frequent token, measured
+    * over the first `MaxRepetitionTokens` tokens. Quadratic in DISTINCT
+    * tokens per row — document-local, but unbounded docs would pin one
+    * task (10⁵ distinct tokens ≈ 10¹⁰ comparisons), so the window is
+    * capped; deliberately an array expression rather than an
+    * explode+groupBy so the corpus never shuffles.
     */
+  val MaxRepetitionTokens = 10000
+
   def topTokenFrac(text: Column): Column = {
-    val w = tokens(text)
+    val w = slice(tokens(text), 1, MaxRepetitionTokens)
     when(size(w) === 0, lit(0.0)).otherwise(
       array_max(transform(array_distinct(w), x =>
           size(filter(w, y => y === x))))
@@ -218,9 +222,11 @@ object TextAnalysis {
        |     ELSE CAST(len($a) - len(list_distinct($a)) AS DOUBLE)
        |          / CAST(len($a) AS DOUBLE) END""".stripMargin
 
-  def topTokenFracSql(w: String): String =
+  def topTokenFracSql(w0: String): String = {
+    val w = s"list_slice($w0, 1, $MaxRepetitionTokens)"
     s"""CASE WHEN len($w) = 0 THEN 0.0
        |     ELSE CAST(list_max(list_transform(list_distinct($w),
        |            x -> len(list_filter($w, y -> y = x)))) AS DOUBLE)
        |          / CAST(len($w) AS DOUBLE) END""".stripMargin
+  }
 }

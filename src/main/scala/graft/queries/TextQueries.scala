@@ -161,8 +161,11 @@ object TextQueries {
         Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
           shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)
           .select("id_a", "id_b"))
+      // no broadcast hint: cluster membership is one row per doc in any
+      // near-dup pair — unbounded on a duplicated corpus. Shuffle join on
+      // the doc id scales; AQE still broadcasts when genuinely small.
       val member = corpus
-        .join(broadcast(clusters), corpus("doc_id") === clusters("id"), "left")
+        .join(clusters, corpus("doc_id") === clusters("id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality").desc, col("doc_id"))
@@ -428,8 +431,8 @@ object TextQueries {
           |  FROM documents
           |), c AS (
           |  SELECT doc_id, shard,
-          |    SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
-          |                 ROWS UNBOUNDED PRECEDING) AS end_offset, n
+          |    CAST(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+          |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset, n
           |  FROM d
           |)
           |SELECT doc_id, shard,
@@ -526,7 +529,7 @@ object TextQueries {
       "text_chunks" ->
         """SELECT doc_id, i AS chunk_idx,
           |  i * 150 AS chunk_start,
-          |  LEAST(i * 150 + 200, length(text)) AS chunk_end,
+          |  LEAST(i * 150 + 200, COALESCE(length(text), 0)) AS chunk_end,
           |  substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk_text
           |FROM documents, UNNEST(range(0,
           |  1 + CASE WHEN length(text) > 200

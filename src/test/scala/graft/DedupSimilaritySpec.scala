@@ -544,4 +544,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.values.forall(_.length === 32)) // exactly width*height bytes
     assert(a(999999L).forall(_ === 0.toByte)) // empty payload → zero-fill
   }
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dedup_cluster_best: cluster-membership join carries no broadcast hint") {
+    // membership is one row per doc in any near-dup pair — unbounded at
+    // corpus scale, so the plan must NOT hard-hint a broadcast. With the
+    // auto-broadcast thresholds forced off, any surviving BroadcastHashJoin
+    // can only come from a hint; hint-free, every join degrades to
+    // sort-merge (AQE may still promote genuinely small frames in prod)
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val q = SparkEntry.queries("dedup_cluster_best")(spark, Sf)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+      assert(q.count() > 0)
+    }
+  }
+
+  test("topTerms: shuffle-join df path matches the broadcast path") {
+    import graft.functions.TermStats
+    val d = docs.limit(200)
+    def rows(b: Boolean) =
+      TermStats.topTerms(d, "doc_id", "text", k = 3, broadcastDf = b)
+        .select("doc_id", "term", "tf", "df", "rank")
+        .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(rows(false) === rows(true))
+    // with thresholds off, broadcastDf=false must take the shuffle join —
+    // the web-scale vocabulary path the scaladoc promises
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = TermStats.docTermStats(d, "doc_id", "text", broadcastDf = false)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(2000))
+      val hinted = TermStats.docTermStats(d, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(hinted.contains("BroadcastHashJoin"), hinted.take(2000))
+    }
+  }
+
+  test("topTokenFrac: per-row cost is capped at MaxRepetitionTokens") {
+    // an adversarial doc with ~50k DISTINCT tokens would cost ~2.5e9
+    // comparisons uncapped; the slice bounds it at 1e8 total. Also pin the
+    // cap semantics: the metric is computed over the first MaxRepetitionTokens
+    // tokens only (denominator included), so a hot token past the window
+    // does not count
+    assert(TA.MaxRepetitionTokens === 10000)
+    val nasty = (0 until 50000).map(i => s"t$i").mkString(" ")
+    val past = ((0 until TA.MaxRepetitionTokens).map(i => s"u$i") ++
+      Seq.fill(5000)("dup")).mkString(" ")
+    val t0 = System.nanoTime()
+    val got = Seq((1L, nasty), (2L, past)).toDF("doc_id", "text")
+      .select(col("doc_id"), TA.topTokenFrac(col("text")).as("f"))
+      .as[(Long, Double)].collect().toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got(1L) === 1.0 / TA.MaxRepetitionTokens) // all distinct in-window
+    assert(got(2L) === 1.0 / TA.MaxRepetitionTokens) // "dup" repeats lie past the cap
+    assert(secs < 60.0, f"capped repetition scan took $secs%.1f s")
+  }
 }
