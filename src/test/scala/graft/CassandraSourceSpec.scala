@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.types._
-import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.{CassandraSource, CqlCatalog, CqlSchema, CqlStatements}
 import graft.sources.CqlSchema.{Clustering, CqlColumn, PartitionKey, Regular, Static}
@@ -10,9 +9,10 @@ import graft.sources.CqlSchema.{Clustering, CqlColumn, PartitionKey, Regular, St
   * of the Cassandra source seam (reference TableSpec.make,
   * spark-job/.../TableSpec.java:71-89, which needs a live cluster; the
   * fixtures below are the `system_schema.columns` rows such a cluster
-  * would serve).
+  * would serve) — plus a full offline diff driven end-to-end by the
+  * discovered specs over a parquet stand-in.
   */
-class CassandraSourceSpec extends AnyFunSuite {
+class CassandraSourceSpec extends SparkSpec {
 
   test("CQL scalar types map to their Catalyst equivalents") {
     val want = Map(
@@ -173,5 +173,71 @@ class CassandraSourceSpec extends AnyFunSuite {
     val mid = (splits(5).start + splits(5).end) / 2
     assert(CqlSplits.forTokens(Set(mid), splits).map(_.splitNumber) === Seq(5))
     assert(CqlSplits.forTokens(Set.empty, splits).isEmpty)
+  }
+
+  // the `system_schema.columns` rows a live cluster would serve for the
+  // events table ((user_id) PRIMARY KEY, clustering (ts, event_id)) —
+  // event_id is unique in the fixture, so (pk ++ clustering) is unique,
+  // exactly the guarantee Cassandra gives every table
+  private val eventsCatalog = CqlCatalog.fixed(Map(
+    "events" -> Seq(
+      CqlColumn("user_id", "bigint", PartitionKey),
+      CqlColumn("ts", "bigint", Clustering, 0, "asc"),
+      CqlColumn("event_id", "bigint", Clustering, 1, "asc"),
+      CqlColumn("event_type", "text", Regular),
+      CqlColumn("value", "double", Regular),
+      CqlColumn("props", "text", Regular))))
+
+  test("CQL-discovered spec drives a full offline diff; unique-key path skips the occurrence window") {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
+    import org.apache.spark.sql.functions._
+    import graft.api.{DiffJobConfig, DiffRunner}
+    import graft.core.DiffOptions
+    import graft.engine.DiffEngine
+    import graft.sources.{ParquetSource, SourceProvider}
+
+    implicit val s: SparkSession = spark
+    val spec = CassandraSource("ks", eventsCatalog).spec("events")
+    assert(spec.uniqueKey) // (pk ++ clustering) IS unique in Cassandra
+    assert(spec.pk === Seq("user_id"))
+    assert(spec.clustering === Seq("ts", "event_id"))
+
+    // parquet snapshots stand in for the two clusters; the SPECS (roles +
+    // uniqueness) come from CQL discovery, the reference's split of
+    // metadata-service vs data-path (TableSpec.java:71-89 vs
+    // DiffCluster.java:253-274)
+    val src = ParquetSource(Sf)
+    val tgt = new SourceProvider {
+      def table(sp: SparkSession, name: String): DataFrame =
+        src.table(sp, name).filter(col("event_id") % 97 =!= 0)
+      def listTables(sp: SparkSession): Seq[String] = src.listTables(sp)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-cql-e2e").toString
+    val stats = new DiffRunner(src, tgt,
+      DiffJobConfig("cql-e2e", Seq(spec), DiffOptions(buckets = 8),
+        metadataRoot = root)).run()("events")
+    val total = src.table(spark, "events").count()
+    val dropped = src.table(spark, "events")
+      .filter(col("event_id") % 97 === 0).count()
+    assert(dropped > 0)
+    assert(stats.onlyInTarget === 0)
+    // dropped events remove rows; a user whose EVERY event was dropped is
+    // a missing partition, the rest are partition mismatches
+    assert(stats.onlyInSource + stats.mismatchedPartitions > 0)
+    assert(stats.matchedRows === total - dropped)
+
+    // the unique-key declaration must skip the duplicate-occurrence
+    // window and its shuffle (DiffCluster.java:253-274 semantics: CQL
+    // keys are unique, so positional pairing is trivial)
+    val bound = spec.bind(src.table(spark, "events"))
+    val fast = DiffEngine.partitionStats(
+        src.table(spark, "events"), tgt.table(spark, "events"), bound)
+      .queryExecution.executedPlan.toString
+    assert(!fast.contains("Window"), fast.take(2000))
+    val slow = DiffEngine.partitionStats(
+        src.table(spark, "events"), tgt.table(spark, "events"),
+        bound.copy(uniqueKey = false))
+      .queryExecution.executedPlan.toString
+    assert(slow.contains("Window"), slow.take(2000))
   }
 }
