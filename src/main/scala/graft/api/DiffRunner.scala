@@ -32,7 +32,15 @@ final case class DiffJobConfig(
     // digests changed on either side — unchanged buckets keep their
     // journal rows (task_status latest-per-bucket totals and persisted
     // mismatch rows ARE the replay). Subsumes the resume filter.
-    incremental: Boolean = false)
+    incremental: Boolean = false,
+    // single-RUN digest prefilter: compare per-bucket digests of the two
+    // sides first (a narrow ≤ buckets-row shuffle) and feed ONLY the
+    // disagreeing buckets to the wide full-PK join; digest-equal buckets
+    // journal their phase-1 arithmetic rows directly. On a
+    // mostly-matching corpus the wide join shrinks to the dirty
+    // fraction — the digestRangeStats shape, available from the
+    // journaling entry point. Results are bit-identical either way.
+    digestFirst: Boolean = false)
 
 final class DiffRunner(
     source: SourceProvider,
@@ -263,8 +271,33 @@ final class DiffRunner(
                 col("__bucket") === col("__same_bucket"), "left_anti")
               .drop("__token", "__bucket")
           }
-        val src = changedOnly(fsrc)
-        val tgt = changedOnly(ftgt)
+        // digest-first fast path: persisted so its two consumers (the
+        // dirty-set collect and the clean journal rows) run the narrow
+        // digest aggregation once. The dirty set is ≤ options.buckets
+        // longs — collected and re-broadcast like the incremental path's
+        // unchanged set.
+        val digestPre =
+          if (config.digestFirst)
+            Some(DiffEngine.digestProgress(changedOnly(fsrc),
+              changedOnly(ftgt), spec, options.buckets, token).persist())
+          else None
+        val dirtySet: Seq[Long] = digestPre match {
+          case Some(d) => d.filter(!col("digest_match"))
+            .select(col("bucket").cast("long")).as[Long].collect().toSeq
+          case None => Nil
+        }
+        def dirtyOnly(df: DataFrame): DataFrame = digestPre match {
+          case None => df
+          case Some(_) =>
+            val keyed = df.withColumn("__token", token(spec.pk.map(col)))
+            val bucketed = keyed.withColumn("__bucket",
+              DiffEngine.bucketOf(keyed, options.buckets, tokenCol = "__token"))
+            bucketed.join(broadcast(dirtySet.toDF("__dirty_bucket")),
+                col("__bucket") === col("__dirty_bucket"), "left_semi")
+              .drop("__token", "__bucket")
+        }
+        val src = dirtyOnly(changedOnly(fsrc))
+        val tgt = dirtyOnly(changedOnly(ftgt))
         // ONE diff computation per table: persist the per-partition stats
         // and derive progress, mismatches and totals from it (without the
         // persist, each journal sink would re-run the join+agg)
@@ -282,8 +315,18 @@ final class DiffRunner(
               .withColumn("job_id", lit(config.jobId))
               .withColumn("run_ts", lit(runTs)),
             partitionBy = Seq("job_id"))
-          store.write("task_status",
-            DiffEngine.bucketProgressFromPartitions(ps, spec, options.buckets)
+          // with digestFirst, ps covers only dirty buckets — clean
+          // buckets journal their digest-derived arithmetic rows
+          val progress = {
+            val fromDiff =
+              DiffEngine.bucketProgressFromPartitions(ps, spec, options.buckets)
+            digestPre match {
+              case Some(d) => fromDiff.unionByName(
+                d.filter(col("digest_match")).drop("digest_match"))
+              case None => fromDiff
+            }
+          }
+          store.write("task_status", progress
               .withColumn("status", lit("done"))
               .withColumn("job_id", lit(config.jobId))
               .withColumn("run_ts", lit(runTs)),
@@ -375,6 +418,7 @@ final class DiffRunner(
           spec.table -> stats
         } finally {
           ps.unpersist()
+          digestPre.foreach(_.unpersist())
           curDigests.foreach(_.unpersist()) // no-op if already freed
         }
       }.toMap

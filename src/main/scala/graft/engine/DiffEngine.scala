@@ -718,6 +718,56 @@ object DiffEngine {
       .unionByName(replay)
   }
 
+  /** Single-run digest prefilter at the JOURNAL bucket granularity — the
+    * runner-facing cut of [[digestRangeStats]]. One row per bucket seen on
+    * either side: `digest_match` plus the phase-1 arithmetic progress a
+    * CLEAN bucket journals directly (every partition matched, so
+    * matched_partitions = distinct-pk count, matched_rows = rows,
+    * matched_values = rows × |regular|, last_token from the digest
+    * aggregate) — column-compatible with [[bucketProgressFromPartitions]],
+    * so the runner unions clean rows into task_status and restricts the
+    * wide diff to the dirty set. Counters are only meaningful where
+    * `digest_match`; dirty buckets re-run the full join. The shuffle here
+    * is ≤ 2 × `buckets` narrow rows (map-side partial aggregation) — on a
+    * mostly-matching 100 TB corpus this is what turns the journaling
+    * entry point's wide join into O(dirty fraction).
+    */
+  def digestProgress(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
+      buckets: Int, token: Seq[Column] => Column = defaultToken): DataFrame = {
+    val spec = spec0.bind(src)
+    def side(df: DataFrame): DataFrame = {
+      val tok = token(spec.pk.map(col))
+      df.select(digestBucket(df, tok, buckets).as("bucket") +:
+          tok.as("__tok") +:
+          (spec.pk.map(col) :+ rowContentHash(spec).as("__h")): _*)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("rows"),
+          sum(col("__h").cast("decimal(38,0)")).as("hash_sum"),
+          expr("bit_xor(__h)").as("hash_xor"),
+          countDistinct(spec.pk.head, spec.pk.tail: _*).as("parts"),
+          max(col("__tok")).as("last_token"))
+    }
+    val s = side(src).select(col("bucket"), col("rows").as("__sr"),
+      col("hash_sum").as("__ss"), col("hash_xor").as("__sx"),
+      col("parts").as("__sp"), col("last_token").as("__st"))
+    val t = side(tgt).select(col("bucket"), col("rows").as("__tr"),
+      col("hash_sum").as("__ts"), col("hash_xor").as("__tx"))
+    s.join(t, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (col("__sr") <=> col("__tr") && col("__ss") <=> col("__ts") &&
+          col("__sx") <=> col("__tx")).as("digest_match"),
+        coalesce(col("__sp"), lit(0L)).as("matched_partitions"),
+        lit(0L).as("mismatched_partitions"),
+        lit(0L).as("only_in_source"),
+        lit(0L).as("only_in_target"),
+        coalesce(col("__sr"), lit(0L)).as("matched_rows"),
+        (coalesce(col("__sr"), lit(0L)) *
+          lit(spec.regular.size.toLong)).as("matched_values"),
+        lit(0L).as("mismatched_values"),
+        col("__st").as("last_token"))
+      .withColumn("table_name", lit(spec.table))
+  }
+
   /** [[rangeStats]] through the digest prefilter — the headline query's
     * 100 TB shape. Clean buckets never reach the join: their counter
     * contribution is pure arithmetic (every partition matched, every row

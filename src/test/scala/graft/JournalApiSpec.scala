@@ -411,4 +411,70 @@ class JournalApiSpec extends SparkSpec {
     assert(SchemaOps.intersect(a, b, Set("sys")) === Seq("t2", "t3"))
     assert(SchemaOps.difference(a, b) === Seq("t1", "t4"))
   }
+
+  test("digestFirst: identical sides skip the wide join; perturbed results identical") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    implicit val s: SparkSession = spark
+    val src = ParquetSource(Sf)
+    val n = src.table(spark, "lineitem").count()
+
+    final class ShuffleRecords extends SparkListener {
+      val records = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          records.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    def settled(l: ShuffleRecords): Long = {
+      // listener events are delivered async; poll until the counter stops
+      var prev = -1L
+      var cur = l.records.get
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        prev = cur; Thread.sleep(200); cur = l.records.get; spins += 1
+      }
+      cur
+    }
+    def run(job: String, digest: Boolean,
+        tgt: SourceProvider): (graft.core.RangeStats, Long) = {
+      val l = new ShuffleRecords
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val stats = new DiffRunner(src, tgt,
+          DiffJobConfig(job, Seq(Perturb.lineitemSpec),
+            DiffOptions(buckets = 8), metadataRoot = tmpRoot(),
+            digestFirst = digest)).run()("lineitem")
+        (stats, settled(l))
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    // identical sides: every bucket digest-matches, so the wide full-PK
+    // join gets ZERO input rows — the digest pass ships one narrow row
+    // per PARTITION (the distinct-pk partial aggregate), never per data
+    // row, so total shuffle records stay ≈ partitions + journal overhead
+    // instead of ≥ 2n data rows
+    val parts = src.table(spark, "lineitem").select("l_orderkey")
+      .distinct().count()
+    val (same, digestRecords) = run("df-same", digest = true, src)
+    assert(same.mismatchedPartitions === 0 && same.onlyInSource === 0 &&
+      same.onlyInTarget === 0 && same.mismatchedValues === 0)
+    assert(same.matchedRows === n)
+    assert(digestRecords < parts + 500,
+      s"digest-first run shuffled $digestRecords records (n=$n, parts=$parts) — data rows reached the wide join")
+    val (_, plainRecords) = run("df-plain", digest = false, src)
+    assert(plainRecords > n,
+      s"plain run shuffled only $plainRecords records (n=$n) — listener not capturing?")
+
+    // perturbed pair: digest-first totals must be bit-identical to the
+    // plain path (dirty buckets re-run the full diff, clean buckets are
+    // arithmetic)
+    val tgt = new SourceProvider {
+      def table(sp: SparkSession, name: String): DataFrame =
+        Perturb.lineitemTarget(src.table(sp, name))
+      def listTables(sp: SparkSession): Seq[String] = src.listTables(sp)
+    }
+    val (a, _) = run("df-pert-digest", digest = true, tgt)
+    val (b, _) = run("df-pert-plain", digest = false, tgt)
+    assert(a === b)
+    assert(a.mismatchedPartitions > 0 && a.onlyInSource > 0)
+  }
 }
