@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * [[sessionStats]] hash-aggregates on (user, window) which
   * HashPartitioning(user) already clusters, so EnsureRequirements
   * inserts no second exchange. Per-user event counts bound window-state
-  * memory; a pathological single-user firehose would need a pre-split
-  * (e.g. salting by day) layered on top.
+  * memory; for a pathological single-user firehose use
+  * [[sessionizeSalted]], which pre-splits each user by a time chunk and
+  * stitches boundaries from a per-chunk summary.
   */
 object Sessions {
 
@@ -40,6 +41,57 @@ object Sessions {
     events.withColumn("session_seq",
       sum(boundary).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** [[sessionize]] with a hot-key pre-split: events are windowed over
+    * (user, time-chunk) instead of (user), so a single-user firehose
+    * spreads across one task per chunk rather than pinning one task with
+    * every row. Cross-chunk boundaries are stitched from a per-chunk
+    * summary — (first_ts, last_ts, local session count), ONE row per
+    * (user, chunk) — whose per-user window touches chunk counts, never
+    * events: a user emitting 10⁹ events/day for 10 years is ~3 650
+    * summary rows. Output is bit-identical to [[sessionize]]
+    * (property-tested in SessionsSpec): a chunk whose first event is
+    * within `gapMicros` of the previous chunk's last event merges its
+    * first local session into the previous session, and later local
+    * sessions renumber from the cumulative effective count.
+    */
+  def sessionizeSalted(events: DataFrame, userCol: String, tsCol: String,
+      gapMicros: Long, tieBreak: Seq[String] = Nil,
+      splitMicros: Long = 86400000000L): DataFrame = {
+    require(gapMicros > 0, "session gap must be positive")
+    require(splitMicros > 0, "split granularity must be positive")
+    val micros = unix_micros(col(tsCol))
+    val order: Seq[Column] = col(tsCol) +: tieBreak.map(col)
+    val chunked = events.withColumn("__chunk",
+      floor(micros / lit(splitMicros)))
+    val wLocal = Window.partitionBy(col(userCol), col("__chunk"))
+      .orderBy(order: _*)
+    val prev = lag(micros, 1).over(wLocal)
+    val boundary = when(prev.isNull || micros - prev > gapMicros, 1L)
+      .otherwise(0L)
+    val local = chunked.withColumn("__local_seq",
+      sum(boundary).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // per-chunk stitch summary: groupBy reuses the (user, chunk) exchange
+    // the local window just built — no extra full-data shuffle
+    val summary = local.groupBy(col(userCol), col("__chunk"))
+      .agg(min(micros).as("__first"), max(micros).as("__last"),
+        max(col("__local_seq")).as("__n"))
+    val wChunk = Window.partitionBy(col(userCol)).orderBy(col("__chunk"))
+    val prevLast = lag(col("__last"), 1).over(wChunk)
+    val stitched = summary
+      .withColumn("__continues",
+        when(prevLast.isNotNull && col("__first") - prevLast <= gapMicros,
+          1L).otherwise(0L))
+      .withColumn("__base", coalesce(
+        sum(col("__n") - col("__continues")).over(
+          wChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(userCol), col("__chunk"), col("__continues"), col("__base"))
+    local.join(stitched, Seq(userCol, "__chunk"))
+      .withColumn("session_seq",
+        col("__base") + col("__local_seq") - col("__continues"))
+      .select(events.columns.map(col) :+ col("session_seq"): _*)
   }
 
   /** Session-level rollup via the built-in `session_window` grouping

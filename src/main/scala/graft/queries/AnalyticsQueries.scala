@@ -161,6 +161,13 @@ object AnalyticsQueries {
       Sessions.sessionize(Tables.events(s, dir), "user_id", "ts",
           gapMicros = 12L * 3600 * 1000000, tieBreak = Seq("event_id"))
         .select(col("user_id"), col("event_id"), col("session_seq"))),
+    // hot-key pre-split variant: same session numbering (same oracle),
+    // but windowed over (user, day-chunk) with summary-level stitching —
+    // the single-user-firehose shape
+    "events_sessionize_salted" -> ((s, dir) =>
+      Sessions.sessionizeSalted(Tables.events(s, dir), "user_id", "ts",
+          gapMicros = 12L * 3600 * 1000000, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("session_seq"))),
     // session-level rollup via the built-in session_window grouping
     "events_sessions" -> ((s, dir) =>
       Sessions.sessionStats(Tables.events(s, dir), "user_id", "ts",
@@ -313,6 +320,20 @@ object AnalyticsQueries {
     // greater than the duration (12 h = 43 200 000 000 us) starts a new
     // session — an exactly-equal gap merges (pinned in SessionsSpec)
     "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM g""".stripMargin,
+    // the salted variant must produce the SAME numbering — one oracle,
+    // two physical plans
+    "events_sessionize_salted" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

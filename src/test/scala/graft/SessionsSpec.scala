@@ -125,6 +125,43 @@ class SessionsSpec extends SparkSpec {
     assert(bad.isEmpty, s"first disagreements: ${bad.take(5)}")
   }
 
+  test("sessionizeSalted property: bit-identical to sessionize across chunk boundaries") {
+    // random events with a split far smaller than the data span, so many
+    // sessions straddle chunk edges; gap 5 s, chunks 10 s
+    val rnd = new scala.util.Random(20260814)
+    val rows = (for {
+      u <- 1L to 15L
+      i <- 0 until (1 + rnd.nextInt(50))
+    } yield (u, i.toLong, rnd.nextInt(100000).toLong))
+      .groupBy(r => (r._1, r._3)).map(_._2.head).toSeq
+    // plus an adversarial grid user: ts at multiples of 2.5 s — exact-gap
+    // pairs (5 s apart MERGES) and events landing exactly on chunk edges
+    val grid = (0 until 40).map(i => (99L, i.toLong, i * 2500L))
+    val all = rows ++ grid
+    val df = all.map { case (u, i, tsMs) =>
+      (u, u * 1000 + i, new Timestamp(tsMs))
+    }.toDF("user_id", "event_id", "ts")
+    val gapMicros = 5000L * 1000
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    val plain = collect(
+      Sessions.sessionize(df, "user_id", "ts", gapMicros))
+    val salted = collect(Sessions.sessionizeSalted(df, "user_id", "ts",
+      gapMicros, splitMicros = 10000L * 1000))
+    assert(salted.size === plain.size)
+    val bad = plain.collect {
+      case (id, s) if salted(id) != s => (id, s, salted(id)) }
+    assert(bad.isEmpty, s"first disagreements: ${bad.take(5)}")
+    // schema parity: same columns as sessionize's output
+    assert(Sessions.sessionizeSalted(df, "user_id", "ts", gapMicros).columns
+      === Sessions.sessionize(df, "user_id", "ts", gapMicros).columns)
+    // the event-scale window must partition on (user, chunk) — that IS
+    // the hot-key split; only summary-scale frames repartition on user
+    val plan = Sessions.sessionizeSalted(df, "user_id", "ts", gapMicros)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"), plan.take(2000))
+  }
+
   test("session plans shuffle once on the user key") {
     for ((name, df) <- Seq(
         "sessionize" -> Sessions.sessionize(ev, "user_id", "ts", HourMicros,
