@@ -229,4 +229,101 @@ object TextAnalysis {
        |            x -> len(list_filter($w, y -> y = x)))) AS DOUBLE)
        |          / CAST(len($w) AS DOUBLE) END""".stripMargin
   }
+
+  // --- Gopher-style quality rule gates ----------------------------------
+  //
+  // The per-document keep/drop rule battery of public corpus-curation
+  // recipes (Rae et al. 2021 "Scaling Language Models: ... Gopher",
+  // appendix A1.1): word-count bounds, mean-word-length bounds,
+  // symbol-to-word ratio, alphabetic-word fraction, stopword presence.
+  // Every rule is a pure Column over integer-derived arithmetic — both
+  // engines compute bit-identical doubles, so the whole report (metrics,
+  // per-rule verdicts, final keep) is oracle-checkable. Zero shuffle: the
+  // battery rides the parquet scan as map work at any corpus size.
+
+  /** Rule thresholds. Defaults are the published Gopher values. */
+  final case class QualityRules(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwords: Int = 2)
+
+  /** Mean word length. Text is single-space separated, so the word-length
+    * sum is `length(text) - (n_words - 1)`; the identical formula runs in
+    * the oracle, so the metric is engine-independent even if a source
+    * ever violated that convention.
+    */
+  def meanWordLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1)).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Symbol characters counted by the symbol-to-word ratio rule (the
+    * Gopher rule counts hash and ellipsis).
+    */
+  val SymbolChars = "#…"
+
+  def symbolToWordRatio(text: Column): Column =
+    (length(text) - length(translate(text, SymbolChars, ""))).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Fraction of words containing at least one ASCII letter. */
+  def alphaWordFrac(text: Column): Column =
+    size(filter(tokens(text), t => t.rlike("[A-Za-z]"))).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** The full rule battery: metric columns, one boolean per rule, and the
+    * conjunction `keep`. Append to a select over the corpus scan.
+    */
+  def qualityRuleColumns(text: Column,
+      cfg: QualityRules = QualityRules()): Seq[Column] = {
+    val nWords = tokenCount(text).cast("long")
+    val mwl = meanWordLen(text)
+    val sym = symbolToWordRatio(text)
+    val alpha = alphaWordFrac(text)
+    val stops = stopwordCount(text).cast("long")
+    val rWords = nWords >= cfg.minWords && nWords <= cfg.maxWords
+    val rMwl = mwl >= cfg.minMeanWordLen && mwl <= cfg.maxMeanWordLen
+    val rSym = sym <= cfg.maxSymbolRatio
+    val rAlpha = alpha >= cfg.minAlphaWordFrac
+    val rStops = stops >= cfg.minStopwords
+    Seq(
+      nWords.as("n_words"), mwl.as("mean_word_len"),
+      sym.as("symbol_ratio"), alpha.as("alpha_frac"),
+      stops.as("n_stopwords"),
+      rWords.as("rule_word_count"), rMwl.as("rule_mean_word_len"),
+      rSym.as("rule_symbol_ratio"), rAlpha.as("rule_alpha_words"),
+      rStops.as("rule_stopwords"),
+      (rWords && rMwl && rSym && rAlpha && rStops).as("keep"))
+  }
+
+  /** DuckDB mirror of [[qualityRuleColumns]] — the same select-list
+    * fragment generated from the same config. `toksExpr` must be a
+    * VARCHAR[] expression over a `text` column in scope.
+    */
+  def qualityRuleColumnsSql(toksExpr: String,
+      cfg: QualityRules = QualityRules()): String = {
+    val n = s"len($toksExpr)"
+    val gD = s"CAST(GREATEST($n, 1) AS DOUBLE)"
+    val mwl = s"(CAST(length(text) - ($n - 1) AS DOUBLE) / $gD)"
+    val sym = s"(CAST(length(text) - length(translate(text, '$SymbolChars', '')) AS DOUBLE) / $gD)"
+    val alpha = s"(CAST(len(list_filter($toksExpr, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / $gD)"
+    val stops = s"CAST(${stopwordCountSql(toksExpr)} AS BIGINT)"
+    val rWords = s"($n >= ${cfg.minWords} AND $n <= ${cfg.maxWords})"
+    val rMwl = s"($mwl >= ${cfg.minMeanWordLen} AND $mwl <= ${cfg.maxMeanWordLen})"
+    val rSym = s"($sym <= ${cfg.maxSymbolRatio})"
+    val rAlpha = s"($alpha >= ${cfg.minAlphaWordFrac})"
+    val rStops = s"($stops >= ${cfg.minStopwords})"
+    s"""CAST($n AS BIGINT) AS n_words,
+       |  $mwl AS mean_word_len,
+       |  $sym AS symbol_ratio,
+       |  $alpha AS alpha_frac,
+       |  $stops AS n_stopwords,
+       |  $rWords AS rule_word_count,
+       |  $rMwl AS rule_mean_word_len,
+       |  $rSym AS rule_symbol_ratio,
+       |  $rAlpha AS rule_alpha_words,
+       |  $rStops AS rule_stopwords,
+       |  ($rWords AND $rMwl AND $rSym AND $rAlpha AND $rStops) AS keep""".stripMargin
+  }
 }

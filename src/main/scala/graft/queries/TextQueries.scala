@@ -48,6 +48,14 @@ object TextQueries {
         TA.stopwordCount(col("text")).cast("long").as("stop_count"),
         TA.punctRatio(col("text")).as("punct_ratio"),
         TA.qualityScore(col("text")).as("quality"))),
+    // Gopher-style quality rule battery: metrics + per-rule verdicts +
+    // keep conjunction, one codegen'd pass over the scan (thresholds
+    // tightened from the published defaults so the fixture corpus
+    // exercises both outcomes of every data-dependent rule)
+    "text_quality_rules" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +: TA.qualityRuleColumns(col("text"),
+          TestQualityRules): _*)),
     // n-gram-heuristic language ID vs the labeled lang column
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(
@@ -401,6 +409,16 @@ object TextQueries {
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
+  /** Thresholds for the oracle-checked quality-rule query: the published
+    * Gopher defaults tightened (word count 30–90, mean word length
+    * 3.8–4.5, ≥1 stopword) so the synthetic corpus — 10–99 words, mean
+    * word length 3.7–5.1 — splits on every data-dependent rule.
+    */
+  val TestQualityRules: TA.QualityRules = TA.QualityRules(
+    minWords = 30, maxWords = 90,
+    minMeanWordLen = 3.8, maxMeanWordLen = 4.5,
+    minStopwords = 1)
+
   def oracles: Map[String, String] = {
     val toks = "string_split(text, ' ')"
     Map(
@@ -418,6 +436,10 @@ object TextQueries {
            |  LEAST(CAST(len($toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
            |    (CAST(${TA.stopwordCountSql(toks)} AS DOUBLE)
            |     / CAST(GREATEST(len($toks), 1) AS DOUBLE)) * 0.5 AS quality
+           |FROM documents""".stripMargin,
+      "text_quality_rules" ->
+        s"""SELECT doc_id,
+           |  ${TA.qualityRuleColumnsSql(toks, TestQualityRules)}
            |FROM documents""".stripMargin,
       "text_langid" ->
         s"""SELECT doc_id, lang, ${TA.langIdSql(toks)} AS lang_pred

@@ -444,6 +444,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("quality rules: each gate trips on its crafted document") {
+    // default (published Gopher) thresholds; one doc per failing rule
+    val good = ("the quick brown lore " * 20).trim // 80 words, stopword, alpha
+    val df = Seq(
+      (1L, good, "keep"),
+      (2L, "too short text", "word_count"),
+      (3L, ("xy " * 60).trim, "mean_word_len"), // mwl 2.0 < 3.0
+      (4L, (("word " * 59) + "#### #### ####").trim, "symbol_ratio"),
+      (5L, ("123 456 " * 30).trim, "alpha_words"),
+      (6L, ("lorem ipsum dolor sit " * 15).trim, "stopwords"))
+      .toDF("doc_id", "text", "expect_fail")
+    val out = df.select(col("doc_id") +: col("expect_fail") +:
+        TA.qualityRuleColumns(col("text")): _*)
+      .collect().map(r => r.getAs[String]("expect_fail") -> r).toMap
+    assert(out("keep").getAs[Boolean]("keep"))
+    for ((tag, rule) <- Seq(
+        "word_count" -> "rule_word_count",
+        "mean_word_len" -> "rule_mean_word_len",
+        "symbol_ratio" -> "rule_symbol_ratio",
+        "alpha_words" -> "rule_alpha_words",
+        "stopwords" -> "rule_stopwords")) {
+      assert(!out(tag).getAs[Boolean](rule), s"$tag should fail $rule")
+      assert(!out(tag).getAs[Boolean]("keep"))
+    }
+  }
+
   test("LSH topk recall vs brute force is measured and bounded") {
     val e = Tables.load(spark, Sf, "embeddings")
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
