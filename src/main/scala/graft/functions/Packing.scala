@@ -43,4 +43,50 @@ object Packing {
         expr(s"CASE WHEN end_offset > start_offset THEN (end_offset - 1) DIV $seqLen ELSE start_offset DIV $seqLen END"))
       .drop("__n")
   }
+
+  /** GLOBAL packed offsets — one corpus-wide concat order (by `idCol`),
+    * without the single-partition running sum a naive global window
+    * would plan. Classic two-phase scan:
+    *
+    *   1. `chunk = id DIV chunkSize` splits the global order into
+    *      contiguous blocks; a per-chunk window cumsum runs fully
+    *      parallel (one shuffle on the chunk key).
+    *   2. Per-chunk token totals — ONE ROW PER CHUNK — cumsum into each
+    *      chunk's global base offset. Only this #chunks-row frame passes
+    *      through a single-partition window; data rows never do. The
+    *      bases then broadcast-join back onto phase 1.
+    *
+    * At 100 TB: pick chunkSize so #chunks ≈ 10⁴–10⁶ — the base frame
+    * stays kilobytes while every data-carrying stage scales with the
+    * cluster. Output is identical to what a global
+    * `SUM(n) OVER (ORDER BY id)` would produce, bit for bit.
+    */
+  def concatOffsetsGlobal(docs: DataFrame, idCol: String, nTokens: Column,
+      chunkSize: Long, seqLen: Long): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val chunked = docs
+      .withColumn("__n", nTokens.cast("long"))
+      .withColumn("chunk", expr(s"CAST($idCol AS BIGINT) DIV $chunkSize"))
+    val w = Window.partitionBy(col("chunk")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = chunked
+      .withColumn("__local_end", sum(col("__n")).over(w))
+    // phase 2: strictly-preceding chunk totals → global base per chunk.
+    // The no-partition window is intentional: it sees #chunks rows only.
+    val wBase = Window.orderBy(col("chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = chunked.groupBy(col("chunk"))
+      .agg(sum(col("__n")).as("__chunk_total"))
+      .withColumn("__base",
+        coalesce(sum(col("__chunk_total")).over(wBase), lit(0L)))
+      .select(col("chunk"), col("__base"))
+    local.join(broadcast(bases), Seq("chunk"))
+      .withColumn("end_offset", col("__base") + col("__local_end"))
+      .withColumn("start_offset", col("end_offset") - col("__n"))
+      .withColumn("first_seq", expr(s"start_offset DIV $seqLen"))
+      .withColumn("last_seq",
+        expr(s"CASE WHEN end_offset > start_offset THEN (end_offset - 1) DIV $seqLen ELSE start_offset DIV $seqLen END"))
+      .drop("__n", "__local_end", "__base")
+  }
 }

@@ -72,6 +72,13 @@ object TextQueries {
           TA.tokenCount(col("text")), shards = 8, seqLen = 2048)
         .select("doc_id", "shard", "start_offset", "end_offset",
           "first_seq", "last_seq")),
+    // GLOBAL packing order: two-phase chunked cumsum — must equal the
+    // single global running sum the oracle computes, bit for bit
+    "pack_offsets_global" -> ((s, dir) =>
+      Packing.concatOffsetsGlobal(docs(s, dir), "doc_id",
+          TA.tokenCount(col("text")), chunkSize = 64, seqLen = 2048)
+        .select("doc_id", "chunk", "start_offset", "end_offset",
+          "first_seq", "last_seq")),
     // benchmark decontamination: dup-injected corpus vs a "benchmark"
     // subset (doc_id % 25) — exact copies hit 100%, near-dups partially
     "decontaminate" -> ((s, dir) =>
@@ -458,6 +465,23 @@ object TextQueries {
           |  FROM d
           |)
           |SELECT doc_id, shard,
+          |  end_offset - n AS start_offset, end_offset,
+          |  (end_offset - n) // 2048 AS first_seq,
+          |  CASE WHEN end_offset > end_offset - n THEN (end_offset - 1) // 2048
+          |       ELSE (end_offset - n) // 2048 END AS last_seq
+          |FROM c""".stripMargin,
+      "pack_offsets_global" ->
+        """WITH d AS (
+          |  SELECT doc_id, doc_id // 64 AS chunk,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, chunk,
+          |    CAST(SUM(n) OVER (ORDER BY doc_id
+          |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset, n
+          |  FROM d
+          |)
+          |SELECT doc_id, chunk,
           |  end_offset - n AS start_offset, end_offset,
           |  (end_offset - n) // 2048 AS first_seq,
           |  CASE WHEN end_offset > end_offset - n THEN (end_offset - 1) // 2048

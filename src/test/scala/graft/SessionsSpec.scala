@@ -95,6 +95,26 @@ class SessionsSpec extends SparkSpec {
       s"one shard shuffle expected in:\n$plan")
   }
 
+  test("global packing: two-phase chunked cumsum equals the naive global sum") {
+    import graft.functions.Packing
+    val rnd = new scala.util.Random(20260813)
+    // sparse, shuffled ids so chunks are uneven (some empty)
+    val docs = rnd.shuffle((0L until 400L).filter(_ % 7 != 0).toVector)
+      .map(id => (id, 1L + rnd.nextInt(30).toLong)).toDF("doc_id", "n")
+    for (chunkSize <- Seq(1L, 13L, 64L, 1000L)) {
+      val got = Packing.concatOffsetsGlobal(docs, "doc_id", col("n"),
+          chunkSize, seqLen = 16)
+        .select("doc_id", "start_offset", "end_offset")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // naive single global running sum
+      val naive = docs.select("doc_id", "n").as[(Long, Long)].collect()
+        .sortBy(_._1).foldLeft((0L, Vector.empty[(Long, Long, Long)])) {
+          case ((acc, out), (id, n)) => (acc + n, out :+ ((id, acc, acc + n)))
+        }._2
+      assert(got.toSeq === naive, s"chunkSize=$chunkSize")
+    }
+  }
+
   test("sessionize property: equals the naive per-user fold on random data") {
     val rnd = new scala.util.Random(20260813)
     val rows = for {
