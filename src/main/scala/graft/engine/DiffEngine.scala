@@ -41,12 +41,14 @@ import graft.core.{Classification => C, DiffOptions, TableSpec}
   */
 object DiffEngine {
 
-  /** Internal column names (prefixed to never collide with user columns). */
-  private val InSrc = "__in_src"
-  private val InTgt = "__in_tgt"
-  private def srcCol(c: String) = s"__src_$c"
-  private def tgtCol(c: String) = s"__tgt_$c"
-  private def matchCol(c: String) = s"__match_$c"
+  /** Internal column names (prefixed to never collide with user columns).
+    * Engine-private contract, shared with [[Repair]].
+    */
+  private[engine] val InSrc = "__in_src"
+  private[engine] val InTgt = "__in_tgt"
+  private[engine] def srcCol(c: String) = s"__src_$c"
+  private[engine] def tgtCol(c: String) = s"__tgt_$c"
+  private[engine] def matchCol(c: String) = s"__match_$c"
 
   /** Token of a partition key — the engine's unit of sharding/filtering.
     * The reference computes the Cassandra partitioner token server-side

@@ -220,6 +220,55 @@ object OracleSql {
        |       ${spec.pk.mkString(", ")}
        |FROM cls WHERE classification <> 'MATCHED'""".stripMargin
 
+  /** Repair-script oracle — mirrors [[Repair.repairStatements]]: builds
+    * the identical CQL text in DuckDB from the row-level CTE, so the
+    * statement strings themselves are hash-gated. `types` maps column →
+    * logical type ("string" | "double" | "timestamp" | integer default),
+    * the single rendering contract both engines follow.
+    */
+  def repair(spec: TableSpec, types: Map[String, String],
+      srcSql: String, tgtSql: String): String = {
+    def render(e: String, col: String): String = {
+      val r = types.getOrElse(col, "") match {
+        case "string" => s"'''' || replace($e, '''', '''''') || ''''"
+        case "double" | "float" => s"printf('%.2f', $e)"
+        case "timestamp" => s"'''' || strftime($e, '%Y-%m-%d %H:%M:%S') || ''''"
+        case _ => s"CAST($e AS VARCHAR)"
+      }
+      s"CASE WHEN $e IS NULL THEN 'NULL' ELSE $r END"
+    }
+    val keys = spec.primaryKey
+    val whereSql = keys
+      .map(k => s"'$k = ' || ${render(k, k)}")
+      .mkString(" || ' AND ' || ")
+    val insertCols = (keys ++ spec.regular).mkString(", ")
+    val insertVals = (keys.map(k => render(k, k)) ++
+      spec.regular.map(c => render(s"src_$c", c))).mkString(" || ', ' || ")
+    val setList = spec.regular
+      .map(c => s"CASE WHEN NOT match_$c THEN '$c = ' || ${render(s"src_$c", c)} END")
+      .mkString(",\n              ", ",\n              ", "")
+    val anyMismatch = spec.regular.map(c => s"NOT match_$c").mkString(" OR ")
+    s"""WITH ${rowLevelCtes(spec, srcSql, tgtSql)},
+       |acts AS (
+       |  SELECT ${keys.mkString(", ")},
+       |         CASE WHEN in_src AND NOT in_tgt THEN 'INSERT'
+       |              WHEN in_tgt AND NOT in_src THEN 'DELETE'
+       |              WHEN $anyMismatch THEN 'UPDATE' END AS action,
+       |         'INSERT INTO ${spec.table} ($insertCols) VALUES (' ||
+       |           $insertVals || ');' AS ins,
+       |         'DELETE FROM ${spec.table} WHERE ' || $whereSql || ';' AS del,
+       |         'UPDATE ${spec.table} SET ' ||
+       |           concat_ws(', '$setList) ||
+       |           ' WHERE ' || $whereSql || ';' AS upd
+       |  FROM rl
+       |)
+       |SELECT ${keys.mkString(", ")}, action,
+       |       CASE action WHEN 'INSERT' THEN ins
+       |                   WHEN 'DELETE' THEN del
+       |                   ELSE upd END AS statement
+       |FROM acts WHERE action IS NOT NULL""".stripMargin
+  }
+
   /** Partition-key-level classification counts oracle (O1 + O4). */
   def keyClassify(spec: TableSpec, srcSql: String, tgtSql: String): String = {
     val pk = spec.pk.mkString(", ")

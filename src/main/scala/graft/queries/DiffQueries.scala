@@ -122,6 +122,12 @@ object DiffQueries {
       DiffEngine.rangeStats(e, Perturb.embeddingsTarget(e),
         Perturb.embeddingsSpec, DiffOptions(), idTok)
     }),
+    // repair-script generation: the reconciliation step downstream of
+    // the mismatch sink — INSERT/UPDATE/DELETE CQL text, hash-gated
+    // string-for-string against the oracle's rendering
+    "diff_repair" -> ((s, dir) =>
+      graft.engine.Repair.repairStatements(li(s, dir),
+        Perturb.lineitemTarget(li(s, dir)), lineitemSpec)),
     // RandomPartitioner tokens, value-checked cross-engine: the key scan
     // computes the 127-bit md5 token of every (string-serialized) orders
     // key, and the oracle recomputes it in DuckDB from the md5 hex digest
@@ -160,6 +166,12 @@ object DiffQueries {
     "diff_row_classify" -> OracleSql.rowClassify(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_cell_values" -> OracleSql.cellValues(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_repair" -> OracleSql.repair(lineitemSpec,
+      Map("l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp"),
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_bucket_progress" -> OracleSql.bucketProgress(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 16),

@@ -471,4 +471,34 @@ class DiffEngineSpec extends SparkSpec {
     assert(!"hashpartitioning\\(__dirty_bucket".r.findAllIn(p2).hasNext,
       s"dirty-bucket set must broadcast, not shuffle, in:\n$p2")
   }
+
+  test("repair statements: exact CQL per action, escaping and NULL rules") {
+    import graft.engine.Repair
+    val spec = TableSpec("ks.t", Seq("pk"), Seq("ck"),
+      Seq("v", "s"), uniqueKey = true)
+    val src = Seq(
+      (1L, 1, 10.5, "plain"),       // matched
+      (2L, 1, 26.0, "o'brien"),     // only in source → INSERT (escape ')
+      (4L, 2, 1.0, null: String),   // value + null mismatch → UPDATE
+      (5L, 1, 2.0, "same"))         // one-column mismatch → UPDATE v only
+      .toDF("pk", "ck", "v", "s")
+    val tgt = Seq(
+      (1L, 1, 10.5, "plain"),
+      (3L, 9, 0.25, "drop me"),     // only in target → DELETE
+      (4L, 2, 2.0, "was here"),
+      (5L, 1, 2.5, "same"))
+      .toDF("pk", "ck", "v", "s")
+    val got = Repair.repairStatements(src, tgt, spec)
+      .select("pk", "action", "statement")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(got === Array(
+      (2L, "INSERT",
+        "INSERT INTO ks.t (pk, ck, v, s) VALUES (2, 1, 26.00, 'o''brien');"),
+      (3L, "DELETE",
+        "DELETE FROM ks.t WHERE pk = 3 AND ck = 9;"),
+      (4L, "UPDATE",
+        "UPDATE ks.t SET v = 1.00, s = NULL WHERE pk = 4 AND ck = 2;"),
+      (5L, "UPDATE",
+        "UPDATE ks.t SET v = 2.00 WHERE pk = 5 AND ck = 1;")))
+  }
 }
