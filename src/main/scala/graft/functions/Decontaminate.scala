@@ -43,4 +43,43 @@ object Decontaminate {
       .withColumn("hit_frac",
         col("n_hit_ngrams").cast("double") / col("n_shingles").cast("double"))
   }
+
+  /** Corpus boilerplate profile: for every document, the share of its
+    * distinct word `n`-grams that are corpus-common (document frequency
+    * >= `minDf`) — the signal behind boilerplate/template stripping in
+    * public curation recipes (headers, navigation, license blocks
+    * repeat across many pages; original prose does not).
+    *
+    * Unlike [[ngramHits]] the reference set is the corpus itself, so
+    * nothing broadcasts by construction: the df table is one aggregation
+    * over exploded shingles, the hot subset (df >= minDf) joins back on
+    * the shingle key. Both shuffles carry (shingle, id)/(shingle, df)
+    * pairs, never text; ultra-hot shingles skew the join-back and are
+    * AQE-splittable. Every document survives to the output (zero-hit
+    * docs report 0.0), so the result is a full per-doc profile usable
+    * as a filter column.
+    */
+  def boilerplateFrac(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDf: Long = 3): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
+    require(minDf >= 1, "minDf must be >= 1")
+    val shingles = array_distinct(Dedup.wordShingles(col(textCol), n))
+    val sh = corpus.select(col(idCol),
+      explode(shingles).as("__shingle"))
+    val hot = sh.groupBy(col("__shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__shingle"))
+    val hits = sh.join(hot, Seq("__shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_boiler"))
+    corpus.select(col(idCol), size(shingles).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_boiler", coalesce(col("__n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") /
+          greatest(col("n_shingles"), lit(1L)).cast("double"))
+      .select(col(idCol), col("n_shingles"), col("n_boiler"),
+        col("boiler_frac"))
+  }
 }

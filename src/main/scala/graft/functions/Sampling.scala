@@ -69,6 +69,52 @@ object Sampling {
       pmod(keyHash60(col(keyCol)), lit(den)).cast("double") < p * lit(den))
   }
 
+  /** Token-budget data selection: keep the highest-priority documents
+    * whose running token total stays within `budget` — the "best N
+    * tokens" subset selection step of assembling a training mix from a
+    * scored corpus. Priority must be a deterministic Column in [0,1]
+    * (e.g. [[TextAnalysis.qualityScore]]); ties break by `idCol`.
+    *
+    * The global priority-ordered running sum uses the same two-phase
+    * shape as [[Packing.concatOffsetsGlobal]]: rows chunk by a coarse
+    * priority bucket (monotone with the sort order, so bucket-major
+    * order equals global order), the per-chunk window cumsum runs fully
+    * parallel, and only the #chunks-row totals frame passes through a
+    * single-partition window before broadcasting back. No data-row
+    * serialization at any corpus size.
+    *
+    * Output: input columns + `priority`, `n_tokens`, `cum_tokens`
+    * (inclusive running total in global priority order), filtered to
+    * `cum_tokens <= budget`.
+    */
+  def budgetSelect(df: DataFrame, idCol: String, priority: Column,
+      nTokens: Column, budget: Long, chunks: Int = 256): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(chunks >= 1, "chunks must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val d = df
+      .withColumn("priority", priority)
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("__chunk",
+        least(greatest(floor((lit(1.0) - col("priority")) * chunks), lit(0)),
+          lit(chunks - 1)).cast("long"))
+    val w = Window.partitionBy(col("__chunk"))
+      .orderBy(col("priority").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = d.withColumn("__local_cum", sum(col("n_tokens")).over(w))
+    val wBase = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = d.groupBy(col("__chunk"))
+      .agg(sum(col("n_tokens")).as("__chunk_total"))
+      .withColumn("__base",
+        coalesce(sum(col("__chunk_total")).over(wBase), lit(0L)))
+      .select(col("__chunk"), col("__base"))
+    local.join(broadcast(bases), Seq("__chunk"))
+      .withColumn("cum_tokens", col("__base") + col("__local_cum"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__chunk", "__local_cum", "__base")
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (in
     * 1/`den` units) with a default for unlisted strata. One codegen'd
     * filter over the scan — no shuffle, no per-stratum pass; fractions

@@ -72,6 +72,15 @@ object TextQueries {
           TA.tokenCount(col("text")), shards = 8, seqLen = 2048)
         .select("doc_id", "shard", "start_offset", "end_offset",
           "first_seq", "last_seq")),
+    // token-budget selection: best-quality docs until the global token
+    // budget fills — the global quality-ordered cumsum must match the
+    // oracle's single running sum exactly (two-phase chunked plan)
+    "budget_select" -> ((s, dir) =>
+      Sampling.budgetSelect(
+          docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", TA.qualityScore(col("text")), TA.tokenCount(col("text")),
+          budget = 12000)
+        .select("doc_id", "priority", "n_tokens", "cum_tokens")),
     // GLOBAL packing order: two-phase chunked cumsum — must equal the
     // single global running sum the oracle computes, bit for bit
     "pack_offsets_global" -> ((s, dir) =>
@@ -79,6 +88,12 @@ object TextQueries {
           TA.tokenCount(col("text")), chunkSize = 64, seqLen = 2048)
         .select("doc_id", "chunk", "start_offset", "end_offset",
           "first_seq", "last_seq")),
+    // corpus boilerplate profile: share of each doc's distinct 3-gram
+    // shingles that repeat across >= 3 documents of the dup-injected
+    // corpus (injected dups make their shingles corpus-common)
+    "text_boilerplate" -> ((s, dir) =>
+      Decontaminate.boilerplateFrac(dupCorpus(docs(s, dir)),
+        "doc_id", "text", n = 3, minDf = 3)),
     // benchmark decontamination: dup-injected corpus vs a "benchmark"
     // subset (doc_id % 25) — exact copies hit 100%, near-dups partially
     "decontaminate" -> ((s, dir) =>
@@ -470,6 +485,20 @@ object TextQueries {
           |  CASE WHEN end_offset > end_offset - n THEN (end_offset - 1) // 2048
           |       ELSE (end_offset - n) // 2048 END AS last_seq
           |FROM c""".stripMargin,
+      "budget_select" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    ${TA.qualityScoreSql(toks)} AS priority,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, priority, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (ORDER BY priority DESC, doc_id
+           |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM d
+           |)
+           |SELECT doc_id, priority, n_tokens, cum_tokens
+           |FROM c WHERE cum_tokens <= 12000""".stripMargin,
       "pack_offsets_global" ->
         """WITH d AS (
           |  SELECT doc_id, doc_id // 64 AS chunk,
@@ -487,6 +516,19 @@ object TextQueries {
           |  CASE WHEN end_offset > end_offset - n THEN (end_offset - 1) // 2048
           |       ELSE (end_offset - n) // 2048 END AS last_seq
           |FROM c""".stripMargin,
+      "text_boilerplate" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |sh AS ($shinglesSql),
+           |hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 3),
+           |hits AS (SELECT s.id, COUNT(*) AS n_boiler
+           |         FROM sh s JOIN hot h ON s.shingle = h.shingle GROUP BY s.id),
+           |tot AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+           |        FROM sh GROUP BY id)
+           |SELECT t.id AS doc_id, t.n_shingles,
+           |  CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+           |  CAST(COALESCE(h.n_boiler, 0) AS DOUBLE)
+           |    / CAST(GREATEST(t.n_shingles, 1) AS DOUBLE) AS boiler_frac
+           |FROM tot t LEFT JOIN hits h ON t.id = h.id""".stripMargin,
       "decontaminate" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),

@@ -444,6 +444,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString(","))
   }
 
+  test("budget select: equals the naive priority-ordered prefix on random data") {
+    import graft.functions.Sampling
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map { id =>
+      // coarse priorities force cross-chunk ties; exact doubles both ways
+      (id, (rnd.nextInt(20) * 5).toDouble / 100.0, 1L + rnd.nextInt(50))
+    }
+    val df = rows.toDF("doc_id", "pri", "n")
+    for (budget <- Seq(0L, 500L, 3000L, 100000L)) {
+      val got = Sampling.budgetSelect(df, "doc_id", col("pri"), col("n"),
+          budget, chunks = 7)
+        .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+      val want = rows.sortBy { case (id, p, _) => (-p, id) }
+        .foldLeft((0L, Map.empty[Long, Long])) {
+          case ((acc, out), (id, _, n)) =>
+            val cum = acc + n
+            (cum, if (cum <= budget) out + (id -> cum) else out)
+        }._2
+      assert(got === want, s"budget=$budget")
+    }
+  }
+
   test("quality rules: each gate trips on its crafted document") {
     // default (published Gopher) thresholds; one doc per failing rule
     val good = ("the quick brown lore " * 20).trim // 80 words, stopword, alpha
