@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -62,4 +62,29 @@ object Embeddings {
     exploded(df, idCol, vecCol, labelCol)
       .groupBy(col(labelCol), col("pos"))
       .agg(avg(col("v")).as("mean_v"), count(lit(1)).as("n_vecs"))
+
+  // --- int8 quantization -------------------------------------------------
+  //
+  // Symmetric per-vector int8 quantization — the standard 4× memory/IO
+  // reduction for ANN at scale (a 100 TB float corpus becomes 25 TB of
+  // int8 + one scale per vector; candidate scoring runs on integers).
+  // Everything is deterministic integer/double arithmetic: quantized
+  // dot products are integer-valued and therefore EXACT cross-engine,
+  // which makes the whole quantized search path hash-checkable — unlike
+  // trained-float pipelines that can only self-grade.
+
+  /** Per-vector symmetric scale: max |element| (as double). */
+  def absMax(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Quantize to int8-valued longs: q_i = floor(v_i * 127 / scale + 0.5)
+    * (explicit half-up — `floor(x + 0.5)` is bit-identical in DuckDB,
+    * unlike engine-native `round`s that differ on ties). A zero-scale
+    * (all-zero) vector quantizes to zeros. Values land in [-127, 127];
+    * the byte cast is a storage choice left to the sink.
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    when(scale === 0d, transform(vec, _ => lit(0L)))
+      .otherwise(transform(vec, x =>
+        floor(x.cast("double") * lit(127.0) / scale + lit(0.5))))
 }

@@ -44,6 +44,33 @@ object VectorQueries {
         .select(col("id").as("vec_id"))
       e.select("vec_id").join(dropIds, Seq("vec_id"), "left_anti")
     }),
+    // int8 quantization audit: per-vector scale + integer checksums of
+    // the quantized vector (exact cross-engine — integer arithmetic)
+    "embed_quantize" -> ((s, dir) => {
+      import graft.functions.Embeddings
+      val e = emb(s, dir)
+      val sc = Embeddings.absMax(col("embedding"))
+      val q = Embeddings.quantizeInt8(col("embedding"), sc)
+        .cast("array<double>")
+      e.select(col("vec_id"), sc.as("scale"),
+        aggregate(Embeddings.quantizeInt8(col("embedding"), sc),
+          lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+        Similarity.dot(q, q).cast("long").as("q_norm2"))
+    }),
+    // brute-force top-k over the QUANTIZED vectors: int8 dot products
+    // are integer-exact, so unlike trained-float ANN the whole search
+    // result hash-matches the oracle; recall vs the float truth is
+    // bounded in ScalaTest
+    "ann_topk_q8" -> ((s, dir) => {
+      import graft.functions.Embeddings
+      val e = emb(s, dir)
+      val sc = Embeddings.absMax(col("embedding"))
+      val qe = e.select(col("vec_id"),
+        Embeddings.quantizeInt8(col("embedding"), sc)
+          .cast("array<double>").as("qv"))
+      Similarity.bruteForceTopK(
+        qe.filter(col("vec_id") < 8), qe, "vec_id", "qv", k = 5)
+    }),
     // LSH-bucketed approximate top-k — the 100TB path (bucketed join,
     // no cross product); rows-only gate + recall ScalaTest
     "ann_lsh" -> ((s, dir) =>
@@ -90,7 +117,42 @@ object VectorQueries {
   val FixedCentroids: Array[Array[Double]] =
     Array.tabulate(16, 64)((i, j) => Similarity.planeSign(i + 100, j) / 8.0)
 
+  /** Shared quantization CTEs (mirror of `Embeddings.quantizeInt8` over
+    * the double-cast embedding — same promotion, same explicit half-up
+    * rounding).
+    */
+  private val quantCtes: String =
+    """d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+      |sc AS (SELECT vec_id, ev,
+      |         list_max(list_transform(ev, x -> abs(x))) AS scale FROM d),
+      |q AS (SELECT vec_id, scale,
+      |        CASE WHEN scale = 0 THEN list_transform(ev, x -> CAST(0 AS DOUBLE))
+      |             ELSE list_transform(ev, x -> floor(x * 127.0 / scale + 0.5)) END AS qv
+      |      FROM sc)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "embed_quantize" ->
+      s"""WITH $quantCtes
+         |SELECT vec_id, scale,
+         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         |  CAST(list_dot_product(qv, qv) AS BIGINT) AS q_norm2
+         |FROM q""".stripMargin,
+    "ann_topk_q8" ->
+      s"""WITH $quantCtes,
+         |qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 8),
+         |cc AS (SELECT vec_id AS neighbor_id, qv AS cqv FROM q),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |         list_dot_product(qqv, cqv) /
+         |           (sqrt(list_dot_product(qqv, qqv)) * sqrt(list_dot_product(cqv, cqv))) AS sim
+         |  FROM qq, cc WHERE query_id <> neighbor_id
+         |),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+         |FROM r WHERE rank <= 5""".stripMargin,
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -492,6 +492,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: bounds, reconstruction error, and top-k recall") {
+    import graft.functions.Embeddings
+    val e = Tables.load(spark, Sf, "embeddings")
+    val sc = Embeddings.absMax(col("embedding"))
+    val q = e.select(col("vec_id"), col("embedding"), sc.as("s"),
+      Embeddings.quantizeInt8(col("embedding"), sc).as("qv"))
+    // every quantized element within [-127, 127]; reconstruction within
+    // half a quantization step of the original
+    val viol = q.select(
+        array_max(transform(col("qv"), x => abs(x))).as("qmax"),
+        array_max(zip_with(col("embedding"), col("qv"), (x, qx) =>
+          abs(x.cast("double") - qx * col("s") / 127.0))).as("err"),
+        (col("s") / 254.0 + 1e-9).as("bound"))
+      .filter(col("qmax") > 127 || col("err") > col("bound")).count()
+    assert(viol === 0)
+    // quantized search finds nearly the same neighbors as float search
+    val truth = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 32), e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val qe = q.select(col("vec_id"), col("qv").cast("array<double>").as("qv"))
+    val got = Similarity.bruteForceTopK(
+        qe.filter(col("vec_id") < 32), qe, "vec_id", "qv", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    info(f"int8 top-5 recall vs float truth: $recall%.3f")
+    // 64-dim int8 keeps cosine order almost intact; floor well below
+    // measured so only real breakage trips it
+    assert(recall > 0.8)
+  }
+
   test("LSH topk recall vs brute force is measured and bounded") {
     val e = Tables.load(spark, Sf, "embeddings")
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
