@@ -67,20 +67,30 @@ object Bench {
       SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("diff_range_stats").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+    // A repeat that throws yields NO time — a broken query must never
+    // surface as a (fast) timing row. Queries with zero successful repeats
+    // go in a separate "failed" key, excluded from "queries" and "value"
+    // (round 7 shipped 8 time-to-throw entries as the "fastest" queries).
+    val runs = selected.map { case (name, fn) =>
+      val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name threw: ${e.getMessage}"); false }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      if (repeat > 1) System.err.println(s"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      name -> times.min
+      if (repeat > 1 && times.nonEmpty)
+        System.err.println(s"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}")
+      name -> times
     }
+    val results = runs.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
+    val failed = runs.collect { case (n, ts) if ts.isEmpty => n }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"""" +
         s""","shuffle_read_bytes":${footprint.shuffleRead.get}""" +
         s""","shuffle_write_bytes":${footprint.shuffleWrite.get}""" +
         s""","spilled_bytes":${footprint.spill.get}}"""

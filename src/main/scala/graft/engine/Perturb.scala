@@ -221,11 +221,28 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as long
-    * nanoseconds — convert to a proper (microsecond) timestamp.
+  /** events.parquet's `ts` storage has drifted across corpus
+    * regenerations — TIMESTAMP(NANOS) (reads as long nanoseconds under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
+    * without UTC adjustment (reads as TIMESTAMP_NTZ) have both shipped.
+    * Normalize on the READ dtype so every event-time operator sees one
+    * canonical microsecond TimestampType regardless of encoding; the
+    * session timezone is pinned to UTC everywhere, so the NTZ cast is a
+    * bit-exact identity on the underlying micros.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: convert to microsecond timestamp
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported storage dtype $other — fixture drift; " +
+            "extend Tables.events for the new encoding")
+    }
+  }
 }

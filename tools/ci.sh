@@ -10,7 +10,10 @@ echo "== compile + test =="
 sbt -batch compile test
 
 echo "== verify vs duckdb oracle ($SF) =="
-SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" sbt -batch "runMain graft.Verify $SF $OUT"
+# strict: any query that throws or times out fails the local gate (the
+# driver's own invocation is lenient-but-loud; see Verify.scala)
+SPARK_GRAFT_VERIFY_STRICT=1 \
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" sbt -batch "runMain graft.Verify $SF $OUT"
 python3 tools/check_oracle.py "$SF" "$OUT"
 
 echo "== bench ($SF) =="
