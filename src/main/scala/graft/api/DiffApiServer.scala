@@ -23,6 +23,8 @@ import graft.journal.MetadataStore
   *   GET /jobs/{id}/errors/ranges
   *   GET /jobs/by-start-date/{from}/{to}   GET /jobs/by-source-cluster/{c}
   *   GET /jobs/by-target-cluster/{c}       GET /jobs/by-keyspace/{ks}
+  * plus the engine-extension reconciliation endpoint:
+  *   GET /jobs/{id}/repair                 GET /jobs/{id}/repair/{table}
   */
 final class DiffApiServer(store: MetadataStore, port: Int = 8089)(implicit spark: SparkSession) {
 
@@ -52,6 +54,8 @@ final class DiffApiServer(store: MetadataStore, port: Int = 8089)(implicit spark
       case "jobs" :: id :: "errors" :: Nil => Some(api.jobErrors(id))
       case "jobs" :: id :: "errors" :: "summary" :: Nil => Some(api.errorSummary(id))
       case "jobs" :: id :: "errors" :: "ranges" :: Nil => Some(api.errorRanges(id))
+      case "jobs" :: id :: "repair" :: Nil => Some(api.jobRepair(id))
+      case "jobs" :: id :: "repair" :: t :: Nil => Some(api.jobRepair(id, Some(t)))
       case _ => None
     }
   }

@@ -40,7 +40,12 @@ final case class DiffJobConfig(
     // mostly-matching corpus the wide join shrinks to the dirty
     // fraction — the digestRangeStats shape, available from the
     // journaling entry point. Results are bit-identical either way.
-    digestFirst: Boolean = false)
+    digestFirst: Boolean = false,
+    // reconciliation output: journal a CQL repair script per table
+    // (INSERT/UPDATE/DELETE treating the source as truth) alongside the
+    // mismatch rows, served by ResultsApi.jobRepair. Costs one extra
+    // row-level join per table when enabled.
+    repair: Boolean = false)
 
 final class DiffRunner(
     source: SourceProvider,
@@ -315,6 +320,21 @@ final class DiffRunner(
               .withColumn("job_id", lit(config.jobId))
               .withColumn("run_ts", lit(runTs)),
             partitionBy = Seq("job_id"))
+          // repair script: recorded with the mismatches (same
+          // crash-safety rule — never after the range is marked done).
+          // Normalized to (token, action, statement) so the journal
+          // dataset has ONE schema across tables with different keys;
+          // token is the same per-partition address the mismatch rows
+          // carry, so an operator can join script rows to mismatch rows.
+          if (config.repair)
+            store.write("repair_scripts",
+              graft.engine.Repair.repairStatements(src, tgt, spec)
+                .withColumn("token", token(spec.pk.map(col)))
+                .select(col("token"), col("action"), col("statement"))
+                .withColumn("table_name", lit(spec.table))
+                .withColumn("job_id", lit(config.jobId))
+                .withColumn("run_ts", lit(runTs)),
+              partitionBy = Seq("job_id"))
           // with digestFirst, ps covers only dirty buckets — clean
           // buckets journal their digest-derived arithmetic rows
           val progress = {

@@ -108,6 +108,31 @@ final class ResultsApi(store: MetadataStore)(implicit spark: SparkSession) {
     errors.filter(col("job_id") === jobId)
       .select("table_name", "token").distinct()
 
+  /** GET /jobs/{id}/repair[/{table}] — the generated reconciliation
+    * script (engine extension; the reference stops at reporting,
+    * JobMetadataDb.java:246-263). Newest run per (table, token): a
+    * re-compared partition's statements replace that token's earlier
+    * ones wholesale, mirroring the mismatch journal's latest-wins rule.
+    */
+  def jobRepair(jobId: String, table: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // repair output is opt-in (DiffJobConfig.repair) — jobs that never
+    // enabled it have no dataset; serve the empty script, not a throw
+    if (!store.exists("repair_scripts"))
+      return Seq.empty[(String, String, Long, String, String)]
+        .toDF("job_id", "table_name", "token", "action", "statement")
+    val w = Window.partitionBy("table_name", "token")
+      .orderBy(coalesce(col("run_ts"), lit(0L)).desc)
+    val base = store.read("repair_scripts", mergeSchema = true)
+      .filter(col("job_id") === jobId)
+      // dense_rank, not row_number: a token carries one statement per
+      // clustering row — keep ALL rows of its newest run
+      .withColumn("__rk", dense_rank().over(w)).filter(col("__rk") === 1)
+      .select("job_id", "table_name", "token", "action", "statement")
+    table.fold(base)(t => base.filter(col("table_name") === t))
+  }
+
   /** GET /jobs/by-start-date/{from}[/{to}] (DiffJobsResource.java:140-156;
     * the day+hour index tables of JobMetadataDb.java:421-424 become a
     * range filter).

@@ -57,7 +57,10 @@ object DiffJobMain {
         tables = specs,
         options = config.toDiffOptions,
         metadataRoot = metadataRoot,
-        partitioner = config.partitioner))
+        partitioner = config.partitioner,
+        retry = config.retryPolicy,
+        digestFirst = config.digestFirst,
+        repair = config.generateRepair))
       .run()
 
     // the reference's end-of-job summary line (DiffJob.java:190)

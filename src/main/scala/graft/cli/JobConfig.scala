@@ -36,6 +36,13 @@ import graft.core.{DiffOptions, TableSpec}
   * | disallowed_tokens              | reject-list (O9)                    |
   * | retry_options                  | journal-write backoff policy (O17)  |
   * | partition_sampling_probability | sampling num/den (O10)              |
+  *
+  * Engine extensions (no reference counterpart; default off):
+  *
+  * | digest_first                   | per-bucket digest prefilter — the  |
+  * |                                | wide join reads only dirty buckets |
+  * | generate_repair                | journal a CQL repair script served |
+  * |                                | by GET /jobs/{id}/repair           |
   */
 final case class JobConfig(
     keyspaceTables: Seq[String],
@@ -52,7 +59,9 @@ final case class JobConfig(
     disallowedTokens: Seq[Long],
     partitionSamplingProbability: Double,
     clusterConfig: Map[String, Map[String, String]],
-    retryPolicy: graft.journal.RetryPolicy = graft.journal.RetryPolicy.NoRetry) {
+    retryPolicy: graft.journal.RetryPolicy = graft.journal.RetryPolicy.NoRetry,
+    digestFirst: Boolean = false,
+    generateRepair: Boolean = false) {
 
   /** Sampling probability → deterministic per-key modulus (O10): keep a
     * partition iff pmod(token, den) < num with num/den ≈ p.
@@ -159,7 +168,9 @@ object JobConfig {
       disallowedTokens = tokenList("disallowed_tokens"),
       partitionSamplingProbability = dbl("partition_sampling_probability", 1.0),
       clusterConfig = clusters,
-      retryPolicy = retryPolicy)
+      retryPolicy = retryPolicy,
+      digestFirst = m.get("digest_first").exists(_.toString.trim.toBoolean),
+      generateRepair = m.get("generate_repair").exists(_.toString.trim.toBoolean))
   }
 
   /** "ks.tbl" → TableSpec with roles from the role registry or inferred

@@ -132,6 +132,17 @@ class JobConfigSpec extends SparkSpec {
     assert(x === 1)
   }
 
+  test("engine-extension keys parse: digest_first and generate_repair") {
+    val c = JobConfig.loadString(
+      "keyspace_tables:\n  - ks.t1\ndigest_first: true\ngenerate_repair: true\n")
+    assert(c.digestFirst && c.generateRepair)
+    // absent => off (reference configs carry neither key)
+    val d = JobConfig.loadString("buckets: 5\n")
+    assert(!d.digestFirst && !d.generateRepair)
+    val e = JobConfig.loadString("digest_first: false\ngenerate_repair: false\n")
+    assert(!e.digestFirst && !e.generateRepair)
+  }
+
   test("table specs resolve roles from the corpus registry") {
     val li = JobConfig.tableSpec("keyspace1.lineitem")
     assert(li.pk === Seq("l_orderkey") && li.clustering === Seq("l_linenumber"))

@@ -319,6 +319,41 @@ class JournalApiSpec extends SparkSpec {
     assert(store.read("mismatches").filter(col("job_id") === "clean-job").count() === 0)
   }
 
+  test("repair=true journals the reconciliation script, served by the API") {
+    implicit val s: SparkSession = spark
+    val root = tmpRoot()
+    val src = ParquetSource(Sf)
+    val tgt = new SourceProvider {
+      def table(sp: SparkSession, name: String): DataFrame =
+        Perturb.lineitemTarget(ParquetSource(Sf).table(sp, name))
+      def listTables(sp: SparkSession): Seq[String] = src.listTables(sp)
+    }
+    new DiffRunner(src, tgt,
+      DiffJobConfig("repair-job", Seq(Perturb.lineitemSpec),
+        DiffOptions(buckets = 4), metadataRoot = root, repair = true)).run()
+    val api = new ResultsApi(new MetadataStore(root))
+    val script = api.jobRepair("repair-job", Some("lineitem")).collect()
+    assert(script.nonEmpty)
+    // the standard perturbation exercises every repair class
+    assert(script.map(_.getAs[String]("action")).toSet ===
+      Set("INSERT", "UPDATE", "DELETE"))
+    // the journaled script is EXACTLY what the standalone generator emits
+    // for the same table pair — the runner adds reachability, not variance
+    val standalone = graft.engine.Repair.repairStatements(
+        src.table(spark, "lineitem"), tgt.table(spark, "lineitem"),
+        Perturb.lineitemSpec)
+      .select("statement").as[String].collect().sorted.toSeq
+    assert(script.map(_.getAs[String]("statement")).sorted.toSeq === standalone)
+    // table filter and unfiltered form agree; unknown table serves empty
+    assert(api.jobRepair("repair-job").count() === script.length)
+    assert(api.jobRepair("repair-job", Some("nope")).count() === 0)
+    // a journal with no repair dataset serves an empty script, not a throw
+    val root2 = tmpRoot()
+    new DiffRunner(src, src, DiffJobConfig("norepair", Seq(Perturb.ordersSpec),
+      DiffOptions(buckets = 4), metadataRoot = root2)).run()
+    assert(new ResultsApi(new MetadataStore(root2)).jobRepair("norepair").count() === 0)
+  }
+
   test("param restore tolerates a job_summary written by an older schema") {
     implicit val s: SparkSession = spark
     val root = tmpRoot()
