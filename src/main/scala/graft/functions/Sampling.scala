@@ -115,6 +115,82 @@ object Sampling {
       .drop("__chunk", "__local_cum", "__base")
   }
 
+  /** Deterministic corpus shuffle + shard assignment — the "shard
+    * writer" step of materializing a training dataset: every example
+    * lands in a pseudo-random shard with a pseudo-random within-shard
+    * position, reproducible across runs and cluster layouts (the order
+    * is a pure function of `salt` and the key, never of task timing).
+    *
+    * Scale shape: one hash-partition exchange on `shard` plus a
+    * per-shard sort — exactly `repartition($"shard")
+    * .sortWithinPartitions` at write time. Parallelism equals
+    * `nShards`; a 100 TB run uses thousands of shards, so the window
+    * never concentrates the corpus into few tasks.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = keyHash60(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** The DuckDB mirror of [[shuffleShards]]'s hash for expression `e`. */
+  def shuffleHashSql(salt: String, e: String): String =
+    keyHash60Sql(s"'$salt:' || CAST($e AS VARCHAR)")
+
+  /** Domain-mixture reweighting: per-stratum token accounting plus the
+    * sampling weight that moves the corpus toward a target mixture —
+    * the "how much of each source/language goes into the run" step of
+    * assembling a training mix. `targetFracs` gives explicit target
+    * token fractions per stratum; unlisted strata share the remaining
+    * mass uniformly (with an empty map, the target is uniform across
+    * all strata).
+    *
+    * weight = target_frac / actual_frac: >1 means the stratum must be
+    * up-sampled (or epochs repeated) to hit the target, <1 down-sampled;
+    * `keep_prob` caps it at 1 for subsample-only mixes (feed it straight
+    * to [[weightedSample]]). All ratios divide two order-independent
+    * aggregates, so results are bit-reproducible cross-engine.
+    *
+    * Scale shape: one partial-aggregating groupBy over the scan; the
+    * global-total window runs over the AGGREGATED frame (one row per
+    * stratum — sources/languages number in the thousands at most, never
+    * corpus-sized).
+    */
+  def mixtureWeights(df: DataFrame, stratumCol: String, nTokens: Column,
+      targetFracs: Map[String, Double] = Map.empty): DataFrame = {
+    require(targetFracs.values.forall(f => f >= 0 && f <= 1) &&
+      targetFracs.values.sum <= 1.0 + 1e-9,
+      "explicit target fractions must lie in [0,1] and sum to <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val explicitFrac = targetFracs.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, f)) => when(col(stratumCol) === lit(s), lit(f)).otherwise(acc)
+    }
+    // folded in Scala, not Catalyst, so the oracle can interpolate the
+    // EXACT double (JVM shortest-round-trip repr) into its SQL
+    val residual = lit(1.0 - targetFracs.values.sum)
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokens.cast("long")).as("n_tokens"))
+      .withColumn("token_frac",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+      .withColumn("__n_implicit",
+        sum(when(explicitFrac.isNull, 1L).otherwise(0L)).over(w))
+      .withColumn("target_frac",
+        coalesce(explicitFrac,
+          residual / greatest(col("__n_implicit"), lit(1L)).cast("double")))
+      .withColumn("weight", col("target_frac") / col("token_frac"))
+      .withColumn("keep_prob", least(col("weight"), lit(1.0)))
+      .drop("__n_implicit")
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (in
     * 1/`den` units) with a default for unlisted strata. One codegen'd
     * filter over the scan — no shuffle, no per-stratum pass; fractions

@@ -44,6 +44,37 @@ object TermStats {
     pairs.join(if (broadcastDf) broadcast(df_) else df_, Seq("term"))
   }
 
+  /** Out-of-vocabulary profile: per-document token count, count of
+    * token OCCURRENCES outside the corpus's top-`vocabK` terms, and the
+    * OOV fraction — the "how well does a fixed tokenizer vocabulary
+    * cover this document" quality signal of a training-data pipeline
+    * (high OOV flags boilerplate, code, or foreign-language slices).
+    *
+    * The vocabulary is derived from the corpus itself: the `vocabK`
+    * terms with the highest total occurrence count (ties by term), so
+    * the operator is self-contained and deterministic. Scale shape: one
+    * term-count aggregation (partial map-side), a `vocabK`-row sorted
+    * head that BROADCASTS back (the vocabulary is bounded by
+    * construction — never corpus-sized), and a per-doc aggregation of
+    * (id, flag) pairs; text never crosses an exchange.
+    */
+  def oovStats(docs: DataFrame, idCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    require(vocabK >= 1, "vocabK must be >= 1")
+    val tok = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("term"))
+      .limit(vocabK)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** The `k` most distinctive terms per document: highest tf first,
     * rarest (lowest df) on ties, then term — a deterministic tf-idf
     * ranking with no float in sight.

@@ -253,6 +253,26 @@ object TextQueries {
       Sampling.weightedSample(docs(s, dir), "doc_id",
           TA.qualityScore(col("text")))
         .select("doc_id", "lang")),
+    // deterministic corpus shuffle: shard assignment + within-shard
+    // position, a pure function of (salt, doc_id) — the shard-writer
+    // step of materializing a training set
+    "corpus_shuffle" -> ((s, dir) =>
+      Sampling.shuffleShards(docs(s, dir), "doc_id", nShards = 8,
+          salt = "graft")
+        .select("doc_id", "shard", "pos")),
+    // domain-mixture reweighting: per-source token accounting + the
+    // sampling weight toward a target mix (src0 pinned to 20%, the rest
+    // sharing the remainder uniformly)
+    "mix_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(docs(s, dir), "source",
+          TA.tokenCount(col("text")), Map("src0" -> 0.2))
+        .select("source", "n_docs", "n_tokens", "token_frac",
+          "target_frac", "weight", "keep_prob")),
+    // out-of-vocabulary profile vs the corpus's own top-30 terms — the
+    // tokenizer-coverage quality signal
+    "text_oov" -> ((s, dir) =>
+      graft.functions.TermStats.oovStats(docs(s, dir), "doc_id", "text",
+        vocabK = 30)),
     // the end-to-end curation pipeline a training-data run performs:
     // score → language-filter → exact-dedup (keep canonical) →
     // stratified mix — every stage one of this engine's operators, the
@@ -636,6 +656,55 @@ object TextQueries {
            |  FROM documents)
            |WHERE CAST(${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} AS DOUBLE)
            |      < q * ${Sampling.DefaultDen}""".stripMargin,
+      "corpus_shuffle" ->
+        s"""WITH h AS (
+           |  SELECT doc_id, ${Sampling.shuffleHashSql("graft", "doc_id")} AS hv
+           |  FROM documents)
+           |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8
+           |                          ORDER BY hv, doc_id) AS BIGINT) AS pos
+           |FROM h""".stripMargin,
+      "mix_weights" -> {
+        // mirrors mixtureWeights(.., Map("src0" -> 0.2)): residual mass
+        // interpolated as the exact Scala double repr
+        val residual = (1.0 - 0.2).toString
+        s"""WITH agg AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source
+           |), t AS (
+           |  SELECT source, n_docs, n_tokens,
+           |    CAST(n_tokens AS DOUBLE)
+           |      / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE) AS token_frac,
+           |    CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) OVER ()
+           |         AS BIGINT) AS n_implicit
+           |  FROM agg
+           |), w AS (
+           |  SELECT source, n_docs, n_tokens, token_frac,
+           |    CASE WHEN source = 'src0' THEN CAST(0.2 AS DOUBLE)
+           |         ELSE CAST($residual AS DOUBLE)
+           |              / CAST(GREATEST(n_implicit, 1) AS DOUBLE) END AS target_frac
+           |  FROM t
+           |)
+           |SELECT source, n_docs, n_tokens, token_frac, target_frac,
+           |  target_frac / token_frac AS weight,
+           |  LEAST(target_frac / token_frac, CAST(1.0 AS DOUBLE)) AS keep_prob
+           |FROM w""".stripMargin
+      },
+      "text_oov" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($toks) AS term FROM documents
+           |), tc AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+           |), vocab AS (
+           |  SELECT term FROM tc ORDER BY cnt DESC, term LIMIT 30
+           |)
+           |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+           |FROM tok t LEFT JOIN vocab v ON t.term = v.term
+           |GROUP BY t.doc_id""".stripMargin,
       "text_repetition" ->
         s"""SELECT doc_id,
            |  ${TA.dupFracSql(TA.tokenNgramsSql(toks, 2))} AS dup_2gram_frac,

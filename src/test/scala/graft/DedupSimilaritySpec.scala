@@ -466,6 +466,81 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("shuffle shards: deterministic, complete, contiguous positions") {
+    import graft.functions.Sampling
+    val df = spark.range(500).toDF("doc_id")
+    def run(salt: String) =
+      Sampling.shuffleShards(df, "doc_id", nShards = 8, salt = salt)
+        .select("doc_id", "shard", "pos")
+        .as[(Long, Int, Long)].collect()
+    val a = run("graft")
+    // pure function of (salt, id): bit-identical across runs
+    assert(a.sortBy(_._1).toSeq === run("graft").sortBy(_._1).toSeq)
+    // complete: every input row lands in exactly one shard in range
+    assert(a.map(_._1).sorted.toSeq === (0L until 500L))
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    // contiguous: each shard's positions are exactly 1..n_shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // the salt actually permutes: a different salt moves some rows
+    val b = run("other")
+    assert(a.sortBy(_._1).zip(b.sortBy(_._1)).exists {
+      case ((_, s1, p1), (_, s2, p2)) => s1 != s2 || p1 != p2
+    })
+  }
+
+  test("mixture weights: token accounting and target algebra") {
+    import graft.functions.Sampling
+    // 3 strata with known token mass: x=6, y=3, z=3 (total 12)
+    val df = Seq(
+      ("x", "a a a"), ("x", "b b b"),
+      ("y", "c c c"), ("z", "d d d")).toDF("src", "text")
+    val out = Sampling.mixtureWeights(df, "src",
+        TA.tokenCount(col("text")), Map("x" -> 0.5))
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    assert(out("x").getAs[Long]("n_docs") === 2L)
+    assert(out("x").getAs[Long]("n_tokens") === 6L)
+    assert(out("x").getAs[Double]("token_frac") === 0.5)
+    assert(out("x").getAs[Double]("target_frac") === 0.5)
+    assert(out("x").getAs[Double]("weight") === 1.0)
+    // y and z split the residual 0.5 uniformly -> 0.25 each; each holds
+    // 0.25 of the tokens -> weight 1 would need target 0.25 == actual
+    assert(out("y").getAs[Double]("token_frac") === 0.25)
+    assert(out("y").getAs[Double]("target_frac") === 0.25)
+    assert(out("y").getAs[Double]("weight") === 1.0)
+    // skew the target: now y must shrink to 0.1 of the mix
+    val skew = Sampling.mixtureWeights(df, "src",
+        TA.tokenCount(col("text")), Map("y" -> 0.1))
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    assert(skew("y").getAs[Double]("weight") === 0.1 / 0.25)
+    assert(skew("y").getAs[Double]("keep_prob") === 0.4)
+    // uniform default: every target_frac is 1/3
+    val uni = Sampling.mixtureWeights(df, "src", TA.tokenCount(col("text")))
+      .collect().map(r => r.getAs[Double]("target_frac"))
+    assert(uni.forall(_ === 1.0 / 3))
+    // invariant both ways: weight * token_frac == target_frac
+    (out.values ++ skew.values).foreach { r =>
+      assert(r.getAs[Double]("weight") * r.getAs[Double]("token_frac") ===
+        r.getAs[Double]("target_frac"))
+    }
+  }
+
+  test("oov stats: hand-computed fractions against a tiny vocab") {
+    import graft.functions.TermStats
+    // counts: a=3 b=3 c=1 d=1 e=1 -> top-2 vocab (cnt desc, term) = {a, b}
+    val df = Seq(
+      (1L, "a a b"), (2L, "a c d"), (3L, "b b e")).toDF("doc_id", "text")
+    val got = TermStats.oovStats(df, "doc_id", "text", vocabK = 2)
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 0L, 0.0),
+      (2L, 3L, 2L, 2.0 / 3),
+      (3L, 3L, 1L, 1.0 / 3)))
+  }
+
   test("quality rules: each gate trips on its crafted document") {
     // default (published Gopher) thresholds; one doc per failing rule
     val good = ("the quick brown lore " * 20).trim // 80 words, stopword, alpha
