@@ -23,7 +23,7 @@ class ApiServerSpec extends SparkSpec {
       def listTables(sp: SparkSession) = src.listTables(sp)
     }
     new DiffRunner(src, tgt, DiffJobConfig("api-job", Seq(Perturb.ordersSpec),
-      DiffOptions(buckets = 4), metadataRoot = root)).run()
+      DiffOptions(buckets = 4), metadataRoot = root, repair = true)).run()
 
     val srv = new DiffApiServer(new MetadataStore(root), port = 0) // ephemeral
     val port = srv.start()
@@ -46,6 +46,13 @@ class ApiServerSpec extends SparkSpec {
       assert(c4 === 404)
       val (c5, byKs) = get("/jobs/by-keyspace/orders")
       assert(c5 === 200 && byKs.contains("api-job"))
+      // the engine-extension reconciliation endpoint: full + per-table
+      val (c6, repair) = get("/jobs/api-job/repair")
+      assert(c6 === 200 && repair.contains("\"statement\""))
+      val (c7, repairT) = get("/jobs/api-job/repair/orders")
+      assert(c7 === 200 && repairT.contains("INSERT"))
+      val (c8, repairNone) = get("/jobs/api-job/repair/nope")
+      assert(c8 === 200 && !repairNone.contains("\"statement\""))
     } finally srv.stop()
   }
 

@@ -489,6 +489,11 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.sortBy(_._1).zip(b.sortBy(_._1)).exists {
       case ((_, s1, p1), (_, s2, p2)) => s1 != s2 || p1 != p2
     })
+    // scale shape: ONE exchange (hash on shard) + per-shard sort — the
+    // repartition/sortWithinPartitions shard-writer plan, no global sort
+    val plan = Sampling.shuffleShards(df, "doc_id", 8, "graft")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1, plan.take(2000))
   }
 
   test("mixture weights: token accounting and target algebra") {
@@ -539,6 +544,12 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, 3L, 0L, 0.0),
       (2L, 3L, 2L, 2.0 / 3),
       (3L, 3L, 1L, 1.0 / 3)))
+    // the bounded vocabulary must come back as a broadcast join — the
+    // token stream is corpus-sized and must never shuffle on the term key
+    // for the vocab lookup
+    val plan = TermStats.oovStats(df, "doc_id", "text", vocabK = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
   test("quality rules: each gate trips on its crafted document") {
