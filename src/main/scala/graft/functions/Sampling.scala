@@ -191,6 +191,34 @@ object Sampling {
       .drop("__n_implicit")
   }
 
+  /** Materialize a reweighted mix: emit `floor(weight)` copies of every
+    * row plus one more with probability `frac(weight)`, decided
+    * deterministically by the row's key hash — the epoch-repetition step
+    * that turns [[mixtureWeights]]' output into an actual training
+    * corpus. `weight > 1` up-samples (the document repeats across
+    * epochs), `weight < 1` down-samples, `weight <= 0` drops the row.
+    * In expectation the materialized copy count is exactly
+    * `weight × rows`, and the realization is a pure function of the
+    * keys, reproducible on any cluster layout.
+    *
+    * Output: input columns + `copy` (1-based copy index). Scale shape:
+    * one generator expression over the scan — no shuffle, no driver
+    * loop; the fan-out is bounded by `ceil(weight)` per row.
+    */
+  def materializeMixture(df: DataFrame, idCol: String, weight: Column,
+      den: Int = DefaultDen): DataFrame = {
+    require(den > 0, "den must be positive")
+    val w = greatest(weight, lit(0.0))
+    val nFull = floor(w) // LongType
+    val frac = w - nFull.cast("double")
+    val extra = (pmod(keyHash60(col(idCol)), lit(den)).cast("double")
+      < frac * lit(den)).cast("long")
+    df.withColumn("__n", nFull + extra)
+      .filter(col("__n") >= 1L)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n"))))
+      .drop("__n")
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions (in
     * 1/`den` units) with a default for unlisted strata. One codegen'd
     * filter over the scan — no shuffle, no per-stratum pass; fractions

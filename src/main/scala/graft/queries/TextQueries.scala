@@ -273,6 +273,29 @@ object TextQueries {
     "text_oov" -> ((s, dir) =>
       graft.functions.TermStats.oovStats(docs(s, dir), "doc_id", "text",
         vocabK = 30)),
+    // epoch-repetition materialization: quality-proportional weights in
+    // [0,3] — docs repeat floor(w) times plus a deterministic fractional
+    // copy, exercising up-sampling, down-sampling, and dropping
+    "mix_epochs" -> ((s, dir) =>
+      Sampling.materializeMixture(
+          docs(s, dir).withColumn("w", TA.qualityScore(col("text")) * 3.0),
+          "doc_id", col("w"))
+        .select("doc_id", "copy")),
+    // one-row dataset card: corpus-level integer accounting (doc/token/
+    // stratum counts, char bounds, short-doc share)
+    "corpus_profile" -> ((s, dir) =>
+      docs(s, dir)
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(when(TA.tokenCount(col("text")) < 20, 1L).otherwise(0L))
+            .as("n_short"))
+        .withColumn("short_frac",
+          col("n_short").cast("double") / col("n_docs").cast("double"))),
     // the end-to-end curation pipeline a training-data run performs:
     // score → language-filter → exact-dedup (keep canonical) →
     // stratified mix — every stage one of this engine's operators, the
@@ -691,6 +714,31 @@ object TextQueries {
            |  LEAST(target_frac / token_frac, CAST(1.0 AS DOUBLE)) AS keep_prob
            |FROM w""".stripMargin
       },
+      "mix_epochs" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, (${TA.qualityScoreSql(toks)}) * 3.0 AS w
+           |  FROM documents
+           |), n AS (
+           |  SELECT doc_id,
+           |    CAST(floor(w) AS BIGINT) +
+           |    CASE WHEN CAST(${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} AS DOUBLE)
+           |              < (w - floor(w)) * ${Sampling.DefaultDen}
+           |         THEN 1 ELSE 0 END AS n
+           |  FROM d
+           |)
+           |SELECT doc_id, t.copy FROM n,
+           |  UNNEST(range(1, n + 1)) AS t(copy)
+           |WHERE n >= 1""".stripMargin,
+      "corpus_profile" ->
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens,
+           |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           |  CAST(SUM(CASE WHEN len($toks) < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           |  CAST(SUM(CASE WHEN len($toks) < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS short_frac
+           |FROM documents""".stripMargin,
       "text_oov" ->
         s"""WITH tok AS (
            |  SELECT doc_id, unnest($toks) AS term FROM documents

@@ -532,6 +532,35 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mixture materialization: copy counts, determinism, no shuffle") {
+    import graft.functions.Sampling
+    val df = spark.range(1000).toDF("doc_id")
+    // integer weights are exact: every row gets exactly w copies
+    for (w <- Seq(0.0, 1.0, 2.0)) {
+      val n = Sampling.materializeMixture(df, "doc_id", lit(w)).count()
+      assert(n === (1000 * w).toLong, s"w=$w")
+    }
+    // fractional weight: floor copies guaranteed, the extra copy lands
+    // on ~frac of rows; expectation 1000 * 1.5 within hash tolerance
+    val out = Sampling.materializeMixture(df, "doc_id", lit(1.5))
+      .select("doc_id", "copy").as[(Long, Long)].collect()
+    assert(out.length > 1350 && out.length < 1650, out.length)
+    // every row keeps copies 1..n contiguously and appears at least once
+    val byId = out.groupBy(_._1)
+    assert(byId.size === 1000)
+    byId.foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length), s"id=$id")
+    }
+    // pure function of the key: identical realization across runs
+    val again = Sampling.materializeMixture(df, "doc_id", lit(1.5))
+      .select("doc_id", "copy").as[(Long, Long)].collect()
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+    // scale shape: a generator over the scan — no exchange anywhere
+    val plan = Sampling.materializeMixture(df, "doc_id", lit(1.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("oov stats: hand-computed fractions against a tiny vocab") {
     import graft.functions.TermStats
     // counts: a=3 b=3 c=1 d=1 e=1 -> top-2 vocab (cnt desc, term) = {a, b}
