@@ -94,6 +94,52 @@ object Sessions {
       .select(events.columns.map(col) :+ col("session_seq"): _*)
   }
 
+  /** Ordered conversion funnel: per key, the earliest instant each
+    * stage completes given the previous stage completed STRICTLY before
+    * it — first `stages(0)`, then the first `stages(1)` after that,
+    * and so on. Events at exactly the previous stage's instant do not
+    * advance the funnel (a click logged at the view's own timestamp
+    * can't confirm the view). Output: one row per key with a nullable
+    * `t_<stage>` timestamp per stage and `stages_completed`.
+    *
+    * Scale shape: ONE exchange on the key; every stage is a windowed
+    * conditional-min over that same partitioning (EnsureRequirements
+    * inserts no further shuffle between the chained Window operators),
+    * and the final one-row-per-key rollup hash-aggregates on the
+    * already-clustered key. Window state is the key's own events —
+    * the same bound as [[sessionize]].
+    */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    val w = Window.partitionBy(col(keyCol))
+    val micros = unix_micros(col(tsCol))
+    val staged = stages.zipWithIndex.foldLeft(events) {
+      case (df, (stage, i)) =>
+        // null-safe by construction: if stage i-1 never completed,
+        // micros > null is null and the conditional min collects nothing
+        val gate =
+          if (i == 0) col(typeCol) === stage
+          else col(typeCol) === stage && micros > col(s"__t${i - 1}")
+        df.withColumn(s"__t$i", min(when(gate, micros)).over(w))
+    }
+    val firstAgg = max(col("__t0")).as("__m0")
+    val restAgg = stages.indices.drop(1)
+      .map(i => max(col(s"__t$i")).as(s"__m$i"))
+    // built innermost-out: the final expression checks the DEEPEST
+    // completed stage first (when(m_last, n)...otherwise(when(m0, 1)))
+    val completed = stages.indices.foldLeft(lit(0L)) {
+      case (acc, i) => when(col(s"__m$i").isNotNull, lit(i + 1L)).otherwise(acc)
+    }
+    staged.groupBy(col(keyCol))
+      .agg(firstAgg, restAgg: _*)
+      .select(col(keyCol) +:
+        stages.zipWithIndex.map { case (stage, i) =>
+          timestamp_micros(col(s"__m$i")).as(s"t_$stage")
+        } :+ completed.as("stages_completed"): _*)
+  }
+
   /** Session-level rollup via the built-in `session_window` grouping
     * (merge-on-overlap semantics; window end = last event + gap). The
     * same declarative shape runs under Structured Streaming with a

@@ -194,6 +194,11 @@ object AnalyticsQueries {
       Joins.asofJoin(purchases, signups, Seq("user_id"), "ts",
         Seq("event_id", "value"), toleranceMicros = Some(30L * 60 * 1000000))
     }),
+    // ordered conversion funnel: first view → first click after it →
+    // first purchase after that, one row per user with stage instants
+    "events_funnel" -> ((s, dir) =>
+      Sessions.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
     // JSON scalar functions over the events props column: extraction,
     // cast, aggregation — pure codegen'd expressions
     "json_extract" -> ((s, dir) =>
@@ -386,6 +391,31 @@ object AnalyticsQueries {
         |            THEN r.value END AS value_r
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // each stage CTE joins on the previous stage's instant, so a stage
+    // only counts events strictly after the funnel reached it
+    "events_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS m0 FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS m1
+        |       FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.m0
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS m2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.m1
+        |       GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  make_timestamp(s0.m0) AS t_view,
+        |  make_timestamp(s1.m1) AS t_click,
+        |  make_timestamp(s2.m2) AS t_purchase,
+        |  CAST(CASE WHEN s2.m2 IS NOT NULL THEN 3
+        |            WHEN s1.m1 IS NOT NULL THEN 2
+        |            WHEN s0.m0 IS NOT NULL THEN 1
+        |            ELSE 0 END AS BIGINT) AS stages_completed
+        |FROM u LEFT JOIN s0 USING (user_id)
+        |       LEFT JOIN s1 USING (user_id)
+        |       LEFT JOIN s2 USING (user_id)""".stripMargin,
     "json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

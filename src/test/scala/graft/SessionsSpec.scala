@@ -41,6 +41,50 @@ class SessionsSpec extends SparkSpec {
       (2L, ts("2024-01-01 05:00:00"), ts("2024-01-01 06:00:00"), 1L, 16.0)))
   }
 
+  test("funnel: strict ordering, partial completion, one-exchange plan") {
+    val fe = Seq(
+      // full conversion: view -> click -> purchase
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:01:00")),
+      (1L, "purchase", ts("2024-01-01 00:02:00")),
+      // out-of-order purchase: click confirms only AFTER the view, and
+      // the purchase predates that click -> stops at stage 2
+      (2L, "click", ts("2024-01-01 00:00:00")),
+      (2L, "view", ts("2024-01-01 00:01:00")),
+      (2L, "purchase", ts("2024-01-01 00:02:00")),
+      (2L, "click", ts("2024-01-01 00:03:00")),
+      // view only
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      // never viewed: clicks/purchases can't start the funnel
+      (4L, "purchase", ts("2024-01-01 00:00:00")),
+      (4L, "click", ts("2024-01-01 00:01:00")),
+      // simultaneous click does NOT confirm the view (strictly after)
+      (5L, "view", ts("2024-01-01 00:00:00")),
+      (5L, "click", ts("2024-01-01 00:00:00")),
+      (5L, "purchase", ts("2024-01-01 00:01:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Sessions.funnel(fe, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "t_view", "t_click", "t_purchase",
+        "stages_completed")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp], Long)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, Some(ts("2024-01-01 00:00:00")), Some(ts("2024-01-01 00:01:00")),
+        Some(ts("2024-01-01 00:02:00")), 3L),
+      (2L, Some(ts("2024-01-01 00:01:00")), Some(ts("2024-01-01 00:03:00")),
+        None, 2L),
+      (3L, Some(ts("2024-01-01 00:00:00")), None, None, 1L),
+      (4L, None, None, None, 0L),
+      (5L, Some(ts("2024-01-01 00:00:00")), None, None, 1L)))
+    // one exchange: the chained stage windows and the final rollup all
+    // reuse the user-key partitioning
+    val plan = Sessions.funnel(fe, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length === 1, plan.take(3000))
+  }
+
   test("streaming sessions: append emits a session once its window closes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
