@@ -199,6 +199,23 @@ object AnalyticsQueries {
     "events_funnel" -> ((s, dir) =>
       Sessions.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
+    // cohort retention matrix: users grouped by first-active day, counted
+    // per day-offset of later activity. Two partial-aggregating passes +
+    // a user-key join (one row per user on the cohort side — broadcast at
+    // bench scale, user-key shuffle join at corpus scale); the distinct
+    // (user, day) projection collapses each user's day to one row before
+    // the join, so the matrix agg never sees raw events
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort"))
+      val acts = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      acts.join(first, Seq("user_id"))
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     // JSON scalar functions over the events props column: extraction,
     // cast, aggregation — pure codegen'd expressions
     "json_extract" -> ((s, dir) =>
@@ -391,6 +408,18 @@ object AnalyticsQueries {
         |            THEN r.value END AS value_r
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "events_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.cohort, a.day) AS BIGINT) AS day_offset,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // each stage CTE joins on the previous stage's instant, so a stage
     // only counts events strictly after the funnel reached it
     "events_funnel" ->
