@@ -75,6 +75,41 @@ object TermStats {
         col("n_oov").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Unigram-LM surprisal profile — the perplexity-proxy quality signal
+    * of a CCNet-style pipeline (docs whose tokens are rare under the
+    * corpus's own unigram model read as unusual: other-language, code,
+    * noise), kept INTEGER-EXACT so it is bit-reproducible cross-engine:
+    * a float `-log p` differs in final ulps between libm builds, so the
+    * per-token surprisal is `floor(log2(T / c_t))` — computed as
+    * `length(bin(T div c_t)) - 1`, pure integer ops both engines share —
+    * and only the final mean divides two order-independent longs.
+    *
+    * Scale shape: same as [[docTermStats]] — the (doc, term, tf) pair
+    * stream partial-aggregates map-side, the per-term surprisal table is
+    * one row per distinct term with the corpus total attached by a 1-row
+    * broadcast (never a window), and it joins back broadcast at
+    * vocabulary sizes (`broadcastDf = false` for web-scale vocabularies
+    * → plain term-key shuffle join).
+    */
+  def surprisalStats(docs: DataFrame, idCol: String, textCol: String,
+      broadcastDf: Boolean = true): DataFrame = {
+    def pairs = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tc = pairs.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val tot = tc.agg(sum(col("c")).as("t"))
+    val sup = tc.crossJoin(broadcast(tot))
+      .select(col("term"),
+        (length(bin(expr("t DIV c"))) - 1).cast("long").as("sup"))
+    pairs.join(if (broadcastDf) broadcast(sup) else sup, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("sup")).as("sum_surprisal"))
+      .withColumn("mean_surprisal",
+        col("sum_surprisal").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** The `k` most distinctive terms per document: highest tf first,
     * rarest (lowest df) on ties, then term — a deterministic tf-idf
     * ranking with no float in sight.

@@ -273,6 +273,11 @@ object TextQueries {
     "text_oov" -> ((s, dir) =>
       graft.functions.TermStats.oovStats(docs(s, dir), "doc_id", "text",
         vocabK = 30)),
+    // unigram-LM surprisal (integer-exact perplexity proxy): per-doc
+    // mean floor(log2(T / c_t)) under the corpus's own unigram model
+    "text_surprisal" -> ((s, dir) =>
+      graft.functions.TermStats.surprisalStats(docs(s, dir), "doc_id",
+        "text")),
     // epoch-repetition materialization: quality-proportional weights in
     // [0,3] — docs repeat floor(w) times plus a deterministic fractional
     // copy, exercising up-sampling, down-sampling, and dropping
@@ -714,6 +719,25 @@ object TextQueries {
            |  LEAST(target_frac / token_frac, CAST(1.0 AS DOUBLE)) AS keep_prob
            |FROM w""".stripMargin
       },
+      "text_surprisal" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($toks) AS term FROM documents
+           |), d AS (
+           |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM tok GROUP BY doc_id, term
+           |), tc AS (
+           |  SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM d GROUP BY term
+           |), tot AS (
+           |  SELECT CAST(SUM(c) AS BIGINT) AS t FROM tc
+           |), s AS (
+           |  SELECT term, CAST(length(bin(t // c)) - 1 AS BIGINT) AS sup
+           |  FROM tc, tot
+           |)
+           |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(tf * sup) AS BIGINT) AS sum_surprisal,
+           |  CAST(SUM(tf * sup) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+           |    AS mean_surprisal
+           |FROM d JOIN s USING (term) GROUP BY doc_id""".stripMargin,
       "mix_epochs" ->
         s"""WITH d AS (
            |  SELECT doc_id, (${TA.qualityScoreSql(toks)}) * 3.0 AS w

@@ -581,6 +581,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("surprisal stats: hand-computed integer log2 under the corpus LM") {
+    import graft.functions.TermStats
+    // counts: a=3 b=2 c=1, T=6 -> sup(a)=floor(log2(2))=1,
+    // sup(b)=floor(log2(3))=1, sup(c)=floor(log2(6))=2
+    val df = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TermStats.surprisalStats(df, "doc_id", "text")
+      .select("doc_id", "n_tokens", "sum_surprisal", "mean_surprisal")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 4L, 4L, 1.0),
+      (2L, 2L, 3L, 1.5)))
+  }
+
   test("quality rules: each gate trips on its crafted document") {
     // default (published Gopher) thresholds; one doc per failing rule
     val good = ("the quick brown lore " * 20).trim // 80 words, stopword, alpha
