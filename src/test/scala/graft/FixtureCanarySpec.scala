@@ -55,6 +55,34 @@ class FixtureCanarySpec extends SparkSpec {
     assert(us === Micros)
   }
 
+  test("shipped fixture schemas: every table the queries read, pinned") {
+    // one assertion per (table, column, dtype-class) the 94 oracle
+    // queries depend on — regeneration drift fails HERE by name, not as
+    // a silent scorecard shrink. dtype-class, not exact dtype, where the
+    // loader normalizes (events.ts) or where width is irrelevant.
+    def schemaOf(name: String): Map[String, DataType] =
+      Tables.load(spark, Sf, name).schema
+        .fields.map(f => f.name -> f.dataType).toMap
+    val docs = schemaOf("documents")
+    assert(docs("doc_id") === LongType && docs("text") === StringType &&
+      docs("lang") === StringType && docs("source") === StringType &&
+      docs("n_chars") === LongType)
+    val emb = schemaOf("embeddings")
+    assert(emb("vec_id") === LongType && emb("label") === IntegerType)
+    assert(emb("embedding").isInstanceOf[ArrayType] &&
+      emb("embedding").asInstanceOf[ArrayType].elementType === FloatType)
+    val ev = schemaOf("events")
+    assert(ev("event_id") === LongType && ev("user_id") === LongType &&
+      ev("event_type") === StringType && ev("value") === DoubleType &&
+      ev("props") === StringType)
+    // ts is whatever the generator shipped — Tables.events normalizes it;
+    // the dedicated tests above pin that contract per encoding
+    val li = schemaOf("lineitem")
+    assert(li("l_orderkey") === LongType && li("l_linenumber") === IntegerType)
+    val ord = schemaOf("orders")
+    assert(ord("o_orderkey") === LongType)
+  }
+
   test("Tables.events: the SHIPPED fixture loads as a usable timestamp") {
     val ev = Tables.events(spark, Sf)
     assert(ev.schema("ts").dataType === TimestampType)
