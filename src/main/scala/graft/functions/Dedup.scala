@@ -71,6 +71,59 @@ object Dedup {
         .drop("__canon")
     }
 
+  /** CCNet-style span-level exact dedup: split every document into
+    * fixed-size token spans (the paragraph unit of public web-corpus
+    * pipelines — the fixture corpus has no newlines, so a fixed token
+    * window stands in for the paragraph boundary), drop every span whose
+    * normalized content already appeared earlier in the corpus (global
+    * first-occurrence order by (id, position)), and reassemble what
+    * remains. Unlike document-level dedup this REWRITES documents:
+    * boilerplate shared across distinct documents disappears from all
+    * but its first carrier.
+    *
+    * Output: (idCol, n_spans, kept_spans, clean_text) — one row per
+    * input document; a fully-duplicated document survives as an empty
+    * `clean_text` with kept_spans = 0, ready for a min-length quality
+    * gate downstream.
+    *
+    * Scale shape: explode is map-side; the first-occurrence window
+    * partitions by the 128-bit span hash (uniform by construction — no
+    * hot keys, at most one sort-buffer entry per duplicate copy);
+    * reassembly is one groupBy on the document id whose collect_list is
+    * bounded by the document's own span count. Two shuffles total,
+    * both carrying (id, pos, span) — never the full corpus squared.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      span: Int): DataFrame = {
+    require(span >= 1, "span must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    // ceil(n / span) spans; a null/empty doc still yields one (empty)
+    // span so the document survives to the output with n_spans = 1
+    val nSpans = greatest(
+      ((size(toks) + (span - 1)) / lit(span)).cast("int"), lit(1))
+    val spansCol = transform(sequence(lit(0), nSpans - 1), i =>
+      struct(i.as("pos"),
+        array_join(slice(toks, i * span + 1, lit(span)), " ").as("s")))
+    val exploded = df
+      .select(col(idCol), explode(spansCol).as("__sp"))
+      .select(col(idCol), col("__sp.pos").as("__pos"), col("__sp.s").as("__s"))
+    val firstOcc = Window.partitionBy(contentHash(col("__s")))
+      .orderBy(col(idCol), col("__pos"))
+    exploded
+      .withColumn("__keep", row_number().over(firstOcc) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_spans"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("__pos"), col("__s"))))),
+            x => x("__s")),
+          " ").as("clean_text"))
+  }
+
   /** Word n-gram shingles as an array column: shingle i =
     * words[i..i+n-1] joined by spaces. Evaluated by the native
     * [[WordShinglesExpr]] — the declarative `transform(sequence, i ->

@@ -171,6 +171,12 @@ object TextQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashNearDups(dupCorpus(docs(s, dir)), "doc_id", "text",
         useMd5 = true)),
+    // CCNet-style span-level dedup: drop every 8-token span already seen
+    // earlier in the dup-injected corpus (global (id, pos) first-occurrence
+    // order) and reassemble — exact-dup docs collapse to empty clean_text,
+    // near-dups keep only their divergent tail span
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.spanDedup(dupCorpus(docs(s, dir)), "doc_id", "text", span = 8)),
     // duplicate clusters: connected components over the near-dup pairs
     // (min-label propagation; A~B + B~C collapse to one cluster)
     "dedup_clusters" -> ((s, dir) =>
@@ -564,6 +570,25 @@ object TextQueries {
           |  CASE WHEN end_offset > end_offset - n THEN (end_offset - 1) // 2048
           |       ELSE (end_offset - n) // 2048 END AS last_seq
           |FROM c""".stripMargin,
+      "dedup_spans" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+           |spans AS (
+           |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+           |    array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS s
+           |  FROM t, unnest(range(0, GREATEST((len(w) + 7) // 8, 1))) AS u(i)
+           |), k AS (
+           |  SELECT doc_id, pos, s,
+           |    row_number() OVER (PARTITION BY md5(lower(trim(s)))
+           |                       ORDER BY doc_id, pos) AS rn
+           |  FROM spans
+           |)
+           |SELECT doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_spans,
+           |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+           |  coalesce(string_agg(CASE WHEN rn = 1 THEN s END, ' ' ORDER BY pos), '')
+           |    AS clean_text
+           |FROM k GROUP BY doc_id""".stripMargin,
       "text_boilerplate" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |sh AS ($shinglesSql),

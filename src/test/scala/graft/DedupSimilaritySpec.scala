@@ -156,6 +156,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ids(skew = true) === ids(skew = false))
   }
 
+  test("spanDedup: first occurrence kept globally, repeats cut, text reassembled") {
+    // span = 2 tokens. doc 1 defines spans [a b] [c d]; doc 2 repeats
+    // them exactly (fully boilerplate); doc 3 shares its first span with
+    // doc 1 but diverges after; doc 4 is all fresh.
+    val rows = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b x y"),
+      (4L, "p q r"))
+    val out = Dedup.spanDedup(rows.toDF("doc_id", "text"), "doc_id", "text",
+        span = 2)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 2L, "a b c d")))
+    assert(out(2L) === ((2L, 2L, 0L, ""))) // fully deduped, row survives
+    assert(out(3L) === ((3L, 2L, 1L, "x y"))) // shared head span cut
+    assert(out(4L) === ((4L, 2L, 2L, "p q r"))) // trailing short span kept
+    // tie-break is (id, pos): the span [a b] belongs to doc 1, not 2 or 3
+  }
+
+  test("spanDedup on the injected corpus: exact dups empty, originals intact") {
+    val out = Dedup.spanDedup(corpus, "doc_id", "text", span = 8).cache()
+    // every injected exact dup (id >= 1000000, < 2000000) loses all spans
+    val dupRows = out.filter(col("doc_id").between(1000000L, 1999999L))
+    assert(dupRows.count() > 0)
+    assert(dupRows.filter(col("kept_spans") =!= 0).count() === 0)
+    // originals of those dups keep every span that is corpus-unique;
+    // reassembling an untouched doc gives back its exact text
+    val untouched = out.filter(col("kept_spans") === col("n_spans"))
+      .join(corpus, "doc_id")
+      .filter(col("clean_text") =!= col("text"))
+    assert(untouched.count() === 0)
+    out.unpersist()
+  }
+
   test("word shingles produce size-n windows and degenerate short docs") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("sh"))
