@@ -125,4 +125,34 @@ object TermStats {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("rank").cast("long").as("rank"))
   }
+
+  /** Corpus-wide adjacent-token-pair counts — the statistic at the heart
+    * of BPE/WordPiece vocabulary induction: each merge step picks the
+    * most frequent adjacent pair, so tokenizer training over a corpus is
+    * exactly this aggregation, iterated. Returns the `k` most frequent
+    * pairs (ties broken lexicographically) as
+    * (left_tok, right_tok, pair_count).
+    *
+    * Scale shape: the pair stream is generated map-side (zip of the
+    * token array with its own tail, then explode — no shuffle to form
+    * pairs); the count groupBy partial-aggregates on the map side, so
+    * the exchange carries one row per distinct pair per partition, not
+    * one per token position. The final top-k is TakeOrderedAndProject —
+    * per-partition heaps, only k rows reach the driver side of the sort.
+    */
+  def adjacentPairCounts(docs: DataFrame, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(
+      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+    docs
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("left_tok"), col("right_tok"))
+      .limit(k)
+  }
 }

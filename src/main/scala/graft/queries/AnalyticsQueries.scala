@@ -155,6 +155,19 @@ object AnalyticsQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+    // sliding-window aggregation (30 min window, 10 min slide): each
+    // event lands in width/slide = 3 overlapping windows — the built-in
+    // window() generator fans out map-side, then one groupBy shuffle on
+    // (window, type); the streaming-native shape, run as batch
+    "events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double")
+            .as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))),
     // gap-based sessionization, per-event numbering (12 h gap; event_id
     // tie-break keeps the numbering total)
     "events_sessionize" -> ((s, dir) =>
@@ -333,6 +346,19 @@ object AnalyticsQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin,
+    // each event belongs to exactly width/slide = 3 ten-minute-aligned
+    // windows; win_start = its slide bucket minus i slides, i in 0..2 —
+    // the same epoch-origin alignment Spark's window() uses
+    "events_sliding" ->
+      """WITH w AS (
+        |  SELECT make_timestamp(((epoch_us(ts) // 600000000) - i) * 600000000)
+        |           AS win_start,
+        |         event_type, value
+        |  FROM events, unnest(range(0, 3)) AS u(i)
+        |)
+        |SELECT win_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY win_start, event_type""".stripMargin,
     "q_salted_join" ->
       """SELECT s_nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

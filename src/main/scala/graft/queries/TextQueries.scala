@@ -239,6 +239,12 @@ object TextQueries {
     "text_top_terms" -> ((s, dir) =>
       graft.functions.TermStats.topTerms(docs(s, dir), "doc_id", "text",
         k = 3)),
+    // BPE-merge statistic: top-50 most frequent adjacent token pairs
+    // corpus-wide — pairs form map-side (array zip), counts partial-agg,
+    // top-k is a per-partition heap (TakeOrderedAndProject)
+    "vocab_pair_counts" -> ((s, dir) =>
+      graft.functions.TermStats.adjacentPairCounts(docs(s, dir), "text",
+        k = 50)),
     // overlapping 200-char chunks (50 overlap) with offsets — retrieval
     // / context-window prep; pure generator expressions, no shuffle
     "text_chunks" -> ((s, dir) =>
@@ -687,6 +693,13 @@ object TextQueries {
           |      ORDER BY p.tf DESC, d.df ASC, p.term) AS BIGINT) AS rank
           |  FROM pairs p JOIN dfreq d ON p.term = d.term)
           |WHERE rank <= 3""".stripMargin,
+      "vocab_pair_counts" ->
+        """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+          |p AS (SELECT w[i] AS left_tok, w[i + 1] AS right_tok
+          |      FROM t, unnest(range(1, len(w))) AS u(i))
+          |SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+          |FROM p GROUP BY left_tok, right_tok
+          |ORDER BY pair_count DESC, left_tok, right_tok LIMIT 50""".stripMargin,
       "text_chunks" ->
         """SELECT doc_id, i AS chunk_idx,
           |  i * 150 AS chunk_start,

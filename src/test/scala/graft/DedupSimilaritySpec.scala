@@ -190,6 +190,14 @@ class DedupSimilaritySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("adjacent pair counts: hand-counted BPE statistic, top-k order total") {
+    val df = Seq("a b a b c", "b c", "x").toDF("text")
+    // pairs: (a,b)x2 (b,a)x1 (b,c)x2 — "x" contributes none
+    val got = graft.functions.TermStats.adjacentPairCounts(df, "text", k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 2L), ("b", "c", 2L), ("b", "a", 1L)))
+  }
+
   test("word shingles produce size-n windows and degenerate short docs") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("sh"))

@@ -269,6 +269,29 @@ class SessionsSpec extends SparkSpec {
     assert(plan.contains("__chunk"), plan.take(2000))
   }
 
+  test("sliding windows: every event lands in exactly width/slide windows") {
+    // 30 min / 10 min slide over crafted instants, including exact
+    // bucket boundaries (00:10:00) and a microsecond straddler
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:10:00")),
+      (3L, Timestamp.valueOf("2024-01-01 00:19:59.999999")))
+      .toDF("event_id", "ts")
+    val got = df
+      .select(col("event_id"),
+        window(col("ts"), "30 minutes", "10 minutes").as("w"))
+      .select(col("event_id"), col("w.start").cast("string").as("s"))
+      .as[(Long, String)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got(1L) === Seq("2023-12-31 23:40:00", "2023-12-31 23:50:00",
+      "2024-01-01 00:00:00"))
+    assert(got(2L) === Seq("2023-12-31 23:50:00", "2024-01-01 00:00:00",
+      "2024-01-01 00:10:00"))
+    // the .999999 straddler still belongs to the 00:10 bucket's windows
+    assert(got(3L) === Seq("2023-12-31 23:50:00", "2024-01-01 00:00:00",
+      "2024-01-01 00:10:00"))
+  }
+
   test("session plans shuffle once on the user key") {
     for ((name, df) <- Seq(
         "sessionize" -> Sessions.sessionize(ev, "user_id", "ts", HourMicros,
