@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — flag training-corpus documents that share
@@ -42,6 +42,76 @@ object Decontaminate {
       .filter(col("n_hit_ngrams") >= minHits)
       .withColumn("hit_frac",
         col("n_hit_ngrams").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Bloom-filter decontamination — [[ngramHits]] for benchmark sets too
+    * big to broadcast as a literal shingle set. The benchmark's distinct
+    * n-grams are folded into an `mBits`-bit Bloom filter with `k`
+    * md5-derived hash functions, built entirely as DATA (a groupBy over
+    * bit positions, then one dense long-array row) — no driver-side
+    * sketch object, no collect. The corpus side probes the filter as a
+    * single broadcast row: membership is pure bit arithmetic inside the
+    * scan's project, so a 100 TB corpus is decontaminated with ONE
+    * aggregation shuffle carrying (id, bool) pairs and a broadcast of
+    * `mBits / 8` bytes — regardless of how many n-grams the benchmark
+    * holds.
+    *
+    * Deterministic by construction (hash = 60-bit md5, the cross-engine
+    * idiom of [[Sampling.keyHash60]]), so the full report — INCLUDING
+    * which false positives fire — is oracle-checkable bit-for-bit. No
+    * false negatives ever: every shingle [[ngramHits]] flags, this
+    * flags. Output: (id, n_shingles, n_flagged, flag_frac), one row per
+    * corpus document that has at least one shingle.
+    *
+    * Sizing: false-positive rate ≈ (1 - e^(-k·n/mBits))^k for n distinct
+    * benchmark shingles; the 2^18-bit default holds ~16k shingles at
+    * < 0.5% FP. 32-bit words keep every mask positive, sidestepping
+    * signed-shift edge cases across engines (masks are exact 2^bit
+    * doubles, bit <= 31, so the long cast is lossless).
+    */
+  def bloomNgramHits(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, mBits: Int = 1 << 18,
+      k: Int = 3): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
+    require(k >= 1 && k <= 8, "need 1 <= k <= 8 hash functions")
+    require(mBits >= 32 && mBits % 32 == 0, "mBits must be a multiple of 32")
+    val words = mBits / 32
+    def bitPos(j: Int, sh: Column) =
+      pmod(Sampling.keyHash60(concat(lit(s"$j:"), sh)), lit(mBits.toLong))
+    val shingles = array_distinct(Dedup.wordShingles(col(textCol), n))
+
+    // build: distinct bench shingles -> k bit positions each -> per-word
+    // bit_or -> ONE row holding the dense word array (map lookup fills
+    // untouched words with 0)
+    val wordBits = bench
+      .select(explode(shingles).as("__shingle")).distinct()
+      .select(explode(array((0 until k).map(j =>
+        bitPos(j, col("__shingle"))): _*)).as("__pos"))
+      .select((col("__pos") / 32).cast("long").as("__word"),
+        pow(lit(2.0), pmod(col("__pos"), lit(32L))).cast("long").as("__mask"))
+      .groupBy(col("__word")).agg(expr("bit_or(__mask)").as("__bits"))
+    val bloomRow = wordBits
+      .agg(map_from_entries(collect_list(
+        struct(col("__word"), col("__bits")))).as("__wm"))
+      .select(transform(sequence(lit(0L), lit(words - 1L)),
+        i => coalesce(element_at(col("__wm"), i), lit(0L))).as("__bloom"))
+
+    // probe: per exploded shingle, all k bits must be set; the bloom
+    // array rides along as a broadcast single-row cross join
+    val hit = (0 until k).map { j =>
+      val p = bitPos(j, col("__shingle"))
+      element_at(col("__bloom"), (p / 32).cast("int") + 1)
+        .bitwiseAND(pow(lit(2.0), pmod(p, lit(32L))).cast("long")) =!= 0L
+    }.reduce(_ && _)
+    corpus
+      .select(col(idCol), explode(shingles).as("__shingle"))
+      .join(broadcast(bloomRow))
+      .withColumn("__hit", hit)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("flag_frac",
+        col("n_flagged").cast("double") / col("n_shingles").cast("double"))
   }
 
   /** Corpus boilerplate profile: for every document, the share of its

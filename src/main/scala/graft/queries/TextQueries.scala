@@ -101,6 +101,15 @@ object TextQueries {
         dupCorpus(docs(s, dir)),
         docs(s, dir).filter(col("doc_id") % 25 === 0),
         "doc_id", "text", n = 5)),
+    // Bloom-filter decontamination: the same bench set folded into a
+    // 2^18-bit / 3-hash Bloom filter built as data and probed as one
+    // broadcast row — deterministic md5 bits, so even its false
+    // positives are oracle-reproducible
+    "decontaminate_bloom" -> ((s, dir) =>
+      Decontaminate.bloomNgramHits(
+        dupCorpus(docs(s, dir)),
+        docs(s, dir).filter(col("doc_id") % 25 === 0),
+        "doc_id", "text", n = 5)),
     // PII redaction over a corpus with deterministically injected PII
     // (emails / phone+IP on a doc_id rotation) so the oracle proves the
     // scrubbing really fires, not just that clean text passes through
@@ -621,6 +630,30 @@ object TextQueries {
            |  CAST(t.n_sh AS BIGINT) AS n_shingles,
            |  CAST(h.n_hits AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS hit_frac
            |FROM hits h JOIN tot t ON h.doc_id = t.doc_id""".stripMargin,
+      "decontaminate_bloom" -> {
+        def h60(e: String) = graft.functions.Sampling.keyHash60Sql(e)
+        s"""WITH corpus AS ($dupCorpusSql),
+           |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+           |bsh AS (SELECT DISTINCT shingle FROM (${sh5("bench")})),
+           |bbits AS (
+           |  SELECT DISTINCT
+           |    ${h60("CAST(r.j AS VARCHAR) || ':' || shingle")} % 262144 AS pos
+           |  FROM bsh, unnest(range(0, 3)) AS r(j)),
+           |csh AS (${sh5("corpus")}),
+           |probe AS (
+           |  SELECT c.doc_id, c.shingle,
+           |    ${h60("CAST(r.j AS VARCHAR) || ':' || c.shingle")} % 262144 AS pos
+           |  FROM csh c, unnest(range(0, 3)) AS r(j)),
+           |flags AS (
+           |  SELECT doc_id, shingle,
+           |    MIN(CASE WHEN pos IN (SELECT pos FROM bbits)
+           |             THEN 1 ELSE 0 END) AS ok
+           |  FROM probe GROUP BY doc_id, shingle)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           |  CAST(SUM(ok) AS BIGINT) AS n_flagged,
+           |  CAST(SUM(ok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS flag_frac
+           |FROM flags GROUP BY doc_id""".stripMargin
+      },
       "curate_corpus_full" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),

@@ -386,6 +386,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("bloom decontamination: superset of exact hits, FP rate bounded") {
+    import graft.functions.Decontaminate
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+    val exact = Decontaminate.ngramHits(corpus, bench, "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("n_hit_ngrams"))
+      .as[(Long, Long)].collect().toMap
+    val bloom = Decontaminate
+      .bloomNgramHits(corpus, bench, "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("n_shingles"), col("n_flagged"))
+      .as[(Long, Long, Long)].collect()
+    assert(exact.nonEmpty && bloom.nonEmpty)
+    // never a false negative: every exactly-shared shingle is flagged
+    bloom.foreach { case (id, _, flagged) =>
+      assert(flagged >= exact.getOrElse(id, 0L),
+        s"doc $id: bloom $flagged < exact ${exact.getOrElse(id, 0L)}")
+    }
+    // deterministic false positives stay under 1% of probed shingles at
+    // the default 2^18/k=3 sizing (analytic rate at this fill: << 0.1%)
+    val fp = bloom.map(_._3).sum - exact.values.sum
+    val frac = fp.toDouble / bloom.map(_._2).sum
+    assert(fp >= 0)
+    assert(frac < 0.01, s"false-positive fraction $frac")
+    // the probe side must see the filter as ONE broadcast row, never a
+    // shuffle of the benchmark set
+    val plan = Decontaminate
+      .bloomNgramHits(corpus, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("centroids: exact fold and partial-agg shapes agree to rounding") {
     import graft.functions.Embeddings
     val e = Tables.load(spark, Sf, "embeddings")
