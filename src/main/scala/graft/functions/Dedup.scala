@@ -171,9 +171,13 @@ object Dedup {
     * band's signature values joined as a string (instead of their
     * xxhash64), so a DuckDB oracle reproduces the exact pair set.
     */
-  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
-      useMd5: Boolean = false): DataFrame = {
+  /** One (id, band, bucket) row per document per LSH band — the shared
+    * bucket stream behind the self-join pair generator and the
+    * cross-corpus incremental path.
+    */
+  private[functions] def bandBuckets(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, bands: Int,
+      useMd5: Boolean): DataFrame = {
     val rows = k / bands
     val sig = withMinHashSignature(df, idCol, textCol, shingleN, k, useMd5)
     val bandKeys = (0 until bands).map { b =>
@@ -183,13 +187,61 @@ object Dedup {
       if (useMd5) concat_ws(":", cols: _*)
       else xxhash64(lit(b) +: cols: _*).cast("string")
     }
-    val buckets = sig.select(col("id"),
+    sig.select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+  }
+
+  def minHashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      useMd5: Boolean = false): DataFrame = {
+    val buckets = bandBuckets(df, idCol, textCol, shingleN, k, bands, useMd5)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+  }
+
+  /** Incremental dedup — classify a NEW batch of documents against an
+    * existing deduplicated snapshot, the standard production flow: a
+    * 100 TB corpus is deduplicated once; each day's crawl delta is
+    * checked against it, never the corpus against itself again.
+    *
+    * Per batch document: `exact_dup` (content hash present in the
+    * snapshot), else `near_dup` (shares at least one MinHash LSH band
+    * bucket with any snapshot document), else `new`. Output:
+    * (id, status), one row per batch document.
+    *
+    * Scale shape: both probes are LEFT-SEMI joins keyed on the hash /
+    * (band, bucket) — the snapshot side reduces to distinct keys
+    * (partial-aggregated map-side), the batch side ships one 32-byte
+    * hash and `bands` bucket keys per document, and nothing is ever
+    * quadratic. The snapshot's bucket stream is exactly what a
+    * persisted LSH index would hold, so at steady state the heavy side
+    * is a pre-computed table scan.
+    */
+  def incrementalDedupStatus(snapshot: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 8, useMd5: Boolean = false): DataFrame = {
+    val snapH = snapshot.select(contentHash(col(textCol)).as("__h")).distinct()
+    val batchH = batch.select(col(idCol).as("id"),
+      contentHash(col(textCol)).as("__h"))
+    val exactIds = batchH.join(snapH, Seq("__h"), "left_semi")
+      .select(col("id")).withColumn("__exact", lit(true))
+    val snapBuckets =
+      bandBuckets(snapshot, idCol, textCol, shingleN, k, bands, useMd5)
+        .select(col("band"), col("bucket")).distinct()
+    val nearIds =
+      bandBuckets(batch, idCol, textCol, shingleN, k, bands, useMd5)
+        .join(snapBuckets, Seq("band", "bucket"), "left_semi")
+        .select(col("id")).distinct().withColumn("__near", lit(true))
+    batch.select(col(idCol).as("id"))
+      .join(exactIds, Seq("id"), "left")
+      .join(nearIds, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__exact"), "exact_dup")
+          .when(col("__near"), "near_dup")
+          .otherwise("new").as("status"))
   }
 
   /** Exact n-gram Jaccard similarity for a set of candidate pairs:

@@ -37,6 +37,31 @@ object TextQueries {
       |SELECT doc_id + 2000000, text || ' graft extra token', lang, 'neardup', n_chars
       |FROM documents WHERE doc_id % 15 = 0""".stripMargin
 
+  /** Incremental-dedup batch: exact copies (doc_id%10), near copies
+    * (doc_id%15), and genuinely fresh documents (doc_id%7 — synthetic
+    * tokens disjoint from the corpus vocabulary).
+    */
+  def incBatch(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" graft extra token")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("fa"), col("doc_id"), lit(" fb"), col("doc_id"),
+            lit(" fc"), col("doc_id"), lit(" fd"), col("doc_id")).as("text")))
+
+  val incBatchSql: String =
+    """SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000, text || ' graft extra token' FROM documents WHERE doc_id % 15 = 0
+      |UNION ALL
+      |SELECT doc_id + 3000000,
+      |  'fa' || CAST(doc_id AS VARCHAR) || ' fb' || CAST(doc_id AS VARCHAR) ||
+      |  ' fc' || CAST(doc_id AS VARCHAR) || ' fd' || CAST(doc_id AS VARCHAR)
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting + quality scoring, one pass, pure expressions
     "text_stats" -> ((s, dir) =>
@@ -186,6 +211,13 @@ object TextQueries {
     // near-dups keep only their divergent tail span
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(dupCorpus(docs(s, dir)), "doc_id", "text", span = 8)),
+    // incremental dedup: classify a new crawl batch against the existing
+    // snapshot — exact (content hash in snapshot), near (shares an LSH
+    // band bucket), or new; the steady-state production flow where only
+    // the delta is ever re-processed
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalDedupStatus(docs(s, dir), incBatch(docs(s, dir)),
+        "doc_id", "text", useMd5 = true)),
     // duplicate clusters: connected components over the near-dup pairs
     // (min-label propagation; A~B + B~C collapse to one cluster)
     "dedup_clusters" -> ((s, dir) =>
@@ -427,25 +459,40 @@ object TextQueries {
     * with value-string bucket keys — generated from the same
     * [[Dedup.perm]] constants the Spark expression uses.
     */
-  private def minHashCtesSql: String = {
+  /** The sh/h/mh/bands CTE chain for one corpus source, CTE names
+    * prefixed with `pfx` so two corpora coexist in a single statement
+    * (the incremental-dedup oracle runs it for snapshot AND batch).
+    * Shingles/permutations/banding mirror [[Dedup.bandBuckets]] in md5
+    * mode exactly.
+    */
+  private def bandsCteSql(src: String, pfx: String): String = {
     val p = Dedup.MinHashPrime
     val bandRows = (0 until 8).map { b =>
-      s"SELECT id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || CAST(mh${2 * b + 1} AS VARCHAR) AS bucket FROM mh"
+      s"SELECT id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || ':' || CAST(mh${2 * b + 1} AS VARCHAR) AS bucket FROM ${pfx}mh"
     }.mkString("\n  UNION ALL ")
-    s"""corpus AS ($dupCorpusSql),
-       |sh AS (
-       |  $shinglesSql
+    s"""${pfx}sh AS (
+       |  SELECT DISTINCT doc_id AS id, unnest(
+       |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |         ELSE list_transform(range(0, len(w) - 2),
+       |                i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) END
+       |  ) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)
        |),
-       |h AS (SELECT id, ${md5Hash64Sql("shingle")} % $p AS hv FROM sh),
-       |mh AS (SELECT id,
+       |${pfx}h AS (SELECT id, ${md5Hash64Sql("shingle")} % $p AS hv FROM ${pfx}sh),
+       |${pfx}mh AS (SELECT id,
        |   ${(0 until 16).map { i =>
             val (a, b) = Dedup.perm(i)
             s"MIN((hv * $a + $b) % $p) AS mh$i"
           }.mkString(",\n       |   ")}
-       | FROM h GROUP BY id),
-       |bands AS (
+       | FROM ${pfx}h GROUP BY id),
+       |${pfx}bands AS (
        |  $bandRows
-       |),
+       |)""".stripMargin
+  }
+
+  private def minHashCtesSql: String = {
+    s"""corpus AS ($dupCorpusSql),
+       |${bandsCteSql("corpus", "")},
        |cand AS (
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
        |  FROM bands x JOIN bands y
@@ -585,6 +632,22 @@ object TextQueries {
           |  CASE WHEN end_offset > end_offset - n THEN (end_offset - 1) // 2048
           |       ELSE (end_offset - n) // 2048 END AS last_seq
           |FROM c""".stripMargin,
+      "dedup_incremental" ->
+        s"""WITH batch AS ($incBatchSql),
+           |snapH AS (SELECT DISTINCT md5(lower(trim(text))) AS h FROM documents),
+           |batchH AS (SELECT doc_id AS id, md5(lower(trim(text))) AS h FROM batch),
+           |${bandsCteSql("documents", "s")},
+           |${bandsCteSql("batch", "b")},
+           |exact AS (SELECT DISTINCT b.id FROM batchH b JOIN snapH s ON b.h = s.h),
+           |near AS (SELECT DISTINCT bb.id FROM bbands bb JOIN sbands sb
+           |         ON bb.band = sb.band AND bb.bucket = sb.bucket)
+           |SELECT b.id,
+           |  CASE WHEN e.id IS NOT NULL THEN 'exact_dup'
+           |       WHEN n.id IS NOT NULL THEN 'near_dup'
+           |       ELSE 'new' END AS status
+           |FROM (SELECT doc_id AS id FROM batch) b
+           |LEFT JOIN exact e ON b.id = e.id
+           |LEFT JOIN near n ON b.id = n.id""".stripMargin,
       "dedup_spans" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),

@@ -198,6 +198,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === Seq(("a", "b", 2L), ("b", "c", 2L), ("b", "a", 1L)))
   }
 
+  test("incremental dedup: exact/near/new classified against the snapshot") {
+    val snapshot = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // exact copy
+      (11L, "the quick brown fox jumps over the lazy dog indeed"), // near
+      (12L, "completely fresh unseen tokens here today"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalDedupStatus(snapshot, batch, "doc_id", "text",
+        useMd5 = true)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"))
+  }
+
+  test("incremental dedup on the fixture batch: groups land as injected") {
+    import graft.queries.TextQueries
+    val got = Dedup.incrementalDedupStatus(docs,
+        TextQueries.incBatch(docs), "doc_id", "text", useMd5 = true)
+      .as[(Long, String)].collect()
+    assert(got.nonEmpty)
+    // every exact copy is exact_dup; every synthetic-vocab doc is new
+    got.filter(_._1 < 2000000L).foreach { case (id, st) =>
+      assert(st === "exact_dup", s"doc $id") }
+    got.filter(_._1 >= 3000000L).foreach { case (id, st) =>
+      assert(st === "new", s"doc $id") }
+  }
+
   test("word shingles produce size-n windows and degenerate short docs") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("sh"))
