@@ -100,6 +100,18 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+    // explicit grouping sets — the general form behind rollup/cube:
+    // an arbitrary subset of group-bys ((rf,ls),(rf),()), one pass
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
     // distinct aggregation + min/max/avg (avg via exact decimal sum/count)
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -229,6 +241,40 @@ object AnalyticsQueries {
           datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    // per-user inter-event gap profile: lag window over the event
+    // sequence, microsecond-integer arithmetic end to end — one user-key
+    // exchange, the aggregation reuses the window's partitioning
+    "events_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val m = unix_micros(col("ts"))
+      Tables.events(s, dir)
+        .select(col("user_id"), (m - lag(m, 1).over(w)).as("gap_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us")).as("sum_gap_us"))
+    }),
+    // hourly-count anomaly flags per event type, INTEGER-exact: flag
+    // hours where (n·c − Σc)² > z²·(n·Σc² − (Σc)²) ⇔ |z-score| > z —
+    // the float-free rearrangement, so both engines agree bit-for-bit.
+    // The per-type stats table is a handful of rows — broadcast back
+    "events_anomaly" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .withColumn("dev2",
+          (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s")))
+        .withColumn("nvar", col("n") * col("ss") - col("s") * col("s"))
+        .filter(col("dev2") > lit(4L) * col("nvar"))
+        .select(col("event_type"), col("hour"), col("c").as("n_events"),
+          col("dev2"), col("nvar"))
+    }),
     // JSON scalar functions over the events props column: extraction,
     // cast, aggregation — pure codegen'd expressions
     "json_extract" -> ((s, dir) =>
@@ -316,6 +362,39 @@ object AnalyticsQueries {
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "events_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM g GROUP BY user_id""".stripMargin,
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type,
+        |    COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(SUM(c * c) AS BIGINT) AS ss
+        |  FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.hour, h.c AS n_events,
+        |  (st.n * h.c - st.s) * (st.n * h.c - st.s) AS dev2,
+        |  st.n * st.ss - st.s * st.s AS nvar
+        |FROM hourly h JOIN stats st ON h.event_type = st.event_type
+        |WHERE (st.n * h.c - st.s) * (st.n * h.c - st.s) > 4 * (st.n * st.ss - st.s * st.s)""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
