@@ -129,6 +129,42 @@ object Joins {
     narrow.unionByName(wide)
   }
 
+  /** Interval-overlap join: pairs of (left, right) rows on the same key
+    * whose CLOSED time intervals overlap — `lStart <= rEnd && rStart <=
+    * lEnd`. The interval-vs-interval sibling of [[rangeJoin]], same
+    * binning idea: each interval fans out one row per `binMicros` bin it
+    * covers, candidates meet in an equi-join on (keys, bin), the precise
+    * predicate prunes them, and — instead of a distinct pass — each
+    * surviving pair is CLAIMED by exactly one bin (the later of the two
+    * start bins, which every overlapping pair shares), so the output
+    * needs no dedup shuffle at all.
+    *
+    * Scale: replication factor = interval span / binMicros; pick the bin
+    * width near the typical span so each side fans out O(1) rows (an
+    * interval spanning B bins costs B join rows — bound spans upstream
+    * or widen the bin for long-interval populations, as in
+    * [[rangeJoin]]'s broadcast escape hatch). The join is a plain
+    * equi-join: never nested-loop, AQE-splittable on hot (key, bin)s.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binMicros: Long = 3600000000L): DataFrame = {
+    require(binMicros > 0, "binMicros must be positive")
+    require(keyCols.nonEmpty, "need at least one equi-join key")
+    val lsb = floor(unix_micros(col(lStart)) / binMicros)
+    val leb = floor(unix_micros(col(lEnd)) / binMicros)
+    val rsb = floor(unix_micros(col(rStart)) / binMicros)
+    val reb = floor(unix_micros(col(rEnd)) / binMicros)
+    val l = left.withColumn("__lsb", lsb)
+      .withColumn("__bin", explode(sequence(lsb, leb)))
+    val r = right.withColumn("__rsb", rsb)
+      .withColumn("__bin", explode(sequence(rsb, reb)))
+    l.join(r, keyCols :+ "__bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__bin") === greatest(col("__lsb"), col("__rsb")))
+      .drop("__bin", "__lsb", "__rsb")
+  }
+
   /** Skew-safe shuffle equi-join: when one join key owns a disproportionate
     * share of `large` (a viral document, a null-ish default key), the
     * plain shuffle pins that key's entire volume on one task. Salting

@@ -241,6 +241,26 @@ object AnalyticsQueries {
           datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
+    // interval-overlap join: signup windows (2 h) × error windows (1 h)
+    // per user — binned fan-out + equi-join, each pair claimed by its
+    // later start bin so no dedup pass exists in the plan
+    "interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("a_id"),
+          col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 2 HOUR")).as("a_end"))
+      val b = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("b_id"),
+          col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("b_end"))
+      Joins.intervalJoin(a, b, Seq("user_id"),
+          "a_start", "a_end", "b_start", "b_end")
+        .select(col("user_id"), col("a_id"), col("b_id"),
+          (least(unix_micros(col("a_end")), unix_micros(col("b_end"))) -
+            greatest(unix_micros(col("a_start")), unix_micros(col("b_start"))))
+            .as("overlap_us"))
+    }),
     // per-user inter-event gap profile: lag window over the event
     // sequence, microsecond-integer arithmetic end to end — one user-key
     // exchange, the aggregation reuses the window's partitioning
@@ -370,6 +390,20 @@ object AnalyticsQueries {
         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "interval_join" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id AS a_id, ts AS a_start,
+        |    ts + INTERVAL 2 HOUR AS a_end
+        |  FROM events WHERE event_type = 'signup'),
+        |b AS (
+        |  SELECT user_id, event_id AS b_id, ts AS b_start,
+        |    ts + INTERVAL 1 HOUR AS b_end
+        |  FROM events WHERE event_type = 'error')
+        |SELECT a.user_id, a_id, b_id,
+        |  least(epoch_us(a_end), epoch_us(b_end)) -
+        |    greatest(epoch_us(a_start), epoch_us(b_start)) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a_start <= b_end AND b_start <= a_end""".stripMargin,
     "events_gaps" ->
       """WITH g AS (
         |  SELECT user_id,

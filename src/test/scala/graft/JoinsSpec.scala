@@ -161,6 +161,32 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("interval join: closed-interval overlaps, multi-bin pair emitted once") {
+    // default bin = 1 h. a1 spans 3 bins; b1 overlaps it across 2 shared
+    // bins (must appear exactly once); b2 touches a1 only at the exact
+    // endpoint (closed => match); b3 same key but disjoint; b4 other key
+    val a = Seq(
+      (1L, 100L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:30:00")),
+      (2L, 101L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("k", "a_id", "a_start", "a_end")
+    val b = Seq(
+      (1L, 200L, ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")),
+      (1L, 201L, ts("2024-01-01 12:30:00"), ts("2024-01-01 14:00:00")),
+      (1L, 202L, ts("2024-01-01 08:00:00"), ts("2024-01-01 09:00:00")),
+      (3L, 203L, ts("2024-01-01 10:30:00"), ts("2024-01-01 11:30:00")))
+      .toDF("k", "b_id", "b_start", "b_end")
+    val got = Joins.intervalJoin(a, b, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got.sorted === Seq((100L, 200L), (100L, 201L)))
+    assert(got.size === got.toSet.size, "a pair was emitted more than once")
+    val plan = Joins.intervalJoin(a, b, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import org.apache.spark.sql.functions._
     // 90% of the large side lands on one hot key
