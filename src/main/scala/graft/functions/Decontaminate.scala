@@ -69,44 +69,55 @@ object Decontaminate {
     * signed-shift edge cases across engines (masks are exact 2^bit
     * doubles, bit <= 31, so the long cast is lossless).
     */
-  def bloomNgramHits(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int = 8, mBits: Int = 1 << 18,
-      k: Int = 3): DataFrame = {
+  private def bitPos(j: Int, sh: Column, mBits: Int): Column =
+    pmod(Sampling.keyHash60(concat(lit(s"$j:"), sh)), lit(mBits.toLong))
+
+  /** The filter itself, as ONE row holding the dense 32-bit-word array
+    * (column `__bloom`): distinct bench shingles -> k bit positions each
+    * -> per-word bit_or -> map lookup fills untouched words with 0.
+    * Shared by the batch prober and the stream-static streaming path.
+    */
+  def bloomFilterRow(bench: DataFrame, textCol: String, n: Int,
+      mBits: Int, k: Int): DataFrame = {
     require(n >= 1, "shingle size must be >= 1")
     require(k >= 1 && k <= 8, "need 1 <= k <= 8 hash functions")
     require(mBits >= 32 && mBits % 32 == 0, "mBits must be a multiple of 32")
     val words = mBits / 32
-    def bitPos(j: Int, sh: Column) =
-      pmod(Sampling.keyHash60(concat(lit(s"$j:"), sh)), lit(mBits.toLong))
     val shingles = array_distinct(Dedup.wordShingles(col(textCol), n))
-
-    // build: distinct bench shingles -> k bit positions each -> per-word
-    // bit_or -> ONE row holding the dense word array (map lookup fills
-    // untouched words with 0)
-    val wordBits = bench
+    bench
       .select(explode(shingles).as("__shingle")).distinct()
       .select(explode(array((0 until k).map(j =>
-        bitPos(j, col("__shingle"))): _*)).as("__pos"))
+        bitPos(j, col("__shingle"), mBits)): _*)).as("__pos"))
       .select((col("__pos") / 32).cast("long").as("__word"),
         pow(lit(2.0), pmod(col("__pos"), lit(32L))).cast("long").as("__mask"))
       .groupBy(col("__word")).agg(expr("bit_or(__mask)").as("__bits"))
-    val bloomRow = wordBits
       .agg(map_from_entries(collect_list(
         struct(col("__word"), col("__bits")))).as("__wm"))
       .select(transform(sequence(lit(0L), lit(words - 1L)),
         i => coalesce(element_at(col("__wm"), i), lit(0L))).as("__bloom"))
+  }
 
-    // probe: per exploded shingle, all k bits must be set; the bloom
-    // array rides along as a broadcast single-row cross join
-    val hit = (0 until k).map { j =>
-      val p = bitPos(j, col("__shingle"))
+  /** True iff all `k` of `shingle`'s bits are set in the `__bloom`
+    * array column (which must be in scope, e.g. via a broadcast join of
+    * [[bloomFilterRow]]).
+    */
+  def bloomHit(shingle: Column, mBits: Int, k: Int): Column =
+    (0 until k).map { j =>
+      val p = bitPos(j, shingle, mBits)
       element_at(col("__bloom"), (p / 32).cast("int") + 1)
         .bitwiseAND(pow(lit(2.0), pmod(p, lit(32L))).cast("long")) =!= 0L
     }.reduce(_ && _)
+
+  def bloomNgramHits(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, mBits: Int = 1 << 18,
+      k: Int = 3): DataFrame = {
+    val shingles = array_distinct(Dedup.wordShingles(col(textCol), n))
+    // probe: per exploded shingle, all k bits must be set; the bloom
+    // array rides along as a broadcast single-row cross join
     corpus
       .select(col(idCol), explode(shingles).as("__shingle"))
-      .join(broadcast(bloomRow))
-      .withColumn("__hit", hit)
+      .join(broadcast(bloomFilterRow(bench, textCol, n, mBits, k)))
+      .withColumn("__hit", bloomHit(col("__shingle"), mBits, k))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__hit"), 1L).otherwise(0L)).as("n_flagged"))

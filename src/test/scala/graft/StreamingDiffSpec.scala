@@ -67,6 +67,41 @@ class StreamingDiffSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stream verdicts equal the batch prober's") {
+    implicit val sc = spark.sqlContext
+    val bench = Seq((100L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (1L, "a b c d e f g h i j"),          // verbatim leak
+      (2L, "z z a b c d e f g h i j z z"),  // partial overlap
+      (3L, "p q r s t u v w x y"))          // clean
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDS().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingDecontaminate
+      .flagged(stream, bench, "doc_id", "text")
+      .writeStream.format("memory").queryName("decon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batchDocs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(batchDocs.drop(2): _*) // second micro-batch
+      q.processAllAvailable()
+      val got = spark.table("decon")
+        .select("doc_id", "n_shingles", "n_flagged")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val want = graft.functions.Decontaminate
+        .bloomNgramHits(batchDocs.toDF("doc_id", "text"), bench,
+          "doc_id", "text")
+        .select("doc_id", "n_shingles", "n_flagged")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got.keySet === Set(1L, 2L, 3L))
+      assert(got(1L)._1 === got(1L)._2) // verbatim: everything flagged
+      want.foreach { case (id, v) => assert(got(id) === v, s"doc $id") }
+    } finally q.stop()
+  }
+
   test("snapshot adapter produces matching hashes for identical rows") {
     val t = Seq((1L, 1, "a", 10), (2L, 1, "b", 20)).toDF("pk", "c1", "v1", "v2")
     val spec = graft.core.TableSpec("t", Seq("pk"), Seq("c1"), Seq("v1", "v2"))
