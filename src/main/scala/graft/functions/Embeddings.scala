@@ -87,4 +87,73 @@ object Embeddings {
     when(scale === 0d, transform(vec, _ => lit(0L)))
       .otherwise(transform(vec, x =>
         floor(x.cast("double") * lit(127.0) / scale + lit(0.5))))
+
+  // --- product quantization (PQ) -----------------------------------------
+  //
+  // The memory-scale ANN path past IVF: each 64-dim vector compresses to
+  // PqM subspace codes (one byte each at PqKsub <= 256), and search
+  // scores candidates against codeword reconstructions — the corpus
+  // ships M bytes per vector instead of 4·dims. Kept INTEGER end to end
+  // (fixed-grid quantization + integer codebook), so encoding, the
+  // argmin tie-break, and every distance are bit-reproducible
+  // cross-engine — same pattern as ann_ivf_fixed: literal codebook =
+  // full mechanics oracle-checked; per-subspace k-means training slots
+  // in upstream exactly like [[Similarity.trainCentroids]].
+
+  val PqM = 8; val PqKsub = 8; val PqDsub = 8
+
+  /** Deterministic codebook literal: ±48 sign patterns from the same
+    * splitmix source as the LSH planes (decoupled by offset), on the ×64
+    * grid the data quantizes to — 8 orthogonal-ish codewords per
+    * subspace that straddle a σ≈1 float distribution.
+    */
+  def pqCodebook: Array[Array[Array[Int]]] =
+    Array.tabulate(PqM, PqKsub, PqDsub)((m, c, d) =>
+      Similarity.planeSign(1000 + m * PqKsub + c, d).toInt * 48)
+
+  /** Fixed-grid integer quantization of element `i` (0-based):
+    * clamp(floor(v·64 + 0.5), ±127) — the common grid PQ distances are
+    * computed on (explicit half-up floor, the cross-engine idiom).
+    */
+  private def q64(vec: Column, i: Int): Column =
+    least(greatest(floor(element_at(vec, i + 1).cast("double") * 64 + lit(0.5)),
+      lit(-127L)), lit(127L))
+
+  private def subDist(vec: Column, m: Int, c: Int): Column = {
+    val cb = pqCodebook
+    (0 until PqDsub).map { d =>
+      val diff = q64(vec, m * PqDsub + d) - lit(cb(m)(c)(d).toLong)
+      diff * diff
+    }.reduce(_ + _)
+  }
+
+  /** PQ codes: per subspace the 1-based index of the nearest codeword
+    * (first index on ties) — an array<long> of length [[PqM]], the only
+    * payload the corpus ships at search time. Unrolled integer
+    * expressions — no lambdas on the encode path.
+    */
+  def pqEncode(vec: Column): Column =
+    array((0 until PqM).map { m =>
+      val dists = array((0 until PqKsub).map(c => subDist(vec, m, c)): _*)
+      array_position(dists, array_min(dists))
+    }: _*)
+
+  /** Integer PQ search distance: squared L2 between the query's
+    * fixed-grid quantization and the reconstruction of `codes` —
+    * numerically identical to the classic per-subspace LUT sum, with
+    * the LUT lookups inlined as codebook-literal indexing.
+    */
+  def pqDistance(queryVec: Column, codes: Column): Column = {
+    val cb = pqCodebook
+    (0 until PqM).flatMap { m =>
+      val cw = typedlit(cb(m).map(_.toSeq).toSeq)
+      (0 until PqDsub).map { d =>
+        val cwd = element_at(
+          element_at(cw, element_at(codes, m + 1).cast("int")), d + 1)
+          .cast("long")
+        val diff = q64(queryVec, m * PqDsub + d) - cwd
+        diff * diff
+      }
+    }.reduce(_ + _)
+  }
 }

@@ -108,6 +108,29 @@ object VectorQueries {
     "ann_ivf_fixed" -> ((s, dir) =>
       Similarity.ivfTopKWith(emb(s, dir), "vec_id", "embedding", k = 5,
         FixedCentroids, nprobe = 4)),
+    // PQ MECHANICS value-checked: fixed-grid integer quantization,
+    // nearest-codeword encoding (first index on ties), reconstruction
+    // distance — integers end to end, hash-matched; the probe join ships
+    // only the 8 subspace codes per corpus vector
+    "ann_pq_fixed" -> ((s, dir) => {
+      import graft.functions.Embeddings
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val codes = e.select(col("vec_id"),
+        Embeddings.pqEncode(col("embedding")).as("codes"))
+      val queries = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("pq_dist"), col("vec_id"))
+      codes.join(broadcast(queries))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("pq_dist",
+          Embeddings.pqDistance(col("qv"), col("codes")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("pq_dist"), col("rank"))
+    }),
   )
 
   /** 16 deterministic unit-norm centroids (±1/8 per dimension via the
@@ -130,7 +153,52 @@ object VectorQueries {
       |             ELSE list_transform(ev, x -> floor(x * 127.0 / scale + 0.5)) END AS qv
       |      FROM sc)""".stripMargin
 
+  /** PQ oracle, generated from [[graft.functions.Embeddings.pqCodebook]]
+    * — one source of truth for the codebook constants on both engines.
+    */
+  private def pqOracleSql: String = {
+    import graft.functions.Embeddings.{pqCodebook, PqM, PqKsub, PqDsub}
+    val cb = pqCodebook
+    def sub(m: Int, c: Int): String =
+      (0 until PqDsub).map { d =>
+        val i = m * PqDsub + d + 1
+        val w = cb(m)(c)(d)
+        s"(cv[$i] - ($w)) * (cv[$i] - ($w))"
+      }.mkString(" + ")
+    val codesList = (0 until PqM).map { m =>
+      val dl = (0 until PqKsub).map(c => s"(${sub(m, c)})")
+        .mkString("[", ", ", "]")
+      s"list_position($dl, list_min($dl))"
+    }.mkString("[", ",\n    ", "]")
+    val distExpr = (0 until PqM).flatMap { m =>
+      val cwLit = cb(m).map(_.mkString("[", ", ", "]"))
+        .mkString("([", ", ", "])")
+      (0 until PqDsub).map { d =>
+        val i = m * PqDsub + d + 1
+        val cwd = s"$cwLit[codes[${m + 1}]][${d + 1}]"
+        s"(qv[$i] - $cwd) * (qv[$i] - $cwd)"
+      }
+    }.mkString(" +\n      ")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(LEAST(GREATEST(FLOOR(x * 64 + 0.5), -127), 127) AS BIGINT)) AS cv
+       |  FROM embeddings),
+       |co AS (SELECT vec_id, $codesList AS codes FROM g),
+       |qs AS (SELECT vec_id AS query_id, cv AS qv FROM g WHERE vec_id < 4),
+       |s AS (
+       |  SELECT qs.query_id, co.vec_id AS neighbor_id,
+       |    CAST($distExpr AS BIGINT) AS pq_dist
+       |  FROM qs, co WHERE co.vec_id <> qs.query_id),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY pq_dist, neighbor_id) AS rank FROM s)
+       |SELECT query_id, neighbor_id, pq_dist, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 20""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "ann_pq_fixed" -> pqOracleSql,
     "embed_quantize" ->
       s"""WITH $quantCtes
          |SELECT vec_id, scale,

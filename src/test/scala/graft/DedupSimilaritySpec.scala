@@ -751,6 +751,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.8)
   }
 
+  test("PQ: codes in range, self-reconstruction is subspace-optimal, recall measured") {
+    import graft.functions.Embeddings
+    val e = Tables.load(spark, Sf, "embeddings")
+    val codes = e.select(col("vec_id"),
+      Embeddings.pqEncode(col("embedding")).as("codes"))
+    // every code is a valid 1-based codeword index
+    val bad = codes.filter(exists(col("codes"),
+      c => c < 1 || c > Embeddings.PqKsub)).count()
+    assert(bad === 0)
+    // the encoded reconstruction is optimal per subspace: distance to own
+    // codes <= distance to a deliberately wrong code assignment
+    val own = e.join(codes, "vec_id")
+      .select(col("vec_id"),
+        Embeddings.pqDistance(col("embedding"), col("codes")).as("d_own"),
+        Embeddings.pqDistance(col("embedding"),
+          transform(col("codes"),
+            c => pmod(c, lit(Embeddings.PqKsub.toLong)) + 1L)).as("d_other"))
+    assert(own.filter(col("d_own") > col("d_other")).count() === 0)
+    // candidate recall: PQ top-20 must contain a measured share of the
+    // float-cosine top-5 (toy codebook — the floor catches a broken
+    // encode/probe, not codebook quality)
+    val truth = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 4), e, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val pq = graft.queries.VectorQueries.queries("ann_pq_fixed")(spark, Sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val hit = truth.count(pq.contains)
+    info(s"PQ top-20 recall of float top-5: $hit/${truth.size}")
+    assert(truth.nonEmpty)
+    assert(hit.toDouble / truth.size >= 0.2,
+      s"recall ${hit.toDouble / truth.size} below floor")
+  }
+
   test("LSH topk recall vs brute force is measured and bounded") {
     val e = Tables.load(spark, Sf, "embeddings")
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
