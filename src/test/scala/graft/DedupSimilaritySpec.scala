@@ -227,6 +227,31 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(st === "new", s"doc $id") }
   }
 
+  test("spanDedup property: equals the naive global fold on random corpora") {
+    val rnd = new scala.util.Random(20260814)
+    val vocab = Vector("a", "b", "c", "d", "e") // tiny => heavy collisions
+    val span = 3
+    val data = (1L to 60L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = Dedup.spanDedup(data.toDF("doc_id", "text"), "doc_id", "text",
+        span)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // naive: walk docs in id order, keep a span the first time its
+    // normalized text is seen anywhere
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = data.map { case (id, text) =>
+      val spans = text.split(" ").grouped(span).map(_.mkString(" ")).toSeq
+      val kept = spans.filter(s => seen.add(s.toLowerCase.trim))
+      id -> ((spans.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+    assert(got.size === want.size)
+    val bad = want.collect { case (id, w) if got(id) != w => (id, w, got(id)) }
+    assert(bad.isEmpty, s"first disagreements: ${bad.take(3)}")
+  }
+
   test("word shingles produce size-n windows and degenerate short docs") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.wordShingles(col("text"), 3).as("sh"))

@@ -187,6 +187,31 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("interval join property: equals the naive all-pairs overlap on random data") {
+    val rnd = new scala.util.Random(20260814)
+    def mk(n: Int, base: Long) = (0 until n).map { i =>
+      val k = 1L + rnd.nextInt(5)
+      val start = rnd.nextInt(500000).toLong // ms
+      val len = rnd.nextInt(120000).toLong   // up to 2 min ≈ multi-bin at 1-min bins
+      (k, base + i, new Timestamp(start), new Timestamp(start + len))
+    }
+    val a = mk(120, 1000L).toDF("k", "a_id", "a_start", "a_end")
+    val b = mk(150, 2000L).toDF("k", "b_id", "b_start", "b_end")
+    val got = Joins.intervalJoin(a, b, Seq("k"),
+        "a_start", "a_end", "b_start", "b_end", binMicros = 60L * 1000000)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val av = a.as[(Long, Long, Timestamp, Timestamp)].collect()
+    val bv = b.as[(Long, Long, Timestamp, Timestamp)].collect()
+    val want = for {
+      (ka, ai, as_, ae) <- av
+      (kb, bi, bs, be) <- bv
+      if ka == kb && !as_.after(be) && !bs.after(ae)
+    } yield (ai, bi)
+    assert(got.size === got.toSet.size, "duplicate pair emitted")
+    assert(got.toSet === want.toSet,
+      s"missing ${(want.toSet -- got.toSet).take(3)}, extra ${(got.toSet -- want.toSet).take(3)}")
+  }
+
   test("salted join equals the plain join and spreads the hot key") {
     import org.apache.spark.sql.functions._
     // 90% of the large side lands on one hot key
