@@ -119,31 +119,36 @@ object Embeddings {
     least(greatest(floor(element_at(vec, i + 1).cast("double") * 64 + lit(0.5)),
       lit(-127L)), lit(127L))
 
-  private def subDist(vec: Column, m: Int, c: Int): Column = {
+  private def subDistAt(at: Int => Column, m: Int, c: Int): Column = {
     val cb = pqCodebook
     (0 until PqDsub).map { d =>
-      val diff = q64(vec, m * PqDsub + d) - lit(cb(m)(c)(d).toLong)
+      val diff = at(m * PqDsub + d) - lit(cb(m)(c)(d).toLong)
       diff * diff
     }.reduce(_ + _)
   }
 
-  /** PQ codes: per subspace the 1-based index of the nearest codeword
-    * (first index on ties) — an array<long> of length [[PqM]], the only
-    * payload the corpus ships at search time. Unrolled integer
-    * expressions — no lambdas on the encode path.
+  /** PQ codes over an arbitrary integer element accessor (0-based): per
+    * subspace the 1-based index of the nearest codeword (first index on
+    * ties) — an array<long> of length [[PqM]], the only payload the
+    * corpus ships at search time. Unrolled integer expressions — no
+    * lambdas on the encode path. The accessor form lets IVF+PQ encode
+    * RESIDUALS (grid value minus the assigned coarse centroid) with the
+    * same machinery.
     */
-  def pqEncode(vec: Column): Column =
+  def pqEncodeAt(at: Int => Column): Column =
     array((0 until PqM).map { m =>
-      val dists = array((0 until PqKsub).map(c => subDist(vec, m, c)): _*)
+      val dists = array((0 until PqKsub).map(c => subDistAt(at, m, c)): _*)
       array_position(dists, array_min(dists))
     }: _*)
 
+  def pqEncode(vec: Column): Column = pqEncodeAt(i => q64(vec, i))
+
   /** Integer PQ search distance: squared L2 between the query's
-    * fixed-grid quantization and the reconstruction of `codes` —
+    * elements (via `at`) and the reconstruction of `codes` —
     * numerically identical to the classic per-subspace LUT sum, with
     * the LUT lookups inlined as codebook-literal indexing.
     */
-  def pqDistance(queryVec: Column, codes: Column): Column = {
+  def pqDistanceAt(at: Int => Column, codes: Column): Column = {
     val cb = pqCodebook
     (0 until PqM).flatMap { m =>
       val cw = typedlit(cb(m).map(_.toSeq).toSeq)
@@ -151,9 +156,17 @@ object Embeddings {
         val cwd = element_at(
           element_at(cw, element_at(codes, m + 1).cast("int")), d + 1)
           .cast("long")
-        val diff = q64(queryVec, m * PqDsub + d) - cwd
+        val diff = at(m * PqDsub + d) - cwd
         diff * diff
       }
     }.reduce(_ + _)
   }
+
+  def pqDistance(queryVec: Column, codes: Column): Column =
+    pqDistanceAt(i => q64(queryVec, i), codes)
+
+  /** The ×64 grid value of element i of a float vector — public face of
+    * the PQ quantizer for composition (IVF+PQ residuals).
+    */
+  def grid64(vec: Column, i: Int): Column = q64(vec, i)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -131,7 +131,57 @@ object VectorQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("pq_dist"), col("rank"))
     }),
+    // IVF+PQ MECHANICS value-checked: integer coarse assignment to the
+    // ×64-grid centroids, PQ over the quantized-domain RESIDUAL, probe
+    // top-4 lists, residual ADC rerank — the full billion-scale ANN
+    // layout (inverted lists of 8-byte codes), integers end to end
+    "ann_ivfpq_fixed" -> ((s, dir) => {
+      import graft.functions.Embeddings
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      def score(vec: Column, c: Int): Column =
+        (0 until 64).map(i =>
+          Embeddings.grid64(vec, i) * lit(IvfPqGrid(c)(i).toLong))
+          .reduce(_ + _)
+      def assignCol(vec: Column): Column = {
+        val sc = array((0 until 16).map(c => score(vec, c)): _*)
+        array_position(sc, array_max(sc)) // 1-based, first on ties
+      }
+      val gridLit = typedlit(IvfPqGrid.map(_.toSeq).toSeq)
+      def residual(vec: Column, cid: Column)(i: Int): Column =
+        Embeddings.grid64(vec, i) -
+          element_at(element_at(gridLit, cid.cast("int")), i + 1).cast("long")
+      val corpus = e
+        .select(col("vec_id"), col("embedding"),
+          assignCol(col("embedding")).cast("long").as("cid"))
+        .select(col("vec_id"), col("cid"),
+          Embeddings.pqEncodeAt(residual(col("embedding"), col("cid")))
+            .as("codes"))
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val probes = q.select(col("query_id"), col("qv"),
+          posexplode(array((0 until 16).map(c => score(col("qv"), c)): _*))
+            .as(Seq("cid0", "score")))
+        .withColumn("cid", (col("cid0") + 1).cast("long"))
+      val pw = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cid"))
+      val probed = probes
+        .withColumn("pr", row_number().over(pw)).filter(col("pr") <= 4)
+        .select(col("query_id"), col("qv"), col("cid"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("pq_dist"), col("vec_id"))
+      broadcast(probed).join(corpus, Seq("cid"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("pq_dist",
+          Embeddings.pqDistanceAt(residual(col("qv"), col("cid")),
+            col("codes")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cid"), col("pq_dist"), col("rank"))
+    }),
   )
+
 
   /** 16 deterministic unit-norm centroids (±1/8 per dimension via the
     * same splitmix sign source as the LSH planes, offset to decouple) —
@@ -139,6 +189,13 @@ object VectorQueries {
     */
   val FixedCentroids: Array[Array[Double]] =
     Array.tabulate(16, 64)((i, j) => Similarity.planeSign(i + 100, j) / 8.0)
+
+  /** [[FixedCentroids]] on the ×64 integer grid (±1/8 · 64 = ±8 exact)
+    * — the coarse quantizer of the IVF+PQ path shares the IVF story's
+    * centroids, moved onto the grid PQ arithmetic lives on.
+    */
+  val IvfPqGrid: Array[Array[Int]] =
+    FixedCentroids.map(_.map(x => math.round(x * 64).toInt))
 
   /** Shared quantization CTEs (mirror of `Embeddings.quantizeInt8` over
     * the double-cast embedding — same promotion, same explicit half-up
@@ -197,8 +254,81 @@ object VectorQueries {
        |FROM r WHERE rank <= 20""".stripMargin
   }
 
+  /** IVF+PQ oracle, generated from the same codebook + grid constants. */
+  private def ivfPqOracleSql: String = {
+    import graft.functions.Embeddings.{pqCodebook, PqM, PqKsub, PqDsub}
+    val cb = pqCodebook
+    val gridRows = IvfPqGrid.zipWithIndex.map { case (g, c) =>
+      s"(${c + 1}, ${g.mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    def sub(m: Int, c: Int): String =
+      (0 until PqDsub).map { d =>
+        val i = m * PqDsub + d + 1
+        val w = cb(m)(c)(d)
+        s"(rv[$i] - ($w)) * (rv[$i] - ($w))"
+      }.mkString(" + ")
+    val codesList = (0 until PqM).map { m =>
+      val dl = (0 until PqKsub).map(c => s"(${sub(m, c)})")
+        .mkString("[", ", ", "]")
+      s"list_position($dl, list_min($dl))"
+    }.mkString("[", ",\n    ", "]")
+    val distExpr = (0 until PqM).flatMap { m =>
+      val cwLit = cb(m).map(_.mkString("[", ", ", "]"))
+        .mkString("([", ", ", "])")
+      (0 until PqDsub).map { d =>
+        val i = m * PqDsub + d + 1
+        val cwd = s"$cwLit[codes[${m + 1}]][${d + 1}]"
+        s"(rqv[$i] - $cwd) * (rqv[$i] - $cwd)"
+      }
+    }.mkString(" +\n      ")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(LEAST(GREATEST(FLOOR(x * 64 + 0.5), -127), 127) AS BIGINT)) AS cv
+       |  FROM embeddings),
+       |grid(cid, gv) AS (VALUES
+       |    $gridRows),
+       |scored AS (
+       |  SELECT g.vec_id, g.cv, grid.cid, grid.gv,
+       |    CAST(list_sum(list_transform(range(1, 65), i -> g.cv[i] * grid.gv[i])) AS BIGINT) AS score
+       |  FROM g, grid),
+       |assign AS (
+       |  SELECT vec_id, cv, cid, gv FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cid) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |enc AS (
+       |  SELECT vec_id, cid,
+       |    list_transform(range(1, 65), i -> cv[i] - gv[i]) AS rv
+       |  FROM assign),
+       |co AS (SELECT vec_id, cid, $codesList AS codes FROM enc),
+       |qs AS (SELECT vec_id AS query_id, cv FROM g WHERE vec_id < 4),
+       |qprobe AS (
+       |  SELECT query_id, cv, cid, gv FROM (
+       |    SELECT qs.query_id, qs.cv, grid.cid, grid.gv,
+       |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+       |        CAST(list_sum(list_transform(range(1, 65), i -> qs.cv[i] * grid.gv[i])) AS BIGINT) DESC,
+       |        grid.cid) AS rn
+       |    FROM qs, grid)
+       |  WHERE rn <= 4),
+       |cand AS (
+       |  SELECT qp.query_id, c.vec_id AS neighbor_id,
+       |    CAST(qp.cid AS BIGINT) AS cid,
+       |    list_transform(range(1, 65), i -> qp.cv[i] - qp.gv[i]) AS rqv,
+       |    c.codes
+       |  FROM qprobe qp JOIN co c ON qp.cid = c.cid
+       |  WHERE c.vec_id <> qp.query_id),
+       |d AS (SELECT query_id, neighbor_id, cid,
+       |        CAST($distExpr AS BIGINT) AS pq_dist FROM cand),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY pq_dist, neighbor_id) AS rank FROM d)
+       |SELECT query_id, neighbor_id, cid, pq_dist, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "ann_pq_fixed" -> pqOracleSql,
+    "ann_ivfpq_fixed" -> ivfPqOracleSql,
     "embed_quantize" ->
       s"""WITH $quantCtes
          |SELECT vec_id, scale,

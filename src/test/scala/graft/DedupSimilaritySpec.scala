@@ -811,6 +811,30 @@ class DedupSimilaritySpec extends SparkSpec {
       s"recall ${hit.toDouble / truth.size} below floor")
   }
 
+  test("IVF+PQ: candidates confined to probed lists, ranks contiguous, recall measured") {
+    val out = graft.queries.VectorQueries.queries("ann_ivfpq_fixed")(spark, Sf)
+      .select("query_id", "neighbor_id", "cid", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      // nprobe = 4: neighbors may come from at most 4 inverted lists
+      assert(rows.map(_._3).distinct.size <= 4, s"query $q probed too many lists")
+      // ranks are the contiguous prefix 1..n
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.size).toSeq, s"query $q ranks")
+    }
+    // recall of the float top-5 inside the IVFPQ top-10 (probing loses
+    // lists, PQ loses precision — the floor catches broken mechanics)
+    val e = Tables.load(spark, Sf, "embeddings")
+    val truth = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 4), e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    val hit = truth.count(pairs.contains)
+    info(s"IVFPQ top-10 recall of float top-5: $hit/${truth.size}")
+    assert(hit >= 1, "IVFPQ retrieved none of the float truth")
+  }
+
   test("LSH topk recall vs brute force is measured and bounded") {
     val e = Tables.load(spark, Sf, "embeddings")
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
