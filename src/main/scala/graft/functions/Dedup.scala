@@ -124,6 +124,53 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Per-document duplicated-passage coverage — the substring-level
+    * duplication profile of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": for each document, the fraction of
+    * its k-token shingle positions whose shingle also occurs in at least
+    * one OTHER document. Unlike [[ngramJaccardPairs]] (which scores doc
+    * PAIRS) this scores each document's own contamination-by-boilerplate,
+    * the gate a pipeline uses to drop template-heavy pages outright.
+    *
+    * Output: one row per input document —
+    * (idCol, n_kgrams, n_dup, dup_frac); documents shorter than `k`
+    * tokens contribute their whole text as a single shingle (the
+    * [[wordShingles]] convention).
+    *
+    * Scale shape: shingles form map-side (native expression) and are
+    * hashed to 60-bit longs BEFORE the explode's groupBy, so both
+    * exchanges carry (id, long) pairs — never shingle text. The
+    * docs-per-shingle table is one row per distinct shingle — corpus-
+    * sized, so the join back is a plain long-key shuffle join by default
+    * (`broadcastShingles = true` only for bounded corpora; AQE promotes
+    * small sides on its own). Counts partial-aggregate map-side
+    * throughout.
+    */
+  def kgramDupCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int, broadcastShingles: Boolean = false): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pos = df
+      .select(col(idCol),
+        explode(Sketches.wordShingles(split(col(textCol), " "), k)).as("__g"))
+      .select(col(idCol), Sampling.keyHash60(col("__g")).as("__h"))
+    val perDoc = pos.groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__tf"))
+    val docsPerGram = perDoc.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__ndocs"))
+    val agg = perDoc
+      .join(if (broadcastShingles) broadcast(docsPerGram) else docsPerGram,
+        Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_kgrams"),
+        sum(when(col("__ndocs") >= 2, col("__tf")).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_kgrams"), lit(0L)).as("n_kgrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac", col("n_dup").cast("double") /
+        greatest(col("n_kgrams"), lit(1L)).cast("double"))
+  }
+
   /** Word n-gram shingles as an array column: shingle i =
     * words[i..i+n-1] joined by spaces. Evaluated by the native
     * [[WordShinglesExpr]] — the declarative `transform(sequence, i ->

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -124,6 +124,102 @@ object TermStats {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("rank").cast("long").as("rank"))
+  }
+
+  /** Windowed token co-occurrence with an integer-exact PMI score — the
+    * statistic behind distributional word embeddings (word2vec's SGNS
+    * factorizes shifted PMI) and collocation mining. Ordered pairs
+    * (earlier token, later token) within a forward window of `window`
+    * positions are counted corpus-wide; pairs seen at least `minCount`
+    * times are scored with the floor-log2 PMI proxy
+    * `ilog2(c_ab·T²) − ilog2(c_a·c_b·P)` (T = token total, P = pair
+    * total) — pure integer ops both engines share, so the result
+    * hash-matches where a float `log` never would. Top-`k` by
+    * (pmi desc, count desc, tokens).
+    *
+    * Scale shape: the pair stream forms MAP-SIDE (one slice-zip per
+    * window offset, concatenated, then one explode — no shuffle to form
+    * pairs), the count groupBy partial-aggregates, and the unigram table
+    * (one row per distinct term) joins back broadcast at vocabulary
+    * sizes; both totals are 1-row broadcasts. The final top-k is a
+    * per-partition heap. Caveat: the products inside ilog2 need
+    * c_ab·T² < 2⁶³ — beyond ~10¹⁸ token-pairs move the same mechanics
+    * onto decimal(38,0).
+    */
+  def cooccurPmi(docs: DataFrame, textCol: String, window: Int,
+      minCount: Int, k: Int): DataFrame = {
+    require(window >= 1 && minCount >= 1 && k >= 1,
+      "need window, minCount, k >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val pairArrays = (1 to window).map { d =>
+      val n = greatest(size(toks) - d, lit(0))
+      zip_with(slice(toks, lit(1), n), slice(toks, lit(1 + d), n),
+        (a, b) => struct(a.as("l"), b.as("r")))
+    }
+    val pc = docs.select(explode(concat(pairArrays: _*)).as("p"))
+      .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+      .agg(count(lit(1)).as("pair_count"))
+    val uni = docs.select(explode(toks).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totT = uni.agg(sum(col("c")).as("t_tok"))
+    val totP = pc.agg(sum(col("pair_count")).as("t_pair"))
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    pc.filter(col("pair_count") >= minCount)
+      .join(broadcast(uni.select(col("term").as("left_tok"),
+        col("c").as("c_left"))), Seq("left_tok"))
+      .join(broadcast(uni.select(col("term").as("right_tok"),
+        col("c").as("c_right"))), Seq("right_tok"))
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
+      .select(col("left_tok"), col("right_tok"), col("pair_count"),
+        col("c_left"), col("c_right"),
+        (ilog2(col("pair_count") * col("t_tok") * col("t_tok")) -
+          ilog2(col("c_left") * col("c_right") * col("t_pair")))
+          .as("pmi_bits"))
+      .orderBy(col("pmi_bits").desc, col("pair_count").desc,
+        col("left_tok"), col("right_tok"))
+      .limit(k)
+  }
+
+  /** DSIR-style importance weight of each document toward a target
+    * slice (Xie et al., "Data Selection for Language Models via
+    * Importance Resampling" — hashed/unigram feature log-ratios): each
+    * term's weight is `sup_raw − sup_tgt`, the difference of its
+    * floor-log2 surprisals under the raw-corpus and target-slice unigram
+    * models (add-one smoothed on the target side, where unseen terms are
+    * legal), so a positive per-doc mean reads "more target-like than the
+    * corpus at large". Integer-exact end to end — only the final mean
+    * divides two longs.
+    *
+    * Scale shape: identical to [[surprisalStats]] — one (doc, term, tf)
+    * pair aggregation carrying a target flag, a per-distinct-term weight
+    * table joined back broadcast at vocabulary sizes
+    * (`broadcastTerms = false` → term-key shuffle join for web-scale
+    * vocabularies), totals as a 1-row broadcast; text never crosses an
+    * exchange.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, broadcastTerms: Boolean = true): DataFrame = {
+    def pairs = docs
+      .select(col(idCol), targetPred.as("__tgt"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("__tgt"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tc = pairs.groupBy(col("term")).agg(
+      sum(col("tf")).as("c_raw"),
+      sum(when(col("__tgt"), col("tf")).otherwise(0L)).as("c_tgt"))
+    val tot = tc.agg(sum(col("c_raw")).as("t_raw"),
+      sum(col("c_tgt")).as("t_tgt"))
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val w = tc.crossJoin(broadcast(tot))
+      .select(col("term"),
+        (ilog2(expr("t_raw DIV c_raw")) -
+          ilog2(expr("(t_tgt + 1) DIV (c_tgt + 1)"))).as("wt"))
+    pairs.join(if (broadcastTerms) broadcast(w) else w, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("wt")).as("sum_weight"))
+      .withColumn("mean_weight",
+        col("sum_weight").cast("double") / col("n_tokens").cast("double"))
   }
 
   /** Corpus-wide adjacent-token-pair counts — the statistic at the heart

@@ -339,4 +339,42 @@ object TextAnalysis {
        |  $rStops AS rule_stopwords,
        |  ($rWords AND $rMwl AND $rSym AND $rAlpha AND $rStops) AS keep""".stripMargin
   }
+
+  // --- Feature-hashed linear classifier ---------------------------------
+  //
+  // The fastText-shaped quality/domain classifier of a curation pipeline:
+  // each token hashes into one of `ClassifierDim` feature buckets (the
+  // hashing trick — no vocabulary table at all), and the document score is
+  // the sum of the buckets' weights. Weights here are derived
+  // deterministically from the bucket index via the same 60-bit md5 both
+  // engines share — a stand-in for trained weights with identical plumbing
+  // (swap `bucketWeight` for a lookup into a broadcast weights array to
+  // serve a real model). Everything is a scalar expression in the scan's
+  // project: zero shuffles, zero joins, linear in tokens — the ideal
+  // 100 TB shape for a per-document classifier.
+
+  /** Number of hashed feature buckets (power of two, fastText-style). */
+  val ClassifierDim = 1024
+
+  /** Feature bucket of one token: md5-60bit(token) mod ClassifierDim. */
+  def featureBucket(tok: Column): Column =
+    pmod(Sampling.keyHash60(tok), lit(ClassifierDim))
+
+  /** Deterministic weight of a bucket in [-1000, 1000]. */
+  def bucketWeight(bucket: Column): Column =
+    pmod(Sampling.keyHash60(concat(lit("w:"), bucket.cast("string"))),
+      lit(2001)) - lit(1000)
+
+  /** Per-document integer classifier score: Σ weight(bucket(token)). */
+  def hashedClassifierScore(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + bucketWeight(featureBucket(t)).cast("long"))
+
+  /** DuckDB mirror of [[hashedClassifierScore]] over token-list `w`. */
+  def hashedClassifierScoreSql(w: String): String = {
+    val bucket = s"(${Sampling.keyHash60Sql("t")} % $ClassifierDim)"
+    val weight =
+      s"((${Sampling.keyHash60Sql(s"'w:' || CAST($bucket AS VARCHAR)")} % 2001) - 1000)"
+    s"CAST(COALESCE(list_sum(list_transform($w, t -> $weight)), 0) AS BIGINT)"
+  }
 }

@@ -354,6 +354,32 @@ object TextQueries {
             .as("n_short"))
         .withColumn("short_frac",
           col("n_short").cast("double") / col("n_docs").cast("double"))),
+    // windowed co-occurrence + integer-exact PMI: top-40 collocations
+    // (window 2, pair count >= 5) — the SGNS/collocation statistic;
+    // pairs form map-side, the unigram table joins back broadcast
+    "text_pmi_pairs" -> ((s, dir) =>
+      graft.functions.TermStats.cooccurPmi(docs(s, dir), "text",
+        window = 2, minCount = 5, k = 40)),
+    // feature-hashed linear classifier (fastText-shaped): per-doc
+    // integer score over 1024 hashed buckets with md5-derived weights —
+    // pure scan-side scalar expressions, zero shuffles
+    "text_classifier" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TA.hashedClassifierScore(col("text")).as("score"))
+        .withColumn("mean_score", col("score").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"))
+        .withColumn("target_like", col("mean_score") >= 0)),
+    // DSIR-style importance weights toward the lang='en' slice: per-term
+    // floor-log2 surprisal difference (raw minus smoothed target),
+    // summed per document — the importance-resampling selection signal
+    "text_dsir" -> ((s, dir) =>
+      graft.functions.TermStats.dsirWeights(docs(s, dir), "doc_id",
+        "text", col("lang") === "en")),
+    // substring-level duplication profile: fraction of each document's
+    // 8-token shingle positions whose shingle recurs in another document
+    "dedup_kgram_coverage" -> ((s, dir) =>
+      Dedup.kgramDupCoverage(docs(s, dir), "doc_id", "text", k = 8)),
     // the end-to-end curation pipeline a training-data run performs:
     // score → language-filter → exact-dedup (keep canonical) →
     // stratified mix — every stage one of this engine's operators, the
@@ -887,6 +913,87 @@ object TextQueries {
            |SELECT doc_id, t.copy FROM n,
            |  UNNEST(range(1, n + 1)) AS t(copy)
            |WHERE n >= 1""".stripMargin,
+      "text_pmi_pairs" ->
+        """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+          |p0 AS (
+          |  SELECT w[i] AS left_tok, w[i + d] AS right_tok
+          |  FROM t, unnest(range(1, len(w))) AS u(i),
+          |       unnest(range(1, 3)) AS v(d)
+          |  WHERE i + d <= len(w)
+          |),
+          |pc AS (SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+          |       FROM p0 GROUP BY left_tok, right_tok),
+          |uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+          |        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+          |        GROUP BY term),
+          |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tok FROM uni),
+          |tp AS (SELECT CAST(SUM(pair_count) AS BIGINT) AS t_pair FROM pc)
+          |SELECT left_tok, right_tok, pair_count, ul.c AS c_left, ur.c AS c_right,
+          |  CAST(length(bin(pair_count * t_tok * t_tok)) - 1 AS BIGINT)
+          |    - CAST(length(bin(ul.c * ur.c * t_pair)) - 1 AS BIGINT) AS pmi_bits
+          |FROM pc JOIN uni ul ON pc.left_tok = ul.term
+          |        JOIN uni ur ON pc.right_tok = ur.term, tt, tp
+          |WHERE pair_count >= 5
+          |ORDER BY pmi_bits DESC, pair_count DESC, left_tok, right_tok
+          |LIMIT 40""".stripMargin,
+      "text_classifier" ->
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |        ${TA.hashedClassifierScoreSql("w")} AS score FROM d)
+           |SELECT doc_id, n_tokens, score,
+           |  CAST(score AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS mean_score,
+           |  (CAST(score AS DOUBLE) / CAST(GREATEST(n_tokens, 1) AS DOUBLE)) >= 0
+           |    AS target_like
+           |FROM s""".stripMargin,
+      "text_dsir" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, lang = 'en' AS tgt, unnest($toks) AS term
+           |  FROM documents
+           |), d AS (
+           |  SELECT doc_id, tgt, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM tok GROUP BY doc_id, tgt, term
+           |), tc AS (
+           |  SELECT term, CAST(SUM(tf) AS BIGINT) AS c_raw,
+           |    CAST(SUM(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS c_tgt
+           |  FROM d GROUP BY term
+           |), tot AS (
+           |  SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+           |    CAST(SUM(c_tgt) AS BIGINT) AS t_tgt FROM tc
+           |), w AS (
+           |  SELECT term,
+           |    CAST(length(bin(t_raw // c_raw)) - 1 AS BIGINT)
+           |      - CAST(length(bin((t_tgt + 1) // (c_tgt + 1))) - 1 AS BIGINT) AS wt
+           |  FROM tc, tot
+           |)
+           |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(tf * wt) AS BIGINT) AS sum_weight,
+           |  CAST(SUM(tf * wt) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS mean_weight
+           |FROM d JOIN w USING (term) GROUP BY doc_id""".stripMargin,
+      "dedup_kgram_coverage" ->
+        s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |g AS (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+           |         ELSE list_transform(range(0, len(w) - 7),
+           |                i -> array_to_string(list_slice(w, i + 1, i + 8), ' ')) END
+           |  ) AS gram FROM d
+           |), h AS (
+           |  SELECT doc_id, ${Sampling.keyHash60Sql("gram")} AS hv FROM g
+           |), pd AS (
+           |  SELECT doc_id, hv, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM h GROUP BY doc_id, hv
+           |), dg AS (
+           |  SELECT hv, CAST(COUNT(*) AS BIGINT) AS ndocs FROM pd GROUP BY hv
+           |), agg AS (
+           |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_kgrams,
+           |    CAST(SUM(CASE WHEN ndocs >= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_dup
+           |  FROM pd JOIN dg USING (hv) GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, COALESCE(n_kgrams, 0) AS n_kgrams,
+           |  COALESCE(n_dup, 0) AS n_dup,
+           |  CAST(COALESCE(n_dup, 0) AS DOUBLE)
+           |    / CAST(GREATEST(COALESCE(n_kgrams, 0), 1) AS DOUBLE) AS dup_frac
+           |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
       "corpus_profile" ->
         s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            |  CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens,

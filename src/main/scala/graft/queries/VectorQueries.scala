@@ -180,6 +180,37 @@ object VectorQueries {
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("cid"), col("pq_dist"), col("rank"))
     }),
+    // SemDeDup-shaped semantic dedup: coarse k-means cells bound the
+    // pair space (the published recipe clusters with faiss then dedups
+    // WITHIN each cluster — never all-pairs), here with the integer-grid
+    // coarse quantizer so assignment is oracle-exact; within-cell cosine
+    // over the grid-quantized vectors, drop every vector that has a
+    // smaller-id neighbor above the threshold in its own cell. Per-task
+    // work is O(cell²) with cells ~n/nlist — the documented SemDeDup
+    // scale shape (nlist grows with corpus size).
+    "semantic_dedup_cells" -> ((s, dir) => {
+      import graft.functions.Embeddings
+      val e = emb(s, dir)
+      def score(vec: Column, c: Int): Column =
+        (0 until 64).map(i =>
+          Embeddings.grid64(vec, i) * lit(IvfPqGrid(c)(i).toLong))
+          .reduce(_ + _)
+      val sc = array((0 until 16).map(c => score(col("embedding"), c)): _*)
+      val cv = array((0 until 64).map(i =>
+        Embeddings.grid64(col("embedding"), i).cast("double")): _*)
+      val v = e.select(col("vec_id"),
+          array_position(sc, array_max(sc)).cast("long").as("cid"),
+          cv.as("cv"))
+        .withColumn("n", sqrt(Similarity.dot(col("cv"), col("cv"))))
+      val dropped = v.as("x").join(v.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .filter(Similarity.dot(col("x.cv"), col("y.cv")) /
+          (col("x.n") * col("y.n")) > 0.92)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+      v.select(col("vec_id"), col("cid"))
+        .join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("__drop").isNull.as("keep"))
+    }),
   )
 
 
@@ -326,7 +357,45 @@ object VectorQueries {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** DuckDB mirror of semantic_dedup_cells: same grid quantization,
+    * first-argmax coarse assignment against the [[IvfPqGrid]] literals,
+    * within-cell exact cosine over the (integer-valued, hence
+    * order-independent-exact) double vectors, smaller-id-neighbor drop.
+    */
+  private def semanticDedupOracleSql: String = {
+    val gridRows = IvfPqGrid.zipWithIndex.map { case (g, c) =>
+      s"(${c + 1}, ${g.mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(LEAST(GREATEST(FLOOR(x * 64 + 0.5), -127), 127) AS DOUBLE)) AS cv
+       |  FROM embeddings),
+       |grid(cid, gv) AS (VALUES
+       |    $gridRows),
+       |scored AS (
+       |  SELECT g.vec_id, g.cv, grid.cid,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> CAST(g.cv[i] AS BIGINT) * grid.gv[i])) AS BIGINT) AS score
+       |  FROM g, grid),
+       |assign AS (
+       |  SELECT vec_id, cv, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cid) AS rn FROM scored)
+       |  WHERE rn = 1),
+       |n AS (SELECT vec_id, cid, cv,
+       |        sqrt(list_dot_product(cv, cv)) AS nn FROM assign),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id FROM n x JOIN n y
+       |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE list_dot_product(x.cv, y.cv) / (x.nn * y.nn) > 0.92)
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       |  d.vec_id IS NULL AS keep
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "semantic_dedup_cells" -> semanticDedupOracleSql,
     "ann_pq_fixed" -> pqOracleSql,
     "ann_ivfpq_fixed" -> ivfPqOracleSql,
     "embed_quantize" ->

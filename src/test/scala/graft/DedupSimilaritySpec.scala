@@ -1003,4 +1003,79 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(2L) === 1.0 / TA.MaxRepetitionTokens) // "dup" repeats lie past the cap
     assert(secs < 5.0, f"capped repetition scan took $secs%.1f s")
   }
+
+  test("co-occurrence PMI: hand-computed integer log2 collocations") {
+    import graft.functions.TermStats
+    // tokens: doc1 = a b a, doc2 = b a -> T=5; c(a)=3, c(b)=2
+    // window-2 pairs: (a,b):1 (b,a):2 (a,a):1 -> P=4
+    // pmi(b,a) = ilog2(2*25) - ilog2(2*3*4) = 5 - 4 = 1
+    // pmi(a,b) = ilog2(25)   - ilog2(3*2*4) = 4 - 4 = 0
+    // pmi(a,a) = ilog2(25)   - ilog2(3*3*4) = 4 - 5 = -1
+    val df = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TermStats.cooccurPmi(df, "text", window = 2, minCount = 1,
+        k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("b", "a", 2L, 2L, 3L, 1L),
+      ("a", "b", 1L, 3L, 2L, 0L),
+      ("a", "a", 1L, 3L, 3L, -1L)))
+    // the unigram table must come back broadcast — the pair stream is
+    // corpus-sized and must not shuffle on token keys for the lookup
+    val plan = TermStats.cooccurPmi(df, "text", 2, 1, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("hashed classifier: HOF fold equals explode+sum, zero exchanges") {
+    // the aggregate-lambda score must equal summing the same per-token
+    // weight expression over exploded tokens — two plan shapes, one value
+    val df = Seq((1L, "alpha beta alpha gamma"), (2L, "delta"),
+      (3L, "beta beta beta")).toDF("doc_id", "text")
+    val folded = df.select(col("doc_id"),
+        TA.hashedClassifierScore(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val exploded = df
+      .select(col("doc_id"), explode(TA.tokens(col("text"))).as("t"))
+      .groupBy("doc_id")
+      .agg(sum(TA.bucketWeight(TA.featureBucket(col("t")))).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(folded === exploded)
+    // repeated token scores linearly
+    assert(folded(3L) % 3 === 0)
+    // per-document scoring is scan-local: no exchange in the plan
+    val plan = df.select(TA.hashedClassifierScore(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("DSIR weights: hand-computed surprisal difference toward target") {
+    import graft.functions.TermStats
+    // raw: a=3 b=1 c=1 T=5; target(doc1): a=2 b=1 T=3
+    // wt(a) = ilog2(5/3=1) - ilog2(4/3=1) = 0
+    // wt(b) = ilog2(5)=2   - ilog2(4/2=2)=1 -> 1
+    // wt(c) = ilog2(5)=2   - ilog2(4/1=4)=2 -> 0
+    val df = Seq((1L, "a a b", "en"), (2L, "a c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TermStats.dsirWeights(df, "doc_id", "text",
+        col("lang") === "en")
+      .select("doc_id", "n_tokens", "sum_weight", "mean_weight")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 1L, 1.0 / 3),
+      (2L, 2L, 0L, 0.0)))
+  }
+
+  test("kgram coverage: cross-doc duplicated positions, short-doc rule") {
+    val df = Seq((1L, "x y z"), (2L, "y z w"), (3L, "q"),
+      (4L, "y z y z")).toDF("doc_id", "text")
+    // doc1 grams: {x y, y z}; doc2: {y z, z w}; doc3 (< k tokens): {q};
+    // doc4: y z, z y, y z — "y z" occurs in docs 1, 2, 4
+    val by = Dedup.kgramDupCoverage(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(by(1L) === ((2L, 1L, 0.5)))
+    assert(by(2L) === ((2L, 1L, 0.5)))
+    assert(by(3L) === ((1L, 0L, 0.0)))
+    assert(by(4L) === ((3L, 2L, 2.0 / 3))) // tf(y z)=2 counted per position
+  }
 }
