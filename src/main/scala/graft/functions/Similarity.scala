@@ -239,6 +239,50 @@ object Similarity {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("sim"))
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * coarse cells bound the pair space — the published recipe clusters
+    * with k-means then dedups WITHIN each cluster, never all-pairs. Here
+    * the coarse quantizer is an integer GRID codebook (literal `grid`
+    * rows on the ×64 quantization grid), so cell assignment is argmax of
+    * integer dot products — bit-reproducible cross-engine; within each
+    * cell, exact cosine over the grid-quantized vectors (integer-valued
+    * doubles — order-independent-exact sums) marks every vector that has
+    * a smaller-id neighbor above `threshold` as dropped.
+    *
+    * Output: (idCol, cid, keep) for every input vector.
+    *
+    * Scale shape: assignment is scan-local; the only data exchange keys
+    * on the cell id, and per-task work is O(cell²). Grow the number of
+    * grid rows with corpus size (√n rule, exactly as IVF's nlist) to
+    * keep cells — and so join skew — bounded; a trained k-means codebook
+    * from [[trainCentroids]] slots in as `grid` unchanged apart from
+    * losing oracle-exactness.
+    */
+  def semanticDedupCells(df: DataFrame, idCol: String, vecCol: String,
+      grid: Array[Array[Int]], threshold: Double): DataFrame = {
+    val dims = grid(0).length
+    def score(vec: Column, c: Int): Column =
+      (0 until dims).map(i =>
+        Embeddings.grid64(vec, i) * lit(grid(c)(i).toLong)).reduce(_ + _)
+    val sc = array(grid.indices.map(c => score(col(vecCol), c)): _*)
+    val cv = array((0 until dims).map(i =>
+      Embeddings.grid64(col(vecCol), i).cast("double")): _*)
+    val v = df.select(col(idCol),
+        array_position(sc, array_max(sc)).cast("long").as("cid"),
+        cv.as("cv"))
+      .withColumn("n", sqrt(dot(col("cv"), col("cv"))))
+    val dropped = v.as("x").join(v.as("y"),
+        col("x.cid") === col("y.cid") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .filter(dot(col("x.cv"), col("y.cv")) /
+        (col("x.n") * col("y.n")) > threshold)
+      .select(col(s"y.$idCol").as(idCol)).distinct()
+    v.select(col(idCol), col("cid"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cid"), col("__drop").isNull.as("keep"))
+  }
+
   /** The 100 TB near-dup path: banded hyperplane-LSH candidates → exact
     * cosine rerank → threshold. Candidate volume is governed by the band
     * width (collision probability per band ≈ (1-θ/π)^bitsPerBand), so the

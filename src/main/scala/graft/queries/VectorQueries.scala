@@ -188,29 +188,9 @@ object VectorQueries {
     // smaller-id neighbor above the threshold in its own cell. Per-task
     // work is O(cell²) with cells ~n/nlist — the documented SemDeDup
     // scale shape (nlist grows with corpus size).
-    "semantic_dedup_cells" -> ((s, dir) => {
-      import graft.functions.Embeddings
-      val e = emb(s, dir)
-      def score(vec: Column, c: Int): Column =
-        (0 until 64).map(i =>
-          Embeddings.grid64(vec, i) * lit(IvfPqGrid(c)(i).toLong))
-          .reduce(_ + _)
-      val sc = array((0 until 16).map(c => score(col("embedding"), c)): _*)
-      val cv = array((0 until 64).map(i =>
-        Embeddings.grid64(col("embedding"), i).cast("double")): _*)
-      val v = e.select(col("vec_id"),
-          array_position(sc, array_max(sc)).cast("long").as("cid"),
-          cv.as("cv"))
-        .withColumn("n", sqrt(Similarity.dot(col("cv"), col("cv"))))
-      val dropped = v.as("x").join(v.as("y"),
-          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-        .filter(Similarity.dot(col("x.cv"), col("y.cv")) /
-          (col("x.n") * col("y.n")) > 0.92)
-        .select(col("y.vec_id").as("vec_id")).distinct()
-      v.select(col("vec_id"), col("cid"))
-        .join(dropped.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"), col("__drop").isNull.as("keep"))
-    }),
+    "semantic_dedup_cells" -> ((s, dir) =>
+      Similarity.semanticDedupCells(emb(s, dir), "vec_id", "embedding",
+        IvfPqGrid, threshold = 0.92)),
   )
 
 

@@ -1065,6 +1065,22 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, 2L, 0L, 0.0)))
   }
 
+  test("semantic dedup cells: identical vectors collapse, higher id drops") {
+    import graft.queries.VectorQueries
+    val same = (0 until 64).map(_ => 0.1f)
+    val ortho = (0 until 64).map(i => if (i % 2 == 0) 0.1f else -0.1f)
+    val df = Seq((1L, same), (2L, same), (3L, ortho))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupCells(df, "vec_id", "embedding",
+        VectorQueries.IvfPqGrid, threshold = 0.92)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got(1L)._2 === true)      // canonical: smallest id keeps
+    assert(got(2L)._2 === false)     // identical twin in the same cell drops
+    assert(got(1L)._1 === got(2L)._1) // identical vectors share a cell
+    assert(got(3L)._2 === true)      // orthogonal vector survives anywhere
+  }
+
   test("kgram coverage: cross-doc duplicated positions, short-doc rule") {
     val df = Seq((1L, "x y z"), (2L, "y z w"), (3L, "q"),
       (4L, "y z y z")).toDF("doc_id", "text")
