@@ -295,6 +295,45 @@ object AnalyticsQueries {
         .select(col("event_type"), col("hour"), col("c").as("n_events"),
           col("dev2"), col("nvar"))
     }),
+    // fixed-width value histogram per event type: bin = floor(value/10)
+    // — one partial-aggregating exchange on (type, bin), integer counts
+    "events_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          floor(col("value") / lit(10.0)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))),
+    // per-event trailing-hour rolling aggregate: a RANGE frame over
+    // microsecond epoch — the event-time analogue of a sliding window
+    // evaluated per row, one user-key exchange; the sum runs in
+    // decimal so both engines agree bit-for-bit
+    "events_rolling" -> ((s, dir) => {
+      val m = unix_micros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(m)
+        .rangeBetween(-3600L * 1000000, 0)
+      Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          .as("sum_1h"))
+    }),
+    // approximate quantiles, self-graded like q_approx_distinct: the
+    // sketch result (percentile_approx, accuracy 10k) must land within
+    // 1% of the in-plan exact percentile; the oracle recomputes the row
+    // count and asserts the verdicts TRUE
+    "q_approx_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(count(lit(1)).as("n_rows"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("ap90"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+          expr("percentile(l_extendedprice, 0.9)").as("ex90"))
+        .select(col("n_rows"),
+          (abs(col("ap50") - col("ex50")) <= col("ex50") * 0.01)
+            .as("p50_close"),
+          (abs(col("ap90") - col("ex90")) <= col("ex90") * 0.01)
+            .as("p90_close"))
+    }),
     // JSON scalar functions over the events props column: extraction,
     // cast, aggregation — pure codegen'd expressions
     "json_extract" -> ((s, dir) =>
@@ -429,6 +468,25 @@ object AnalyticsQueries {
         |  st.n * st.ss - st.s * st.s AS nvar
         |FROM hourly h JOIN stats st ON h.event_type = st.event_type
         |WHERE (st.n * h.c - st.s) * (st.n * h.c - st.s) > 4 * (st.n * st.ss - st.s * st.s)""".stripMargin,
+    "events_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type, bin""".stripMargin,
+    "events_rolling" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // self-grading verdict (see the q_approx_distinct pattern): DuckDB
+    // owns the row count; TRUE asserts the sketch-vs-exact closeness —
+    // if percentile_approx drifts past 1% the flag flips and the hash
+    // gate trips
+    "q_approx_quantiles" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS p50_close, TRUE AS p90_close
+        |FROM lineitem""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
