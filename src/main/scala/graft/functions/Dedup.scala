@@ -308,7 +308,43 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5,
-      maxShingleDf: Int = 0): DataFrame = {
+      maxShingleDf: Int = 0): DataFrame =
+    shinglePairStats(df, idCol, textCol, shingleN, maxShingleDf)
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+  /** Asymmetric CONTAINMENT pairs: |A∩B| / |A| and / |B| over the same
+    * capped shingle space as [[ngramJaccardPairs]], kept when either
+    * direction reaches `minContainment`. Jaccard misses subset
+    * relationships (a paragraph quoted inside a much longer page scores
+    * |∩|/|union| ≈ 0); containment is the standard detector for
+    * quotes, wrappers, and page-of-boilerplate-plus-payload shapes.
+    * Same plan as the Jaccard variant — shingle-key self-join, never
+    * all-pairs; df cap governs candidate volume identically.
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minContainment: Double = 0.9,
+      maxShingleDf: Int = 0): DataFrame =
+    shinglePairStats(df, idCol, textCol, shingleN, maxShingleDf)
+      .withColumn("containment_a",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >=
+        minContainment)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b",
+        "containment_a", "containment_b")
+
+  /** Shared pair-statistics subtree of the shingle-set similarity
+    * family: distinct (id, shingle) pairs (df-capped), per-doc set
+    * sizes, and per-pair intersection counts via the shingle-key
+    * self-join. Returns (id_a, id_b, n_common, n_a, n_b).
+    */
+  private def shinglePairStats(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, maxShingleDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh0 = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), shingleN)).as("shingle"))
@@ -328,11 +364,6 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
   /** MinHash Jaccard estimate from two k-wide signatures: the fraction of

@@ -179,6 +179,11 @@ object TextQueries {
     "dedup_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)),
+    // asymmetric containment pairs over the same shingle space: catches
+    // subset/quote relationships (|∩|/|A|) that Jaccard scores near 0
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(dupCorpus(docs(s, dir)), "doc_id",
+        "text", shingleN = 3, minContainment = 0.9, maxShingleDf = 64)),
     // MinHash+LSH candidate pairs. The gate runs the md5-hash mode whose
     // shingle hash and band keys a DuckDB oracle reproduces exactly; the
     // xxh64 default stays the cheapest-hash scale path (same plan shape,
@@ -1084,6 +1089,7 @@ object TextQueries {
            |WHERE ${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} <
            |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 200 ELSE 100 END""".stripMargin,
       "dedup_ngram_pairs" -> ngramPairsOracleSql,
+      "dedup_containment" -> containmentOracleSql,
       "curate_corpus" -> {
         val toks = "string_split(text, ' ')"
         val quality =
@@ -1115,7 +1121,11 @@ object TextQueries {
   /** n-gram Jaccard pairs oracle, shared by dedup_ngram_pairs and (as the
     * edge source) dedup_clusters.
     */
-  private def ngramPairsOracleSql: String =
+  /** Shared CTE chain of the shingle-set pair oracles (mirrors
+    * `Dedup.shinglePairStats` over the dup-injected corpus: distinct
+    * df-capped 3-gram shingles, sizes, intersections).
+    */
+  private def shinglePairCtes: String =
         s"""WITH corpus AS ($dupCorpusSql),
            |sh0 AS (
            |  SELECT DISTINCT doc_id AS id, unnest(
@@ -1135,12 +1145,25 @@ object TextQueries {
            |  SELECT x.id AS id_a, y.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_common
            |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
            |  GROUP BY 1, 2
-           |)
+           |)""".stripMargin
+
+  private def ngramPairsOracleSql: String =
+        s"""$shinglePairCtes
            |SELECT id_a, id_b, n_common,
            |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
            |       CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE) AS jaccard
            |FROM inter JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
            |WHERE CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE) >= 0.5""".stripMargin
+
+  private def containmentOracleSql: String =
+        s"""$shinglePairCtes
+           |SELECT id_a, id_b, n_common,
+           |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           |       CAST(n_common AS DOUBLE) / CAST(a.n AS DOUBLE) AS containment_a,
+           |       CAST(n_common AS DOUBLE) / CAST(b.n AS DOUBLE) AS containment_b
+           |FROM inter JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
+           |WHERE GREATEST(CAST(n_common AS DOUBLE) / CAST(a.n AS DOUBLE),
+           |               CAST(n_common AS DOUBLE) / CAST(b.n AS DOUBLE)) >= 0.9""".stripMargin
 
   private def baseOracles: Map[String, String] = Map(
       "multimodal_decode" ->

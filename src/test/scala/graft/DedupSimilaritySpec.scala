@@ -1065,6 +1065,26 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, 2L, 0L, 0.0)))
   }
 
+  test("containment pairs: quote subset found where Jaccard misses it") {
+    // B embeds A verbatim plus an equally long payload: containment of A
+    // in B is 1.0 while Jaccard sits below the 0.5 pair threshold — the
+    // exact shape the asymmetric detector exists for
+    val a = "p q r s t u v w"
+    val b = a + " x1 x2 x3 x4 x5 x6 x7 x8"
+    val df = Seq((1L, a), (2L, b), (3L, "zz yy xx ww")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(df, "doc_id", "text",
+        shingleN = 2, minContainment = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(cont.length === 1)
+    val (ia, ib, common, na, nb, ca, cb) = cont.head
+    assert((ia, ib) === ((1L, 2L)))
+    assert(na === 7L && common === 7L && ca === 1.0)
+    assert(cb < 0.5 && nb === 15L)
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleN = 2, minJaccard = 0.5)
+    assert(jac.count() === 0) // Jaccard 7/15 — invisible to the symmetric test
+  }
+
   test("semantic dedup cells: identical vectors collapse, higher id drops") {
     import graft.queries.VectorQueries
     val same = (0 until 64).map(_ => 0.1f)
