@@ -102,6 +102,56 @@ class StreamingDiffSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("space-saving merge: hand-computed eviction counts and error bounds") {
+    import graft.streaming.StreamingHeavyHitters.{SsEntry, merge}
+    // capacity 2: a(5) b(3) then c(2) evicts the (count,key)-min b —
+    // c inherits b's count as its error ceiling
+    val t = merge(Vector.empty, Seq("a" -> 5L, "b" -> 3L, "c" -> 2L), 2)
+    assert(t.map(e => e.key -> ((e.count, e.err))).toMap ===
+      Map("a" -> ((5L, 0L)), "c" -> ((5L, 3L))))
+    // true counts respect [count - err, count] for every entry
+    assert(5L >= 5L - 0L && 2L >= 5L - 3L && 2L <= 5L)
+  }
+
+  test("streaming heavy hitters: skewed keys surface with valid bounds") {
+    import graft.streaming.StreamingHeavyHitters
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingHeavyHitters.topK(
+        input.toDS().toDF("id", "key"),
+        org.apache.spark.sql.functions.lit("g"), "key",
+        capacity = 8, k = 3)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1 to 30).map(i => (i.toLong, "hot")) ++
+        (1 to 10).map(i => (100L + i, "warm")) ++
+        (1 to 10).map(i => (200L + i, s"u$i")): _*)
+      q.processAllAvailable()
+      val snap1 = spark.table("hh")
+        .select("key", "count", "err", "rank")
+        .as[(String, Long, Long, Long)].collect()
+      // hot and warm exact (never evicted); rank 3 is a 2-count survivor
+      // with err 1 from the single eviction it absorbed
+      assert(snap1.length === 3)
+      assert(snap1.contains(("hot", 30L, 0L, 1L)))
+      assert(snap1.contains(("warm", 10L, 0L, 2L)))
+      val third = snap1.find(_._4 == 3L).get
+      assert(third._2 === 2L && third._3 === 1L)
+      // batch 2: hot grows, a new key displaces a singleton
+      input.addData((1 to 5).map(i => (300L + i, "hot")) ++
+        (1 to 4).map(i => (400L + i, "new")): _*)
+      q.processAllAvailable()
+      val snap2 = spark.table("hh")
+        .select("key", "count", "err", "rank")
+        .as[(String, Long, Long, Long)].collect().drop(snap1.length)
+      assert(snap2.contains(("hot", 35L, 0L, 1L)))
+      assert(snap2.contains(("warm", 10L, 0L, 2L)))
+      assert(snap2.contains(("new", 5L, 1L, 3L)))
+    } finally q.stop()
+  }
+
   test("snapshot adapter produces matching hashes for identical rows") {
     val t = Seq((1L, 1, "a", 10), (2L, 1, "b", 20)).toDF("pk", "c1", "v1", "v2")
     val spec = graft.core.TableSpec("t", Seq("pk"), Seq("c1"), Seq("v1", "v2"))
