@@ -143,6 +143,22 @@ object Sampling {
   def shuffleHashSql(salt: String, e: String): String =
     keyHash60Sql(s"'$salt:' || CAST($e AS VARCHAR)")
 
+  /** Deterministic FIXED-SIZE uniform sample: exactly `n` rows (fewer
+    * only if the input is smaller), the n smallest key hashes — the
+    * reservoir-sample replacement for pipelines that need "exactly N
+    * eval docs", reproducible across runs and cluster layouts where a
+    * true reservoir is timing-dependent. [[deterministicSample]] keeps
+    * a deterministic FRACTION; this keeps a deterministic COUNT.
+    *
+    * Scale shape: plans as TakeOrderedAndProject — per-partition n-row
+    * heaps, only n rows per partition reach the final merge; no global
+    * sort materializes.
+    */
+  def fixedSizeSample(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.orderBy(keyHash60(col(keyCol)), col(keyCol)).limit(n)
+  }
+
   /** Domain-mixture reweighting: per-stratum token accounting plus the
     * sampling weight that moves the corpus toward a target mixture —
     * the "how much of each source/language goes into the run" step of

@@ -311,6 +311,12 @@ object TextQueries {
       Sampling.weightedSample(docs(s, dir), "doc_id",
           TA.qualityScore(col("text")))
         .select("doc_id", "lang")),
+    // deterministic fixed-COUNT sample: the 100 smallest doc_id hashes —
+    // reservoir-sample semantics without timing dependence; plans as
+    // TakeOrderedAndProject (per-partition heaps, no global sort)
+    "sample_fixed_n" -> ((s, dir) =>
+      Sampling.fixedSizeSample(
+        docs(s, dir).select("doc_id", "lang"), "doc_id", n = 100)),
     // deterministic corpus shuffle: shard assignment + within-shard
     // position, a pure function of (salt, doc_id) — the shard-writer
     // step of materializing a training set
@@ -849,6 +855,10 @@ object TextQueries {
            |  FROM documents)
            |WHERE CAST(${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} AS DOUBLE)
            |      < q * ${Sampling.DefaultDen}""".stripMargin,
+      "sample_fixed_n" ->
+        s"""SELECT doc_id, lang FROM documents
+           |ORDER BY ${Sampling.keyHash60Sql("doc_id")}, doc_id
+           |LIMIT 100""".stripMargin,
       "corpus_shuffle" ->
         s"""WITH h AS (
            |  SELECT doc_id, ${Sampling.shuffleHashSql("graft", "doc_id")} AS hv

@@ -191,6 +191,20 @@ object VectorQueries {
     "semantic_dedup_cells" -> ((s, dir) =>
       Similarity.semanticDedupCells(emb(s, dir), "vec_id", "embedding",
         IvfPqGrid, threshold = 0.92)),
+    // metadata-filtered ANN (the retrieval-stack "hybrid search" shape):
+    // a text-quality predicate on the documents table restricts the
+    // vector corpus via an id equi-join BEFORE any similarity work —
+    // pushdown-style filtered search, queries drawn from the same
+    // filtered set
+    "hybrid_search" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val keep = d.filter(
+          graft.functions.TextAnalysis.qualityScore(col("text")) >= 0.4)
+        .select(col("doc_id").as("vec_id"))
+      val e = emb(s, dir).join(keep, Seq("vec_id"))
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 16), e,
+        "vec_id", "embedding", k = 5)
+    }),
   )
 
 
@@ -375,6 +389,25 @@ object VectorQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "hybrid_search" -> {
+      val toks = "string_split(text, ' ')"
+      s"""WITH keep AS (
+         |  SELECT doc_id AS kid FROM documents
+         |  WHERE (${graft.functions.TextAnalysis.qualityScoreSql(toks)}) >= 0.4),
+         |e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings JOIN keep ON vec_id = kid),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 16),
+         |s AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    list_dot_product(qv, v) /
+         |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS sim
+         |  FROM q, e WHERE vec_id <> query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+         |FROM r WHERE rank <= 5""".stripMargin
+    },
     "semantic_dedup_cells" -> semanticDedupOracleSql,
     "ann_pq_fixed" -> pqOracleSql,
     "ann_ivfpq_fixed" -> ivfPqOracleSql,
