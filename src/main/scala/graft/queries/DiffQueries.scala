@@ -140,9 +140,37 @@ object DiffQueries {
     "diff_range_stats_random" -> ((s, dir) =>
       DiffEngine.rangeStats(ord(s, dir), Perturb.ordersTarget(ord(s, dir)),
         ordersSpec, DiffOptions(), cols => RP.tokenColumn(cols))),
+    // partition-size profile of the source table: log2 histogram of
+    // rows-per-partition-key — the skew signal that sizes bucket splits
+    // and flags wide partitions before a diff run; two partial-
+    // aggregating exchanges, the second over ≤64 histogram rows
+    "diff_partition_sizes" -> ((s, dir) =>
+      li(s, dir).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
+        .groupBy((length(bin(col("n_rows"))) - 1).cast("long")
+          .as("log2_bucket"))
+        .agg(count(lit(1)).as("n_partitions"), max(col("n_rows"))
+          .as("max_rows"))),
+    // the wide-partition report itself: top-10 partition keys by row
+    // count (per-partition heaps — TakeOrderedAndProject, no global sort)
+    "diff_largest_partitions" -> ((s, dir) =>
+      li(s, dir).groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("n_rows").desc, col("l_orderkey")).limit(10)),
   )
 
   def oracles: Map[String, String] = Map(
+    "diff_partition_sizes" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(length(bin(n_rows)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_partitions, MAX(n_rows) AS max_rows
+        |FROM p GROUP BY log2_bucket""".stripMargin,
+    "diff_largest_partitions" ->
+      """WITH p AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey, n_rows FROM p
+        |ORDER BY n_rows DESC, l_orderkey LIMIT 10""".stripMargin,
     "diff_range_stats" -> OracleSql.rangeStats(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_range_stats_narrow" -> OracleSql.rangeStats(ordersSpec,

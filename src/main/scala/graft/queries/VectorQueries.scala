@@ -191,6 +191,27 @@ object VectorQueries {
     "semantic_dedup_cells" -> ((s, dir) =>
       Similarity.semanticDedupCells(emb(s, dir), "vec_id", "embedding",
         IvfPqGrid, threshold = 0.92)),
+    // binary-embedding ANN: 32-bit hyperplane sign sketch per vector,
+    // neighbors ranked by Hamming distance (popcount of XOR) — the
+    // 64-bytes-to-4-bytes compression story next to PQ, and INTEGER all
+    // the way so the whole ranking hash-matches the oracle (float ANN
+    // never does). The sketch computes in the scan; candidates join
+    // against the 8-row query table broadcast
+    "ann_hamming" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sk = emb(s, dir).select(col("vec_id"),
+        graft.functions.Sketches.hyperplaneSketch(col("embedding"), 32, 64)
+          .as("sk"))
+      val q = sk.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("sk").as("qsk"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("hamming"), col("neighbor_id"))
+      sk.join(broadcast(q)).filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          expr("CAST(bit_count(sk ^ qsk) AS BIGINT)").as("hamming"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+    }),
     // metadata-filtered ANN (the retrieval-stack "hybrid search" shape):
     // a text-quality predicate on the documents table restricts the
     // vector corpus via an id equi-join BEFORE any similarity work —
@@ -388,7 +409,46 @@ object VectorQueries {
        |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
   }
 
+  /** DuckDB mirror of ann_hamming: the 32 plane literals come from the
+    * same [[Similarity.planeSign]] source as the Catalyst sketch
+    * expression (identical IEEE accumulation order ⇒ identical sign
+    * bits), then XOR-popcount ranking in plain SQL.
+    */
+  private def hammingOracleSql: String = {
+    val bits = 32
+    val planes = (0 until bits).map { i =>
+      (0 until 64).map(j =>
+        if (Similarity.planeSign(i, j) > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    }
+    val sketchBits = planes.zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(v, $p) > 0 THEN CAST(1 AS UBIGINT) << $i END"
+    }.mkString(",\n       |      ")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |),
+       |sk AS (
+       |  SELECT id, COALESCE(bit_or(b), CAST(0 AS UBIGINT)) AS s
+       |  FROM (
+       |    SELECT id, unnest([
+       |      $sketchBits
+       |    ]) AS b
+       |    FROM v
+       |  ) GROUP BY id
+       |),
+       |q AS (SELECT id AS query_id, s AS qs FROM sk WHERE id < 8),
+       |d AS (
+       |  SELECT q.query_id, c.id AS neighbor_id,
+       |    CAST(bit_count(xor(q.qs, c.s)) AS BIGINT) AS hamming
+       |  FROM q, sk c WHERE c.id <> q.query_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY hamming, neighbor_id) AS rank FROM d)
+       |SELECT query_id, neighbor_id, hamming, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "ann_hamming" -> hammingOracleSql,
     "hybrid_search" -> {
       val toks = "string_split(text, ' ')"
       s"""WITH keep AS (
