@@ -102,6 +102,40 @@ class StreamingDiffSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range semantics") {
+    import graft.streaming.StreamingJoin
+    implicit val sc = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingJoin.within(
+      signups.toDS().toDF("user_id", "s_ts"),
+      purchases.toDS().toDF("user_id", "p_ts", "amount"),
+      "user_id", "s_ts", "p_ts", horizon = "1 hour")
+    val q = joined.select("user_id", "s_ts", "p_ts", "amount")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // base epoch well above 0: a row whose event time equals the
+      // initial watermark (epoch 0) is discarded as late
+      val base = 1700000000000L
+      signups.addData((1L, ts(base)), (2L, ts(base)))
+      purchases.addData(
+        (1L, ts(base + 30 * 60 * 1000), 5.0), // inside the hour -> joins
+        (1L, ts(base + 90 * 60 * 1000), 7.0), // past the horizon -> dropped
+        (2L, ts(base + 60 * 60 * 1000), 9.0), // exactly on the bound -> joins
+        (3L, ts(base + 10 * 60 * 1000), 1.0)) // no signup -> dropped
+      q.processAllAvailable()
+      // advance both watermarks so all joinable results are emitted
+      signups.addData((99L, ts(base + 10L * 3600 * 1000)))
+      purchases.addData((99L, ts(base + 10L * 3600 * 1000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .filter(org.apache.spark.sql.functions.col("user_id") < 99)
+        .select("user_id", "amount").as[(Long, Double)].collect().toSet
+      assert(got === Set((1L, 5.0), (2L, 9.0)))
+    } finally q.stop()
+  }
+
   test("space-saving merge: hand-computed eviction counts and error bounds") {
     import graft.streaming.StreamingHeavyHitters.{SsEntry, merge}
     // capacity 2: a(5) b(3) then c(2) evicts the (count,key)-min b —
