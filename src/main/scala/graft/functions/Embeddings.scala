@@ -135,11 +135,22 @@ object Embeddings {
     * RESIDUALS (grid value minus the assigned coarse centroid) with the
     * same machinery.
     */
-  def pqEncodeAt(at: Int => Column): Column =
-    array((0 until PqM).map { m =>
+  def pqEncodeAt(at: Int => Column): Column = array(pqEncodeColsAt(at): _*)
+
+  /** The per-subspace code columns of [[pqEncodeAt]], one Column per
+    * subspace. Materialize these as SEPARATE projection columns (then
+    * `array` the column refs) when the accessor is non-trivial: codegen
+    * splits a projection's expression LIST into one method per
+    * expression, but cannot split inside a single CreateArray tree — a
+    * monolithic 8-subspace encode exceeds the JVM's 64 KB method limit
+    * under ANSI's overflow-checked arithmetic and drops the stage to
+    * interpreted eval.
+    */
+  def pqEncodeColsAt(at: Int => Column): Seq[Column] =
+    (0 until PqM).map { m =>
       val dists = array((0 until PqKsub).map(c => subDistAt(at, m, c)): _*)
       array_position(dists, array_min(dists))
-    }: _*)
+    }
 
   def pqEncode(vec: Column): Column = pqEncodeAt(i => q64(vec, i))
 

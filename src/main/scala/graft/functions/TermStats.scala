@@ -222,6 +222,47 @@ object TermStats {
         col("sum_weight").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Bigram conditional surprisal — the next step up from
+    * [[surprisalStats]]'s unigram model and the integer-exact stand-in
+    * for the KenLM-perplexity quality gate of a CCNet-style pipeline:
+    * per bigram (a,b) the score is `floor(log2(c(a) / c(a,b)))`
+    * (= −log2 of the conditional MLE p(b|a), floored), summed per
+    * document over its adjacent pairs. Low mean = predictable,
+    * natural-language word order; high mean = shuffled/noisy text that
+    * unigram stats cannot distinguish. Documents shorter than two
+    * tokens have no bigrams and drop from the output (mirrored by the
+    * oracle).
+    *
+    * Scale shape: bigrams form map-side (slice-zip, one explode), the
+    * (doc, bigram, tf) aggregation is two-phase, the per-distinct-bigram
+    * surprisal table joins back broadcast at phrase-vocabulary sizes
+    * (`broadcastTerms = false` → (l, r)-key shuffle join at web scale),
+    * and the unigram history table attaches to it broadcast; text never
+    * crosses an exchange.
+    */
+  def bigramSurprisalStats(docs: DataFrame, idCol: String, textCol: String,
+      broadcastTerms: Boolean = true): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val pairsCol = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+    def pairs = docs.select(col(idCol), explode(pairsCol).as("p"))
+      .groupBy(col(idCol), col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("tf"))
+    val c2 = pairs.groupBy(col("l"), col("r")).agg(sum(col("tf")).as("c2"))
+    val c1 = docs.select(explode(toks).as("l"))
+      .groupBy(col("l")).agg(count(lit(1)).as("c1"))
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val sup = c2.join(broadcast(c1), Seq("l"))
+      .select(col("l"), col("r"), ilog2(expr("c1 DIV c2")).as("sup"))
+    pairs.join(if (broadcastTerms) broadcast(sup) else sup, Seq("l", "r"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("sup")).as("sum_surprisal"))
+      .withColumn("mean_surprisal",
+        col("sum_surprisal").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Corpus-wide adjacent-token-pair counts — the statistic at the heart
     * of BPE/WordPiece vocabulary induction: each merge step picks the
     * most frequent adjacent pair, so tokenizer training over a corpus is

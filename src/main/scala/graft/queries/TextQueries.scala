@@ -342,6 +342,13 @@ object TextQueries {
     "text_surprisal" -> ((s, dir) =>
       graft.functions.TermStats.surprisalStats(docs(s, dir), "doc_id",
         "text")),
+    // bigram conditional surprisal (integer-exact KenLM-style quality
+    // proxy): per-doc mean floor(log2(c(a)/c(a,b))) over adjacent pairs
+    // — distinguishes shuffled word salad from natural order where the
+    // unigram model cannot
+    "text_bigram_surprisal" -> ((s, dir) =>
+      graft.functions.TermStats.bigramSurprisalStats(docs(s, dir),
+        "doc_id", "text")),
     // epoch-repetition materialization: quality-proportional weights in
     // [0,3] — docs repeat floor(w) times plus a deterministic fractional
     // copy, exercising up-sampling, down-sampling, and dropping
@@ -928,6 +935,29 @@ object TextQueries {
            |SELECT doc_id, t.copy FROM n,
            |  UNNEST(range(1, n + 1)) AS t(copy)
            |WHERE n >= 1""".stripMargin,
+      "text_bigram_surprisal" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |bg AS (
+           |  SELECT doc_id, w[i] AS l, w[i + 1] AS r,
+           |    CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM t, unnest(range(1, len(w))) AS u(i)
+           |  GROUP BY doc_id, l, r
+           |),
+           |c2 AS (SELECT l, r, CAST(SUM(tf) AS BIGINT) AS c2 FROM bg GROUP BY l, r),
+           |c1 AS (SELECT term AS l, CAST(COUNT(*) AS BIGINT) AS c1
+           |       FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+           |       GROUP BY term),
+           |sup AS (
+           |  SELECT c2.l, c2.r,
+           |    CAST(length(bin(c1 // c2)) - 1 AS BIGINT) AS sup
+           |  FROM c2 JOIN c1 ON c2.l = c1.l
+           |)
+           |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           |  CAST(SUM(tf * sup) AS BIGINT) AS sum_surprisal,
+           |  CAST(SUM(tf * sup) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
+           |    AS mean_surprisal
+           |FROM bg JOIN sup ON bg.l = sup.l AND bg.r = sup.r
+           |GROUP BY doc_id""".stripMargin,
       "text_pmi_pairs" ->
         """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
           |p0 AS (

@@ -116,16 +116,30 @@ object VectorQueries {
       import graft.functions.Embeddings
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
-      val codes = e.select(col("vec_id"),
-        Embeddings.pqEncode(col("embedding")).as("codes"))
+      // materialize the grid vector ONCE per row, then encode through a
+      // cheap element_at accessor: inlining grid64 into every (m, c, d)
+      // term instantiates it 512x per row — past the codegen method
+      // limit, so the whole encode fell back to interpreted evaluation
+      // (~20x slower at sf0.1). CollapseProject keeps the boundary
+      // because the alias is non-cheap and used many times.
+      val gridArr = array((0 until 64).map(i =>
+        Embeddings.grid64(col("embedding"), i)): _*)
+      val codeCols = Embeddings
+        .pqEncodeColsAt(i => element_at(col("cv"), i + 1))
+      val codes = e.select(col("vec_id"), gridArr.as("cv"))
+        .select(Seq(col("vec_id")) ++
+          codeCols.zipWithIndex.map { case (c, m) => c.as(s"__pq$m") }: _*)
+        .select(col("vec_id"),
+          array(codeCols.indices.map(m => col(s"__pq$m")): _*).as("codes"))
       val queries = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .select(col("vec_id").as("query_id"), gridArr.as("qcv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("pq_dist"), col("vec_id"))
       codes.join(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("pq_dist",
-          Embeddings.pqDistance(col("qv"), col("codes")))
+          Embeddings.pqDistanceAt(i => element_at(col("qcv"), i + 1),
+            col("codes")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 20)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -139,41 +153,72 @@ object VectorQueries {
       import graft.functions.Embeddings
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
-      def score(vec: Column, c: Int): Column =
+      // every derived vector (grid, scores, residual) materializes as an
+      // array column in its own projection, and encode/ADC read through
+      // element_at accessors: inlining the residual expression into all
+      // 512 encode terms exceeded the codegen method limit and dropped
+      // the whole stage to interpreted eval — 93 s at sf0.1 vs ~1 s in
+      // this shape, bit-identical results
+      val gridArr = array((0 until 64).map(i =>
+        Embeddings.grid64(col("embedding"), i)): _*)
+      def scoreC(cv: Column, c: Int): Column =
         (0 until 64).map(i =>
-          Embeddings.grid64(vec, i) * lit(IvfPqGrid(c)(i).toLong))
+          element_at(cv, i + 1) * lit(IvfPqGrid(c)(i).toLong))
           .reduce(_ + _)
-      def assignCol(vec: Column): Column = {
-        val sc = array((0 until 16).map(c => score(vec, c)): _*)
-        array_position(sc, array_max(sc)) // 1-based, first on ties
-      }
       val gridLit = typedlit(IvfPqGrid.map(_.toSeq).toSeq)
-      def residual(vec: Column, cid: Column)(i: Int): Column =
-        Embeddings.grid64(vec, i) -
-          element_at(element_at(gridLit, cid.cast("int")), i + 1).cast("long")
-      val corpus = e
-        .select(col("vec_id"), col("embedding"),
-          assignCol(col("embedding")).cast("long").as("cid"))
+      def residArr(cv: Column, cid: Column): Column =
+        array((0 until 64).map(i =>
+          element_at(cv, i + 1) -
+            element_at(element_at(gridLit, cid.cast("int")), i + 1)
+              .cast("long")): _*)
+      // persist() between stages is a hard optimizer barrier: each
+      // projection reads MATERIALIZED columns, so no rule can re-inline
+      // a 64-term array into its hundreds of downstream uses (the
+      // unbarriered chain blew the driver heap during optimization).
+      // The persisted frames are exactly the index-build artifacts a
+      // production ANN pipeline writes out: (vector, cell) and the
+      // residual codes
+      val assigned = e
+        .select(col("vec_id"), gridArr.as("cv"))
+        .select(Seq(col("vec_id"), col("cv")) ++
+          (0 until 16).map(c => scoreC(col("cv"), c).as(s"__s$c")): _*)
+        .withColumn("__sc", array((0 until 16).map(c => col(s"__s$c")): _*))
+        .select(col("vec_id"), col("cv"),
+          array_position(col("__sc"), array_max(col("__sc"))).cast("long")
+            .as("cid"))
+        .persist()
+      val withResid = assigned
         .select(col("vec_id"), col("cid"),
-          Embeddings.pqEncodeAt(residual(col("embedding"), col("cid")))
-            .as("codes"))
+          residArr(col("cv"), col("cid")).as("rv"))
+        .persist()
+      val codeCols = Embeddings
+        .pqEncodeColsAt(i => element_at(col("rv"), i + 1))
+      val corpus = withResid
+        .select(Seq(col("vec_id"), col("cid")) ++
+          codeCols.zipWithIndex.map { case (c, m) => c.as(s"__pq$m") }: _*)
+        .select(col("vec_id"), col("cid"),
+          array(codeCols.indices.map(m => col(s"__pq$m")): _*).as("codes"))
       val q = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val probes = q.select(col("query_id"), col("qv"),
-          posexplode(array((0 until 16).map(c => score(col("qv"), c)): _*))
+        .select(col("vec_id").as("query_id"), gridArr.as("qcv"))
+      val probes = q
+        .select(Seq(col("query_id"), col("qcv")) ++
+          (0 until 16).map(c => scoreC(col("qcv"), c).as(s"__s$c")): _*)
+        .select(col("query_id"), col("qcv"),
+          posexplode(array((0 until 16).map(c => col(s"__s$c")): _*))
             .as(Seq("cid0", "score")))
         .withColumn("cid", (col("cid0") + 1).cast("long"))
       val pw = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cid"))
       val probed = probes
         .withColumn("pr", row_number().over(pw)).filter(col("pr") <= 4)
-        .select(col("query_id"), col("qv"), col("cid"))
+        .select(col("query_id"), col("cid"),
+          residArr(col("qcv"), col("cid")).as("rqv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("pq_dist"), col("vec_id"))
       broadcast(probed).join(corpus, Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("pq_dist",
-          Embeddings.pqDistanceAt(residual(col("qv"), col("cid")),
+          Embeddings.pqDistanceAt(i => element_at(col("rqv"), i + 1),
             col("codes")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)

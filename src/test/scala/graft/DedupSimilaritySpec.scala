@@ -720,6 +720,23 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, 2L, 3L, 1.5)))
   }
 
+  test("bigram surprisal: hand-computed conditional integer log2") {
+    import graft.functions.TermStats
+    // unigrams: a=4 b=1 c=1; bigrams: (a,a)=2 (a,b)=1 (a,c)=1
+    // sup(a,a)=ilog2(4/2)=1; sup(a,b)=sup(a,c)=ilog2(4/1)=2
+    val df = Seq((1L, "a a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TermStats.bigramSurprisalStats(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "sum_surprisal", "mean_surprisal")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 3L, 4L, 4.0 / 3),
+      (2L, 1L, 2L, 2.0)))
+    // a single-token document has no bigrams and drops from the output
+    val short = Seq((1L, "only")).toDF("doc_id", "text")
+    assert(TermStats.bigramSurprisalStats(short, "doc_id", "text")
+      .count() === 0)
+  }
+
   test("quality rules: each gate trips on its crafted document") {
     // default (published Gopher) thresholds; one doc per failing rule
     val good = ("the quick brown lore " * 20).trim // 80 words, stopword, alpha
