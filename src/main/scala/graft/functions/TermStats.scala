@@ -222,6 +222,55 @@ object TermStats {
         col("sum_weight").cast("double") / col("n_tokens").cast("double"))
   }
 
+  // --- Count-Min sketch --------------------------------------------------
+  //
+  // The mergeable approximate-counting structure (Cormode & Muthukrishnan)
+  // as DATA: CmRows × CmWidth counters built by one aggregation, probed by
+  // a broadcast join. Estimates NEVER undercount (est = min over rows of
+  // the hashed bucket's counter ≥ true count); overcounts come from
+  // deterministic md5 collisions, so — unlike a randomized sketch — every
+  // estimate is bit-reproducible and the DuckDB oracle checks the exact
+  // values. Tables merge by entry-wise summation (same guarantee), which
+  // is what makes the sketch the 100 TB answer to "term counts without a
+  // corpus-sized vocabulary table": the sketch is 4×1024 longs no matter
+  // the corpus.
+
+  val CmRows = 4
+  val CmWidth = 1024
+
+  /** Bucket of `term` in sketch row `r` (salted 60-bit md5, cross-engine). */
+  def cmBucket(r: Int, term: Column): Column =
+    pmod(Sampling.keyHash60(concat(lit(s"cm$r:"), term)), lit(CmWidth))
+
+  /** The DuckDB mirror of [[cmBucket]] over expression `e`. */
+  def cmBucketSql(r: Int, e: String): String =
+    s"(${Sampling.keyHash60Sql(s"'cm$r:' || $e")} % $CmWidth)"
+
+  /** Build the sketch from a token stream: one (row, bucket, cnt) frame
+    * of at most CmRows·CmWidth rows — the buckets fan out map-side
+    * (posexplode of the per-token bucket array) and the count
+    * partial-aggregates, so the exchange is bounded by the sketch size
+    * per input partition, never the corpus.
+    */
+  def countMinSketch(tokens: DataFrame, termCol: String): DataFrame =
+    tokens
+      .select(posexplode(array((0 until CmRows).map(r =>
+        cmBucket(r, col(termCol))): _*)).as(Seq("r", "bucket")))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Probe: per probe term the minimum counter across rows — the CM
+    * estimate. The sketch side broadcasts (bounded by construction).
+    */
+  def countMinEstimate(probes: DataFrame, termCol: String,
+      sketch: DataFrame): DataFrame = {
+    val melted = probes.select(col("*"),
+      posexplode(array((0 until CmRows).map(r =>
+        cmBucket(r, col(termCol))): _*)).as(Seq("r", "bucket")))
+    melted.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(probes.columns.map(col).toIndexedSeq: _*)
+      .agg(min(col("cnt")).as("est_count"))
+  }
+
   /** Bigram conditional surprisal — the next step up from
     * [[surprisalStats]]'s unigram model and the integer-exact stand-in
     * for the KenLM-perplexity quality gate of a CCNet-style pipeline:

@@ -342,6 +342,18 @@ object TextQueries {
     "text_surprisal" -> ((s, dir) =>
       graft.functions.TermStats.surprisalStats(docs(s, dir), "doc_id",
         "text")),
+    // Count-Min sketch probe: the top-20 exact term counts estimated
+    // through a 4×1024 CM table — deterministic md5 buckets make the
+    // collision overcounts oracle-exact; est >= true by construction
+    "vocab_count_min" -> ((s, dir) => {
+      import graft.functions.TermStats
+      val tok = docs(s, dir).select(explode(TA.tokens(col("text"))).as("term"))
+      val sketch = TermStats.countMinSketch(tok, "term")
+      val top = tok.groupBy(col("term")).agg(count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("term")).limit(20)
+      TermStats.countMinEstimate(top, "term", sketch)
+        .withColumn("no_underestimate", col("est_count") >= col("true_count"))
+    }),
     // bigram conditional surprisal (integer-exact KenLM-style quality
     // proxy): per-doc mean floor(log2(c(a)/c(a,b))) over adjacent pairs
     // — distinguishes shuffled word salad from natural order where the
@@ -935,6 +947,30 @@ object TextQueries {
            |SELECT doc_id, t.copy FROM n,
            |  UNNEST(range(1, n + 1)) AS t(copy)
            |WHERE n >= 1""".stripMargin,
+      "vocab_count_min" -> {
+        import graft.functions.TermStats.{cmBucketSql, CmRows}
+        val bucketRows = (0 until CmRows).map(r =>
+          s"SELECT $r AS r, ${cmBucketSql(r, "term")} AS bucket FROM tok")
+          .mkString("\n    UNION ALL ")
+        val probeRows = (0 until CmRows).map(r =>
+          s"SELECT term, true_count, $r AS r, ${cmBucketSql(r, "term")} AS bucket FROM top")
+          .mkString("\n    UNION ALL ")
+        s"""WITH tok AS (
+           |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+           |buckets AS (
+           |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           |    $bucketRows)
+           |  GROUP BY r, bucket),
+           |top AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS true_count FROM tok
+           |  GROUP BY term ORDER BY true_count DESC, term LIMIT 20),
+           |probe AS (
+           |    $probeRows)
+           |SELECT term, true_count, CAST(MIN(cnt) AS BIGINT) AS est_count,
+           |  CAST(MIN(cnt) AS BIGINT) >= true_count AS no_underestimate
+           |FROM probe JOIN buckets USING (r, bucket)
+           |GROUP BY term, true_count""".stripMargin
+      },
       "text_bigram_surprisal" ->
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
            |bg AS (

@@ -737,6 +737,25 @@ class DedupSimilaritySpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("count-min sketch: never undercounts, exact when collision-free") {
+    import graft.functions.TermStats
+    val tok = Seq("alpha", "alpha", "alpha", "beta", "beta", "gamma")
+      .toDF("term")
+    val sketch = TermStats.countMinSketch(tok, "term")
+    // sketch is bounded by construction
+    assert(sketch.count() <= TermStats.CmRows.toLong * TermStats.CmWidth)
+    val truth = tok.groupBy("term").agg(count(lit(1)).as("true_count"))
+    val got = TermStats.countMinEstimate(truth, "term", sketch)
+      .select("term", "true_count", "est_count")
+      .as[(String, Long, Long)].collect()
+    // CM guarantee: min-over-rows never undercounts; with 3 distinct
+    // terms in 4x1024 buckets the md5 placement is collision-free, so
+    // the estimates are exact (deterministic — a collision would be a
+    // permanent, visible test failure, not flake)
+    got.foreach { case (t, tc, est) => assert(est === tc, t) }
+    assert(got.map(_._1).toSet === Set("alpha", "beta", "gamma"))
+  }
+
   test("quality rules: each gate trips on its crafted document") {
     // default (published Gopher) thresholds; one doc per failing rule
     val good = ("the quick brown lore " * 20).trim // 80 words, stopword, alpha
