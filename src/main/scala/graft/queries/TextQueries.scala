@@ -342,6 +342,27 @@ object TextQueries {
     "text_surprisal" -> ((s, dir) =>
       graft.functions.TermStats.surprisalStats(docs(s, dir), "doc_id",
         "text")),
+    // dataset-version drift monitor: per-stratum doc/token accounting
+    // deltas between two corpus versions (here: the base corpus vs the
+    // dup-injected v2) — the "what changed since the last crawl" gate;
+    // full-outer so born and vanished strata both surface
+    "corpus_drift" -> ((s, dir) => {
+      def profile(df: DataFrame, tag: String) = df.groupBy(col("source"))
+        .agg(count(lit(1)).as(s"docs_$tag"),
+          sum(TA.tokenCount(col("text")).cast("long")).as(s"tokens_$tag"))
+      profile(docs(s, dir), "v1")
+        .join(profile(dupCorpus(docs(s, dir)), "v2"), Seq("source"),
+          "full_outer")
+        .select(col("source"),
+          coalesce(col("docs_v1"), lit(0L)).as("docs_v1"),
+          coalesce(col("docs_v2"), lit(0L)).as("docs_v2"),
+          (coalesce(col("docs_v2"), lit(0L)) -
+            coalesce(col("docs_v1"), lit(0L))).as("docs_delta"),
+          coalesce(col("tokens_v1"), lit(0L)).as("tokens_v1"),
+          coalesce(col("tokens_v2"), lit(0L)).as("tokens_v2"),
+          (coalesce(col("tokens_v2"), lit(0L)) -
+            coalesce(col("tokens_v1"), lit(0L))).as("tokens_delta"))
+    }),
     // Count-Min sketch probe: the top-20 exact term counts estimated
     // through a 4×1024 CM table — deterministic md5 buckets make the
     // collision overcounts oracle-exact; est >= true by construction
@@ -947,6 +968,24 @@ object TextQueries {
            |SELECT doc_id, t.copy FROM n,
            |  UNNEST(range(1, n + 1)) AS t(copy)
            |WHERE n >= 1""".stripMargin,
+      "corpus_drift" ->
+        s"""WITH v1 AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_v1,
+           |    CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS tokens_v1
+           |  FROM documents GROUP BY source),
+           |corpus AS ($dupCorpusSql),
+           |v2 AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_v2,
+           |    CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS tokens_v2
+           |  FROM corpus GROUP BY source)
+           |SELECT COALESCE(v1.source, v2.source) AS source,
+           |  COALESCE(docs_v1, 0) AS docs_v1,
+           |  COALESCE(docs_v2, 0) AS docs_v2,
+           |  COALESCE(docs_v2, 0) - COALESCE(docs_v1, 0) AS docs_delta,
+           |  COALESCE(tokens_v1, 0) AS tokens_v1,
+           |  COALESCE(tokens_v2, 0) AS tokens_v2,
+           |  COALESCE(tokens_v2, 0) - COALESCE(tokens_v1, 0) AS tokens_delta
+           |FROM v1 FULL OUTER JOIN v2 ON v1.source = v2.source""".stripMargin,
       "vocab_count_min" -> {
         import graft.functions.TermStats.{cmBucketSql, CmRows}
         val bucketRows = (0 until CmRows).map(r =>
