@@ -295,6 +295,23 @@ object AnalyticsQueries {
         .select(col("event_type"), col("hour"), col("c").as("n_events"),
           col("dev2"), col("nvar"))
     }),
+    // Z-order layout audit: Morton-interleave (user_id, event second)
+    // into a 32-bit clustering key, then per z-PREFIX range (the file
+    // boundary a lakehouse OPTIMIZE ZORDER writes) report both
+    // dimensions' min/max — the stats a scan planner prunes with. Pure
+    // map-side bit expressions + one small aggregation
+    "events_zorder" -> ((s, dir) => {
+      import graft.sources.Bucketing
+      val secs = expr("unix_micros(ts) DIV 1000000")
+      val z = Bucketing.zValue(col("user_id"), secs, bits = 16)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), secs.as("sec"), z.as("z"))
+        .withColumn("zbucket", shiftright(col("z"), 27))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+          min(col("sec")).as("min_sec"), max(col("sec")).as("max_sec"))
+    }),
     // fixed-width value histogram per event type: bin = floor(value/10)
     // — one partial-aggregating exchange on (type, bin), integer counts
     "events_histogram" -> ((s, dir) =>
@@ -333,6 +350,23 @@ object AnalyticsQueries {
             .as("p50_close"),
           (abs(col("ap90") - col("ex90")) <= col("ex90") * 0.01)
             .as("p90_close"))
+    }),
+    // sketch MERGEABILITY, the property that makes approximate distinct
+    // counting distribute: per-stratum DataSketches HLL sketches union
+    // into one global estimate (this is exactly how partial aggregates
+    // combine across 1000 executors — no stratum ever re-reads another's
+    // data). Self-graded like q_approx_distinct: the merged estimate
+    // must land within 5% of the in-plan exact distinct
+    "q_approx_distinct_merged" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val merged = li.groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = li.agg(countDistinct(col("l_partkey")).as("n_exact"))
+      exact.crossJoin(merged)
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.05).as("within_5pct"))
     }),
     // JSON scalar functions over the events props column: extraction,
     // cast, aggregation — pure codegen'd expressions
@@ -468,6 +502,17 @@ object AnalyticsQueries {
         |  st.n * st.ss - st.s * st.s AS nvar
         |FROM hourly h JOIN stats st ON h.event_type = st.event_type
         |WHERE (st.n * h.c - st.s) * (st.n * h.c - st.s) > 4 * (st.n * st.ss - st.s * st.s)""".stripMargin,
+    "events_zorder" -> {
+      import graft.sources.Bucketing
+      s"""WITH z AS (
+         |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+         |    ${Bucketing.zValueSql("user_id", "(epoch_us(ts) // 1000000)")} AS z
+         |  FROM events)
+         |SELECT z >> 27 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+         |  MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+         |  MIN(sec) AS min_sec, MAX(sec) AS max_sec
+         |FROM z GROUP BY zbucket""".stripMargin
+    },
     "events_histogram" ->
       """SELECT event_type, CAST(FLOOR(value / 10.0) AS BIGINT) AS bin,
         |  CAST(COUNT(*) AS BIGINT) AS n
@@ -479,6 +524,10 @@ object AnalyticsQueries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_approx_distinct_merged" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+        |  TRUE AS within_5pct
+        |FROM lineitem""".stripMargin,
     // self-grading verdict (see the q_approx_distinct pattern): DuckDB
     // owns the row count; TRUE asserts the sketch-vs-exact closeness —
     // if percentile_approx drifts past 1% the flag flips and the hash

@@ -41,4 +41,23 @@ class BucketingSpec extends SparkSpec {
     assert(stats.getAs[Long]("mismatched_partitions") === 100)
     assert(stats.getAs[Long]("matched_partitions") === 900)
   }
+
+  test("z-order interleave: hand-computed Morton codes, locality holds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // z(a=0b101, b=0b011, 3 bits): bit pattern b2 a2 b1 a1 b0 a0 =
+    // 0 1 1 0 1 1 = 27
+    val df = Seq((5L, 3L), (0L, 0L), (7L, 7L)).toDF("a", "b")
+    val z = df.select(col("a"),
+        Bucketing.zValue(col("a"), col("b"), bits = 3).as("z"))
+      .as[(Long, Long)].collect().toMap
+    assert(z(5L) === 27L)
+    assert(z(0L) === 0L)
+    assert(z(7L) === 63L) // full 3-bit interleave saturates 6 bits
+    // masking: only the low `bits` bits participate
+    val masked = Seq((5L + 8L, 3L + 8L)).toDF("a", "b")
+      .select(Bucketing.zValue(col("a"), col("b"), bits = 3))
+      .as[Long].head()
+    assert(masked === 27L)
+  }
 }
