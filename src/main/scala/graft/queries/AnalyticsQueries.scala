@@ -224,6 +224,26 @@ object AnalyticsQueries {
     "events_funnel" -> ((s, dir) =>
       Sessions.funnel(Tables.events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
+    // funnel conversion summary: users reaching each ordered depth plus
+    // the step conversion fraction — the dashboard row the per-user
+    // funnel feeds; one aggregation over the funnel's ≤1-row-per-user
+    // output, then a depth cumulative sum over ≤|stages| rows
+    "events_funnel_rates" -> ((s, dir) => {
+      val f = Sessions.funnel(Tables.events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      val byDepth = f.groupBy(col("stages_completed").as("depth"))
+        .agg(count(lit(1)).as("n_users"))
+      val w = Window.orderBy(col("depth").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDepth
+        .withColumn("n_reached", sum(col("n_users")).over(w))
+        .withColumn("total", sum(col("n_users")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("depth"), col("n_users"), col("n_reached"),
+          (col("n_reached").cast("double") / col("total").cast("double"))
+            .as("reach_frac"))
+    }),
     // cohort retention matrix: users grouped by first-active day, counted
     // per day-offset of later activity. Two partial-aggregating passes +
     // a user-key join (one row per user on the cohort side — broadcast at
@@ -691,6 +711,35 @@ object AnalyticsQueries {
         |FROM u LEFT JOIN s0 USING (user_id)
         |       LEFT JOIN s1 USING (user_id)
         |       LEFT JOIN s2 USING (user_id)""".stripMargin,
+    "events_funnel_rates" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, MIN(epoch_us(ts)) AS m0 FROM events
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS m1
+        |       FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.m0
+        |       GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS m2
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.m1
+        |       GROUP BY e.user_id),
+        |dep AS (
+        |  SELECT CAST(CASE WHEN s2.m2 IS NOT NULL THEN 3
+        |              WHEN s1.m1 IS NOT NULL THEN 2
+        |              WHEN s0.m0 IS NOT NULL THEN 1
+        |              ELSE 0 END AS BIGINT) AS depth
+        |  FROM u LEFT JOIN s0 USING (user_id)
+        |         LEFT JOIN s1 USING (user_id)
+        |         LEFT JOIN s2 USING (user_id)),
+        |d AS (SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_users
+        |      FROM dep GROUP BY depth)
+        |SELECT depth, n_users,
+        |  CAST(SUM(n_users) OVER (ORDER BY depth DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_reached,
+        |  CAST(SUM(n_users) OVER (ORDER BY depth DESC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(SUM(n_users) OVER () AS DOUBLE) AS reach_frac
+        |FROM d""".stripMargin,
     "json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
