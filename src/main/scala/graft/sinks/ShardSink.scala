@@ -28,18 +28,24 @@ object ShardSink {
     */
   def writeShards(df: DataFrame, idCol: String, path: String,
       nShards: Int, salt: String = "shuffle"): DataFrame = {
-    val sharded = Sampling.shuffleShards(df, idCol, nShards, salt)
-    sharded
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
-    val manifest = sharded.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(Sampling.keyHash60(col(idCol)).cast("decimal(38,0)"))
-          .as("id_checksum"))
-    manifest.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/_manifest")
-    manifest
+    // persist: the sharded frame feeds BOTH the data write and the
+    // manifest aggregation — without it the upstream shuffle (and
+    // whatever pipeline produced `df`) runs twice
+    val sharded = Sampling.shuffleShards(df, idCol, nShards, salt).persist()
+    try {
+      sharded
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos"))
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      val manifest = sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Sampling.keyHash60(col(idCol)).cast("decimal(38,0)"))
+            .as("id_checksum"))
+      manifest.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/_manifest")
+      // re-read so the returned frame does not pin the unpersisted cache
+      sharded.sparkSession.read.parquet(s"$path/_manifest")
+    } finally sharded.unpersist()
   }
 
   /** Audit a written shard directory against its manifest: recount and

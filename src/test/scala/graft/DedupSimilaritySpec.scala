@@ -1121,6 +1121,73 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(jac.count() === 0) // Jaccard 7/15 — invisible to the symmetric test
   }
 
+  test("co-occurrence PMI: property — counts match a naive fold") {
+    import graft.functions.TermStats
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val docGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    (0 until 5).foreach { i =>
+      val texts = Gen.listOfN(12, docGen)
+        .apply(Gen.Parameters.default, Seed(900L + i)).get
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val window = 1 + i % 3
+      // naive reference: ordered pairs within the forward window
+      val toks = texts.map(_.split(" ").filter(_.nonEmpty).toSeq)
+      val naivePairs = toks.flatMap { w =>
+        for (d <- 1 to window; k <- 0 until math.max(w.length - d, 0))
+          yield (w(k), w(k + d))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val naiveUni = toks.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val got = TermStats.cooccurPmi(df, "text", window, minCount = 1,
+          k = 1000)
+        .as[(String, String, Long, Long, Long, Long)].collect()
+      // Spark tokenization splits "" to [""], so restrict to nonempty
+      // docs for the comparison frame
+      val gotPairs = got.map(r => (r._1, r._2) -> r._3).toMap
+        .filter { case ((l, r), _) => l.nonEmpty && r.nonEmpty }
+      assert(gotPairs === naivePairs.filter {
+        case ((l, r), _) => l.nonEmpty && r.nonEmpty })
+      got.filter(r => r._1.nonEmpty && r._2.nonEmpty).foreach { r =>
+        assert(r._4 === naiveUni(r._1), s"c_left of ${r._1}")
+        assert(r._5 === naiveUni(r._2), s"c_right of ${r._2}")
+      }
+    }
+  }
+
+  test("kgram coverage: property — matches a naive shingle count") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val docGen = Gen.listOf(Gen.oneOf("x", "y", "z", "w")).map(_.mkString(" "))
+    (0 until 5).foreach { i =>
+      val texts = Gen.listOfN(10, docGen)
+        .apply(Gen.Parameters.default, Seed(700L + i)).get
+      val k = 2 + i % 2
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      // naive: shingle list per doc with the whole-doc short rule
+      def shingles(t: String): Seq[String] = {
+        val w = t.split(" ", -1).toSeq // Spark split keeps empty tokens
+        if (w.length < k) Seq(w.mkString(" "))
+        else w.sliding(k).map(_.mkString(" ")).toSeq
+      }
+      val perDoc = texts.zipWithIndex.map { case (t, j) =>
+        j.toLong -> shingles(t) }
+      val docsPerGram = perDoc.flatMap { case (id, gs) => gs.distinct
+        .map(_ -> id) }.groupBy(_._1).view.mapValues(_.size).toMap
+      val expect = perDoc.map { case (id, gs) =>
+        val dup = gs.count(g => docsPerGram(g) >= 2).toLong
+        id -> ((gs.size.toLong, dup,
+          dup.toDouble / math.max(gs.size.toLong, 1L)))
+      }.toMap
+      val got = Dedup.kgramDupCoverage(df, "doc_id", "text", k)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === expect, s"round $i k=$k")
+    }
+  }
+
   test("semantic dedup cells: identical vectors collapse, higher id drops") {
     import graft.queries.VectorQueries
     val same = (0 until 64).map(_ => 0.1f)
