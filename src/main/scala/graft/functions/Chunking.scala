@@ -41,4 +41,31 @@ object Chunking {
         col(textCol).substr(
           (col("chunk_start") + 1).cast("int"), lit(chunkLen)))
   }
+
+  /** TOKEN-window chunking — the sequence-budget sibling of [[chunk]]:
+    * windows of `maxTokens` whitespace tokens with `overlap` tokens
+    * shared between neighbors, boundaries that never split a token
+    * (char windows do). One row per chunk: `chunk_idx`, `tok_start`
+    * (0-based), `tok_end` (exclusive), `n_chunk_tokens`, `chunk_text`
+    * (tokens rejoined with single spaces). Same generator-expression
+    * shape: map-side only, no shuffle at any scale.
+    */
+  def chunkTokens(df: DataFrame, textCol: String,
+      maxTokens: Int, overlap: Int): DataFrame = {
+    require(maxTokens >= 1, "maxTokens must be >= 1")
+    require(overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val toks = TextAnalysis.tokens(col(textCol))
+    val len = coalesce(size(toks).cast("long"), lit(0L))
+    val extra = greatest(len - maxTokens, lit(0L))
+    val n = lit(1L) + ((extra + (stride - 1)) / lit(stride)).cast("long")
+    df.withColumn("chunk_idx", explode(sequence(lit(0L), n - 1)))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_end", least(col("tok_start") + maxTokens, len))
+      .withColumn("n_chunk_tokens", col("tok_end") - col("tok_start"))
+      .withColumn("chunk_text",
+        array_join(slice(toks, (col("tok_start") + 1).cast("int"),
+          lit(maxTokens)), " "))
+  }
 }

@@ -298,6 +298,13 @@ object TextQueries {
           chunkLen = 200, overlap = 50)
         .select("doc_id", "chunk_idx", "chunk_start", "chunk_end",
           "chunk_text")),
+    // token-window chunks (50 tokens, 10 overlap): the sequence-budget
+    // sibling of text_chunks — boundaries never split a token
+    "text_chunks_tokens" -> ((s, dir) =>
+      graft.functions.Chunking.chunkTokens(docs(s, dir), "text",
+          maxTokens = 50, overlap = 10)
+        .select("doc_id", "chunk_idx", "tok_start", "tok_end",
+          "n_chunk_tokens", "chunk_text")),
     // per-language quota: best 40 docs per lang by quality (ties by id)
     "sample_topk_per_lang" -> ((s, dir) =>
       Sampling.topKPerKey(
@@ -881,6 +888,18 @@ object TextQueries {
           |FROM documents, UNNEST(range(0,
           |  1 + CASE WHEN length(text) > 200
           |           THEN (length(text) - 200 + 149) // 150 ELSE 0 END)) AS t(i)""".stripMargin,
+      "text_chunks_tokens" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS lenw,
+          |        1 + CASE WHEN len(w) > 50 THEN (len(w) - 50 + 39) // 40
+          |                 ELSE 0 END AS nc
+          |      FROM d)
+          |SELECT doc_id, i AS chunk_idx, i * 40 AS tok_start,
+          |  LEAST(i * 40 + 50, lenw) AS tok_end,
+          |  LEAST(i * 40 + 50, lenw) - i * 40 AS n_chunk_tokens,
+          |  array_to_string(list_slice(w, i * 40 + 1, i * 40 + 50), ' ')
+          |    AS chunk_text
+          |FROM n, UNNEST(range(0, nc)) AS t(i)""".stripMargin,
       "sample_topk_per_lang" ->
         s"""SELECT doc_id, lang, quality FROM (
            |  SELECT doc_id, lang, q AS quality,
