@@ -509,6 +509,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nul === Seq((0L, 0L, 0L)))
   }
 
+  test("token chunking: windows tile in tokens, never splitting one") {
+    import graft.functions.Chunking
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, ten), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Chunking.chunkTokens(df, "text", maxTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "tok_start", "tok_end",
+        "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 0L, 4L, 4L, "t1 t2 t3 t4"),   // stride 3
+      (1L, 1L, 3L, 7L, 4L, "t4 t5 t6 t7"),   // overlap shares t4
+      (1L, 2L, 6L, 10L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 0L, 3L, 3L, "a b c")))        // short doc: one chunk
+    // no exchange: pure generator expressions over the scan
+    val plan = Chunking.chunkTokens(df, "text", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+  }
+
   test("per-key quota: exact winners, and the plan runs as WindowGroupLimit") {
     import graft.functions.Sampling
     val df = Seq((1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7),
