@@ -382,16 +382,30 @@ object Dedup {
     * representative per cluster, not per pair; A~B and B~C must collapse
     * to one group even when A~C was never emitted).
     *
-    * Min-label propagation to a fixpoint with an ACTIVE FRONTIER: a label
-    * can only lower a neighbor's label in the round after it moved, so
-    * each round joins the edges against just the labels that changed last
-    * round (initially the nodes whose fused-init label dropped below
-    * their id), not the whole label frame. Near-dup clusters are shallow
-    * (pairs/stars), so the frontier collapses to a handful of rows after
-    * round one and the per-round join cost falls with it; rounds needed =
-    * component diameter, bounded by `maxIters` (fixpoint reached iff the
-    * frontier empties, which doubles as the convergence test — no extra
-    * aggregate). Output: (id, cluster_id) for every id appearing in a pair.
+    * Min-label propagation to a fixpoint with an ACTIVE FRONTIER plus
+    * per-round POINTER HALVING. Propagation: a label can only lower a
+    * neighbor's label in the round after it moved, so each round joins
+    * the edges against just the labels that changed last round (initially
+    * the nodes whose fused-init label dropped below their id), not the
+    * whole label frame. Halving: each round every node also adopts its
+    * label's label (`lbl ← lbl(lbl)`, a self-join of the persisted label
+    * frame — labels are node ids, so the lookup always lands), the
+    * pointer-jumping step of parallel connectivity algorithms (Shiloach–
+    * Vishkin; the same device that gives MapReduce CC algorithms à la
+    * Kiveris et al.'s two-phase/large-star their round bound). Plain
+    * propagation needs diameter rounds — a 1000-link chain of near-dup
+    * docs takes 1000 rounds; with halving the label-pointer chains halve
+    * while propagation extends them, so the distance a label covers
+    * doubles per round and convergence is O(log diameter) rounds
+    * regardless of component shape. Near-dup clusters are shallow
+    * (pairs/stars), so the frontier still collapses to a handful of rows
+    * after round one and the per-round edge join stays frontier-sized;
+    * the halving self-join reads the persisted label frame, two narrow
+    * columns. Fixpoint is reached iff the frontier empties (any
+    * improvement — propagated or halved — re-enters the frontier and is
+    * re-offered, so an empty frontier certifies stability), bounded by
+    * `maxIters`. Output: (id, cluster_id) for every id appearing in a
+    * pair.
     *
     * Lineage: each round's plan references the previous round's labels
     * AND frontier, so Catalyst's analysis cost doubles per round if never
@@ -458,11 +472,18 @@ object Dedup {
         .join(frontier.select(col("id").as("__fid"), col("lbl").as("__flbl")),
           edges("dst") === col("__fid"))
         .groupBy(edges("src").as("id")).agg(min(col("__flbl")).as("__cand"))
+      // pointer halving: every node also adopts its label's label from
+      // the persisted state — both references hit the cache, and the
+      // left_outer is formal (labels are node ids, the lookup matches)
+      val hop = state.select(col("id").as("__pid"), col("lbl").as("__plbl"))
       val stepped = state.select(col("id"), col("lbl"))
+        .join(hop, col("lbl") === col("__pid"), "left_outer")
         .join(cand, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("__cand"), col("lbl"))).as("lbl"),
-          coalesce(col("__cand") < col("lbl"), lit(false)).as("__moved"))
+        .select(col("id"), col("lbl").as("__old"),
+          least(col("lbl"), coalesce(col("__plbl"), col("lbl")),
+            coalesce(col("__cand"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl"),
+          (col("lbl") < col("__old")).as("__moved"))
       val isCut = iter % checkpointEvery == 0
       state = if (isCut) cut(stepped) else stepped.persist()
       frontier = state.filter(col("__moved")).select(col("id"), col("lbl"))
@@ -483,8 +504,8 @@ object Dedup {
     if (nMoved > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dupClusters: labels still moving after maxIters=$maxIters rounds " +
-          "(component diameter exceeds the bound) — cluster_ids may split " +
-          "one true component into several; raise maxIters")
+          "(component diameter exceeds ~2^maxIters) — cluster_ids may " +
+          "split one true component into several; raise maxIters")
     state.select(col("id"), col("lbl").as("cluster_id"))
   }
 

@@ -152,13 +152,19 @@ object Similarity {
     * centroid's list; a query probes its `nprobe` nearest lists and
     * reranks candidates exactly. The candidate join shuffles on the list
     * id only — never all-pairs — and candidate volume is ~nprobe/nlist of
-    * the corpus per query. `nlist` should grow with corpus size (√n is
-    * the usual rule) to keep lists, and so join skew, bounded.
+    * the corpus per query. `nlist` must grow with corpus size (√n rule)
+    * to keep lists, and so join skew, bounded: `nlist <= 0` (default)
+    * self-sizes via [[ScaleHints]] from a count over the pruned id column
+    * (training already runs driver-side actions, so the count is noise
+    * here — unlike [[nearDupPairs]]' hot path).
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame =
+      nlist: Int = 0, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val n = if (nlist > 0) nlist
+      else ScaleHints.forCount(df.select(col(idCol)).count()).nlist
     ivfTopKWith(df, idCol, vecCol, k,
-      trainCentroids(df, idCol, vecCol, nlist, iters), nprobe)
+      trainCentroids(df, idCol, vecCol, n, iters), nprobe)
+  }
 
   /** [[ivfTopK]] with a GIVEN coarse quantizer — the search mechanics
     * (assignment, probe selection, candidate join, exact rerank)
@@ -215,22 +221,31 @@ object Similarity {
     * so the pair space distributes as a shuffled equi-join on the block
     * key — per-task work and memory are (n/blocks)·n, tunable to the
     * cluster. For unbounded corpora use [[nearDupPairsLsh]].
+    *
+    * The size guard costs one extra action (a count over the pruned id
+    * column). A caller that already knows its input is bounded — a fixed
+    * sample, a bench corpus — passes `maxRows = -1` to skip it, paying
+    * zero overhead on the hot path; `blocks <= 0` auto-sizes the block
+    * count as √n ([[ScaleHints]]), which needs the same count.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, blocks: Int = 32, maxRows: Long = 2000000L): DataFrame = {
+      threshold: Double, blocks: Int = 0, maxRows: Long = 2000000L): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
-    // size guard scans only the pruned id column, not the vectors — the
-    // full-width frame is scanned exactly once, by the query itself
-    val cnt = df.select(col(idCol)).count()
-    require(cnt <= maxRows,
+    // the count (guard + auto-sizing share one) scans only the pruned id
+    // column, not the vectors — the full-width frame is scanned exactly
+    // once, by the query itself
+    val cnt = if (maxRows >= 0 || blocks <= 0) df.select(col(idCol)).count() else -1L
+    if (maxRows >= 0) require(cnt <= maxRows,
       s"nearDupPairs is exact (O(n^2)): corpus has $cnt rows > maxRows=$maxRows; " +
-        "use nearDupPairsLsh for unbounded corpora or raise maxRows explicitly")
+        "use nearDupPairsLsh for unbounded corpora or raise maxRows explicitly " +
+        "(maxRows = -1 skips the guard)")
+    val nBlocks = if (blocks > 0) blocks else ScaleHints.forCount(cnt).pairBlocks
     // pair {a,b} meets exactly once: in a's block, with b arriving via
     // replication; the id ordering then keeps one orientation
-    val x = v.withColumn("b", pmod(xxhash64(col("id")), lit(blocks)))
+    val x = v.withColumn("b", pmod(xxhash64(col("id")), lit(nBlocks)))
     val y = v.withColumn("b",
-      explode(array((0 until blocks).map(lit(_)): _*)))
+      explode(array((0 until nBlocks).map(lit(_)): _*)))
     x.as("x").join(y.as("y"),
         col("x.b") === col("y.b") && col("x.id") < col("y.id"))
       .withColumn("sim",
@@ -253,14 +268,25 @@ object Similarity {
     * Output: (idCol, cid, keep) for every input vector.
     *
     * Scale shape: assignment is scan-local; the only data exchange keys
-    * on the cell id, and per-task work is O(cell²). Grow the number of
-    * grid rows with corpus size (√n rule, exactly as IVF's nlist) to
-    * keep cells — and so join skew — bounded; a trained k-means codebook
-    * from [[trainCentroids]] slots in as `grid` unchanged apart from
-    * losing oracle-exactness.
+    * on (cell id, sub-block). Grow the number of grid rows with corpus
+    * size (√n rule, exactly as IVF's nlist) to keep cells bounded; a
+    * trained k-means codebook from [[trainCentroids]] slots in as `grid`
+    * unchanged apart from losing oracle-exactness. Because the codebook
+    * can never GUARANTEE balance — one popular cell goes quadratic in a
+    * single task group no matter how many cells exist — every cell larger
+    * than `cellCap` rows is additionally sub-split with the
+    * [[nearDupPairs]] hash-block shape: the left side keeps one block per
+    * row, the right side replicates across that cell's ⌈cell/cellCap⌉
+    * blocks, so the pair join keys on (cid, block) and per-task work is
+    * bounded at cellCap·cell rows whatever the skew. The split changes
+    * the plan only — every within-cell pair still meets exactly once, so
+    * the output is bit-identical to the unsplit join. `cellCap <= 0`
+    * (default) self-sizes as √n ([[ScaleHints]]) computed IN-PLAN from
+    * the cell-size table — no driver-side action.
     */
   def semanticDedupCells(df: DataFrame, idCol: String, vecCol: String,
-      grid: Array[Array[Int]], threshold: Double): DataFrame = {
+      grid: Array[Array[Int]], threshold: Double,
+      cellCap: Long = 0L): DataFrame = {
     val dims = grid(0).length
     def score(vec: Column, c: Int): Column =
       (0 until dims).map(i =>
@@ -272,8 +298,28 @@ object Similarity {
         array_position(sc, array_max(sc)).cast("long").as("cid"),
         cv.as("cv"))
       .withColumn("n", sqrt(dot(col("cv"), col("cv"))))
-    val dropped = v.as("x").join(v.as("y"),
-        col("x.cid") === col("y.cid") &&
+    // per-cell sizes: |grid| rows after the partial agg — broadcasts. The
+    // total rides along (an unpartitioned window over the already-tiny
+    // sizes frame — no 1-row cross join in the plan) so the √n auto-cap
+    // is a plan expression too.
+    import org.apache.spark.sql.expressions.Window
+    val sizes = v.groupBy(col("cid")).agg(count(lit(1)).as("__cn"))
+      .withColumn("__tot", sum(col("__cn")).over(Window.partitionBy()))
+    val cap: Column =
+      if (cellCap > 0) lit(cellCap)
+      else greatest(lit(1000L), ceil(sqrt(col("__tot"))).cast("long"))
+    val sized = v.join(broadcast(sizes), Seq("cid"))
+      .withColumn("__nb", greatest(
+        ceil(col("__cn").cast("double") / cap.cast("double")), lit(1)).cast("int"))
+      .drop("__cn", "__tot")
+    // pair {a,b} meets exactly once: in a's block of their shared cell,
+    // with b arriving via replication (nb = 1 for cells under the cap —
+    // the single-element generate is free)
+    val x = sized.withColumn("__b", pmod(xxhash64(col(idCol)), col("__nb")))
+    val y = sized.withColumn("__b",
+      explode(sequence(lit(0), col("__nb") - 1)))
+    val dropped = x.as("x").join(y.as("y"),
+        col("x.cid") === col("y.cid") && col("x.__b") === col("y.__b") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .filter(dot(col("x.cv"), col("y.cv")) /
         (col("x.n") * col("y.n")) > threshold)

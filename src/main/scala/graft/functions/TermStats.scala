@@ -141,13 +141,15 @@ object TermStats {
     * window offset, concatenated, then one explode — no shuffle to form
     * pairs), the count groupBy partial-aggregates, and the unigram table
     * (one row per distinct term) joins back broadcast at vocabulary
-    * sizes; both totals are 1-row broadcasts. The final top-k is a
+    * sizes (`broadcastTerms = false` → term-key shuffle joins for
+    * web-scale vocabularies, mirroring [[dsirWeights]]); both totals are
+    * 1-row broadcasts. The final top-k is a
     * per-partition heap. Caveat: the products inside ilog2 need
     * c_ab·T² < 2⁶³ — beyond ~10¹⁸ token-pairs move the same mechanics
     * onto decimal(38,0).
     */
   def cooccurPmi(docs: DataFrame, textCol: String, window: Int,
-      minCount: Int, k: Int): DataFrame = {
+      minCount: Int, k: Int, broadcastTerms: Boolean = true): DataFrame = {
     require(window >= 1 && minCount >= 1 && k >= 1,
       "need window, minCount, k >= 1")
     val toks = TextAnalysis.tokens(col(textCol))
@@ -164,11 +166,11 @@ object TermStats {
     val totT = uni.agg(sum(col("c")).as("t_tok"))
     val totP = pc.agg(sum(col("pair_count")).as("t_pair"))
     def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val uniL = uni.select(col("term").as("left_tok"), col("c").as("c_left"))
+    val uniR = uni.select(col("term").as("right_tok"), col("c").as("c_right"))
     pc.filter(col("pair_count") >= minCount)
-      .join(broadcast(uni.select(col("term").as("left_tok"),
-        col("c").as("c_left"))), Seq("left_tok"))
-      .join(broadcast(uni.select(col("term").as("right_tok"),
-        col("c").as("c_right"))), Seq("right_tok"))
+      .join(if (broadcastTerms) broadcast(uniL) else uniL, Seq("left_tok"))
+      .join(if (broadcastTerms) broadcast(uniR) else uniR, Seq("right_tok"))
       .crossJoin(broadcast(totT)).crossJoin(broadcast(totP))
       .select(col("left_tok"), col("right_tok"), col("pair_count"),
         col("c_left"), col("c_right"),
@@ -260,15 +262,20 @@ object TermStats {
 
   /** Probe: per probe term the minimum counter across rows — the CM
     * estimate. The sketch side broadcasts (bounded by construction).
+    * The sketch frame only materializes NON-EMPTY slots, so the lookup is
+    * a left join with empty slots read as 0: an out-of-corpus probe whose
+    * buckets are all (or partly) unpopulated estimates 0 (the true CM
+    * answer), instead of vanishing from the output or being estimated
+    * from only its colliding rows.
     */
   def countMinEstimate(probes: DataFrame, termCol: String,
       sketch: DataFrame): DataFrame = {
     val melted = probes.select(col("*"),
       posexplode(array((0 until CmRows).map(r =>
         cmBucket(r, col(termCol))): _*)).as(Seq("r", "bucket")))
-    melted.join(broadcast(sketch), Seq("r", "bucket"))
+    melted.join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy(probes.columns.map(col).toIndexedSeq: _*)
-      .agg(min(col("cnt")).as("est_count"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
   /** Bigram conditional surprisal — the next step up from

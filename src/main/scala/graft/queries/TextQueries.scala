@@ -461,8 +461,7 @@ object TextQueries {
     // → decontamination anti-join → exact-dedup canonical → PII audit +
     // redacted fingerprint → quality-weighted sample. One declarative
     // plan; text is projected away before any shuffle (hash/fingerprint/
-    // counts all computed in the scan), the contaminated set rides a
-    // broadcast anti-join
+    // counts all computed in the scan)
     "curate_corpus_full" -> ((s, dir) => {
       val corpus = dupCorpus(docs(s, dir))
       val bench = docs(s, dir).filter(col("doc_id") % 25 === 0)
@@ -484,9 +483,16 @@ object TextQueries {
       // once per leg (no exchange reuse across legs). Equivalent result
       // either way — the verdict is a pure function of the text, so an
       // identical-text group is contaminated all-or-nothing
+      // no broadcast() hint on the contaminated side: it is "docs with
+      // ≥50% bench n-gram overlap" — data-dependent and unbounded, and a
+      // forced hint overrides AQE's size check (a contamination-heavy
+      // corpus would OOM the driver). AQE picks BHJ when the set measures
+      // small at runtime and falls back to a shuffled join when not; the
+      // join stays an equi anti-join either way (plan-asserted in
+      // CurationPlanSpec), never a nested loop
       Sampling.weightedSample(
           Dedup.keepCanonicalByKey(base, "doc_id", "__h")
-            .join(broadcast(contaminated), Seq("doc_id"), "left_anti"),
+            .join(contaminated, Seq("doc_id"), "left_anti"),
           "doc_id", col("quality"))
         .select("doc_id", "lang_pred", "quality", "n_pii", "clean_fp")
     }),

@@ -27,18 +27,22 @@ object VectorQueries {
     "embed_centroids" -> ((s, dir) =>
       graft.functions.Embeddings.labelCentroids(
         emb(s, dir), "vec_id", "embedding", "label")),
-    // embedding-cosine near-dup pairs over a deterministic subset
+    // embedding-cosine near-dup pairs over a deterministic subset; the
+    // subset is bounded by construction (quarter of a fixed table), so
+    // the O(n²) size guard is skipped — its count() action exactly
+    // doubled this query's cost in the r8 bench
     "embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(
         emb(s, dir).filter(col("vec_id") % 4 === 0),
-        "vec_id", "embedding", threshold = 0.4)),
+        "vec_id", "embedding", threshold = 0.4, blocks = 32, maxRows = -1L)),
     // embedding semantic dedup end-to-end: near-dup pairs → connected
     // components → drop every non-canonical member; the kept id set is
     // what a SemDeDup-style pipeline ships downstream
     "embed_dedup_canonical" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") % 4 === 0)
       val pairs = Similarity.nearDupPairs(e, "vec_id", "embedding",
-        threshold = 0.4).select("id_a", "id_b")
+          threshold = 0.4, blocks = 32, maxRows = -1L)
+        .select("id_a", "id_b")
       val dropIds = Dedup.dupClusters(pairs)
         .filter(col("id") =!= col("cluster_id"))
         .select(col("id").as("vec_id"))
@@ -215,7 +219,7 @@ object VectorQueries {
           residArr(col("qcv"), col("cid")).as("rqv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("pq_dist"), col("vec_id"))
-      broadcast(probed).join(corpus, Seq("cid"))
+      val out = broadcast(probed).join(corpus, Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("pq_dist",
           Embeddings.pqDistanceAt(i => element_at(col("rqv"), i + 1),
@@ -224,6 +228,15 @@ object VectorQueries {
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("cid"), col("pq_dist"), col("rank"))
+      // the returned frame is materialized eagerly (a few dozen rows) so
+      // the index-build caches can be released HERE: unpersisting lazily-
+      // alive intermediates would re-expose the optimizer to the
+      // re-inlining blowup, and never unpersisting leaked cached blocks
+      // across bench/gate re-invocations of this lambda
+      val result = out.localCheckpoint()
+      assigned.unpersist()
+      withResid.unpersist()
+      result
     }),
     // SemDeDup-shaped semantic dedup: coarse k-means cells bound the
     // pair space (the published recipe clusters with faiss then dedups

@@ -1,0 +1,27 @@
+package graft
+
+import graft.queries.TextQueries
+
+/** Plan assertions for the composed curation pipelines — the queries
+  * whose scale behavior depends on Catalyst/AQE picking the right
+  * physical join, not just on the declared shape.
+  */
+class CurationPlanSpec extends SparkSpec {
+
+  test("curate_corpus_full decontamination anti-join is hash-based, never a nested loop") {
+    // the contaminated set is data-dependent and unbounded, so the query
+    // carries NO broadcast hint: AQE must still resolve the equi
+    // anti-join to a hash join at this scale (BHJ expected — the set
+    // measures tiny; SMJ is the acceptable at-scale fallback), and a
+    // BroadcastNestedLoopJoin anywhere in the final adaptive plan would
+    // mean the join degenerated
+    val df = TextQueries.queries("curate_corpus_full")(spark, Sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+}

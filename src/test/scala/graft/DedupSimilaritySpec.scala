@@ -281,8 +281,8 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("dupClusters: deep chain converges across checkpoint boundaries") {
-    // a 10-node path (diameter 9) forces ~9 frontier rounds, crossing the
-    // every-3rd-round lineage cut three times; label 0 must still reach
+    // a 10-node path (diameter 9) takes several propagate+halve rounds,
+    // crossing the every-3rd-round lineage cut; label 0 must still reach
     // the far end exactly
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.dupClusters(pairs, maxIters = 15)
@@ -294,6 +294,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(every === got)
   }
 
+  test("dupClusters: pointer halving converges a 50-chain in O(log n) rounds") {
+    // a 50-node path (diameter 49) is the adversarial shape for plain
+    // min-label propagation: 49 rounds. The propagate+halve rounds double
+    // the distance a label covers per round (d ≈ 2^t), so ⌈log₂ 50⌉ + 1
+    // = 7 rounds must fully converge it — this bound FAILS on
+    // propagation-only code
+    val pairs = (0L until 49L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs, maxIters = 7)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (0L to 49L).map(_ -> 0L).toMap)
+  }
+
   test("dupClusters: empty pair set returns an empty frame, correct schema") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b").filter(col("id_a") < 0)
     val got = Dedup.dupClusters(pairs)
@@ -301,18 +313,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.count() === 0)
   }
 
-  test("dupClusters: chain longer than maxIters still labels every node") {
-    // a 12-node path has diameter 11 > maxIters=3; min-label propagation
-    // cannot finish, but the call must return (id, cluster_id) for every
-    // node (warning logged) rather than loop or throw
-    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+  test("dupClusters: chain deeper than maxIters can cover still labels every node") {
+    // a 40-node path has diameter 39 > the ~2^3 distance maxIters=3
+    // propagate+halve rounds cover; the fixpoint cannot be reached, but
+    // the call must return (id, cluster_id) for every node (warning
+    // logged) rather than loop or throw
+    val pairs = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.dupClusters(pairs, maxIters = 3).as[(Long, Long)].collect().toMap
-    assert(got.keySet === (0L to 11L).toSet)
-    // labels are monotone toward the min: prefix nodes reached by <=3
-    // rounds carry the true label already
+    assert(got.keySet === (0L to 39L).toSet)
+    // labels are monotone toward the min: prefix nodes within the covered
+    // distance carry the true label already
     assert(got(0L) === 0L && got(1L) === 0L && got(2L) === 0L)
-    // and a diameter within the bound converges fully
-    val ok = Dedup.dupClusters(pairs, maxIters = 12).as[(Long, Long)].collect().toMap
+    // and enough rounds converge fully
+    val ok = Dedup.dupClusters(pairs, maxIters = 8).as[(Long, Long)].collect().toMap
     assert(ok.values.toSet === Set(0L))
   }
 
@@ -394,6 +407,43 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.nearDupPairs(e, "vec_id", "embedding", 0.9, maxRows = 10L)
     }
     assert(ex.getMessage.contains("nearDupPairsLsh"))
+  }
+
+  test("semanticDedupCells: hot cell is sub-split, output identical to unsplit") {
+    import graft.queries.VectorQueries
+    // plant a HOT CELL: 60 identical vectors land in one grid cell with
+    // pairwise cosine 1.0; six one-hot-ish vectors provide bystander cells
+    val hot = (0 until 64).map(i => 0.5f + 0.01f * i).toArray
+    val rows = (0L until 60L).map(id => (id, hot)) ++
+      (100L until 106L).map { id =>
+        val v = Array.fill(64)(0.01f)
+        v((id % 64).toInt) = if (id % 2 == 0) 1.0f else -1.0f
+        (id, v)
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    // cellCap = 8 forces ceil(60/8) = 8 sub-blocks on the hot cell; the
+    // block split must change the PLAN only — every within-cell pair
+    // still meets exactly once — so the output is bit-identical to the
+    // effectively-unsplit run (cap far above any cell size)
+    val split = Similarity.semanticDedupCells(df, "vec_id", "embedding",
+      VectorQueries.IvfPqGrid, threshold = 0.92, cellCap = 8L)
+    val whole = Similarity.semanticDedupCells(df, "vec_id", "embedding",
+      VectorQueries.IvfPqGrid, threshold = 0.92, cellCap = 1000000L)
+    val auto = Similarity.semanticDedupCells(df, "vec_id", "embedding",
+      VectorQueries.IvfPqGrid, threshold = 0.92) // cellCap <= 0: in-plan √n
+    val s = split.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(s === whole.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet)
+    assert(s === auto.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet)
+    // the hot cell dedups to its smallest id exactly
+    val hotKeep = s.filter(t => t._1 < 60L)
+    assert(hotKeep.count(_._3) === 1)
+    assert(hotKeep.find(_._3).map(_._1) === Some(0L))
+    // and the split plan really joins on (cid, block), no single-cell
+    // pair join and nothing nested-loop/cartesian
+    val plan = split.queryExecution.executedPlan.toString
+    assert(plan.contains("__b"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
   test("nearDupPairsLsh: planted near-identical pairs are found, plan is bucketed") {
@@ -773,6 +823,19 @@ class DedupSimilaritySpec extends SparkSpec {
     // permanent, visible test failure, not flake)
     got.foreach { case (t, tc, est) => assert(est === tc, t) }
     assert(got.map(_._1).toSet === Set("alpha", "beta", "gamma"))
+  }
+
+  test("count-min sketch: out-of-corpus probe estimates 0, not dropped") {
+    import graft.functions.TermStats
+    val tok = Seq("alpha", "alpha", "beta").toDF("term")
+    val sketch = TermStats.countMinSketch(tok, "term")
+    // the sketch frame only materializes populated slots, so an unseen
+    // term's empty buckets must read as counter 0 (the true CM estimate)
+    // via the left join — an inner join would drop the probe entirely
+    val probes = Seq("alpha", "zz_never_seen").toDF("term")
+    val got = TermStats.countMinEstimate(probes, "term", sketch)
+      .select("term", "est_count").as[(String, Long)].collect().toMap
+    assert(got === Map("alpha" -> 2L, "zz_never_seen" -> 0L))
   }
 
   test("quality rules: each gate trips on its crafted document") {
