@@ -294,10 +294,20 @@ object Similarity {
     val sc = array(grid.indices.map(c => score(col(vecCol), c)): _*)
     val cv = array((0 until dims).map(i =>
       Embeddings.grid64(col(vecCol), i).cast("double")): _*)
+    // the assignment frame is referenced FOUR times downstream (cell
+    // sizes, both pair-join sides, the final keep join) and Spark never
+    // shares common subtrees, so the expensive |grid|×dims argmax would
+    // run four times per row. Materialize it once, eagerly — this is the
+    // (vector, cell) assignment artifact a production SemDeDup pipeline
+    // persists anyway. localCheckpoint stores executor-local (fast, GC-
+    // freed, but not recomputable on executor loss — the same tradeoff
+    // documented on Dedup.dupClusters; swap for reliable checkpoints on
+    // long decommission-prone cluster runs).
     val v = df.select(col(idCol),
         array_position(sc, array_max(sc)).cast("long").as("cid"),
         cv.as("cv"))
       .withColumn("n", sqrt(dot(col("cv"), col("cv"))))
+      .localCheckpoint()
     // per-cell sizes: |grid| rows after the partial agg — broadcasts. The
     // total rides along (an unpartitioned window over the already-tiny
     // sizes frame — no 1-row cross join in the plan) so the √n auto-cap
