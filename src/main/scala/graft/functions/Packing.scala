@@ -89,4 +89,43 @@ object Packing {
         expr(s"CASE WHEN end_offset > start_offset THEN (end_offset - 1) DIV $seqLen ELSE start_offset DIV $seqLen END"))
       .drop("__n", "__local_end", "__base")
   }
+
+  /** Length-bucketed batching audit — the padding-waste accounting for
+    * the OTHER packing regime: when examples are NOT concatenated but
+    * padded to a per-batch length (SFT, contrastive, any example-aligned
+    * training), the standard efficiency move is bucketing by length so
+    * each batch pads to its bucket's upper bound instead of the global
+    * max. Buckets are powers of two capped at `seqLen` (the usual
+    * dynamic-batching grid; docs past `seqLen` truncate to it). Per
+    * bucket: document/token counts, padding tokens paid if every doc
+    * pads to the bucket bound, and the resulting fill fraction —
+    * integer-exact except the final ratio (a division of two longs).
+    *
+    * Output: (bucket_len, n_docs, n_tokens, n_padding, fill_frac),
+    * ascending by bucket.
+    *
+    * Scale shape: the bucket bound is a floor-log2 string-length
+    * expression in the scan ([[TermStats]]' `length(bin(x))` idiom — no
+    * floating log), and the only exchange is the partial-aggregating
+    * groupBy on ≤ log2(seqLen)+1 keys.
+    */
+  def lengthBuckets(docs: DataFrame, nTokens: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val len = least(greatest(nTokens.cast("long"), lit(1L)), lit(seqLen))
+    val capped = docs.select(len.as("__len"))
+      // next power of two >= len: 1 << bitlength(len - 1); len = 1 → 1
+      .withColumn("bucket_len", least(
+        when(col("__len") <= 1L, lit(1L))
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(length(bin(__len - 1)) AS INT))")),
+        lit(seqLen)))
+    capped.groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("n_tokens"),
+        sum(col("bucket_len") - col("__len")).as("n_padding"))
+      .withColumn("fill_frac", col("n_tokens").cast("double") /
+        (col("n_tokens") + col("n_padding")).cast("double"))
+      .orderBy(col("bucket_len"))
+  }
 }

@@ -207,6 +207,47 @@ object Sampling {
       .drop("__n_implicit")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-LM sampling
+    * rule (exponentiated up-weighting of low-resource strata, as used by
+    * mBERT/XLM-R/mT5): the target fraction of stratum i is
+    * `p_i^alpha / Σ_j p_j^alpha` where `p_i` is its natural token share,
+    * so `alpha = 1` keeps the natural mix and `alpha → 0` approaches
+    * uniform. Output mirrors [[mixtureWeights]]: per-stratum token
+    * accounting plus `weight = temp_frac / token_frac` and a capped
+    * `keep_prob` that feeds [[weightedSample]] directly.
+    *
+    * Exactness: `alpha = 0.5` (the default) evaluates as IEEE `sqrt` —
+    * correctly rounded on every engine, so scores are bit-reproducible
+    * cross-engine; other alphas go through `pow`, which carries no such
+    * guarantee (rows-only oracle there). The score normalization sums
+    * irrational doubles, so the sum runs over `decimal(20,18)` casts
+    * (exact addition, order-independent) and divides as doubles.
+    *
+    * Scale shape: identical to [[mixtureWeights]] — one partial-
+    * aggregating groupBy over the scan; every window runs over the
+    * aggregated one-row-per-stratum frame.
+    */
+  def temperatureWeights(df: DataFrame, stratumCol: String, nTokens: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val score =
+      if (alpha == 0.5) sqrt(col("token_frac"))
+      else pow(col("token_frac"), lit(alpha))
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(nTokens.cast("long")).as("n_tokens"))
+      .withColumn("token_frac",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w))
+      .withColumn("temp_score", score)
+      .withColumn("temp_frac", col("temp_score") /
+        sum(col("temp_score").cast("decimal(20,18)")).over(w).cast("double"))
+      .withColumn("weight", col("temp_frac") / col("token_frac"))
+      .withColumn("keep_prob", least(col("weight"), lit(1.0)))
+  }
+
   /** Materialize a reweighted mix: emit `floor(weight)` copies of every
     * row plus one more with probability `frac(weight)`, decided
     * deterministically by the row's key hash — the epoch-repetition step

@@ -339,6 +339,36 @@ object TextQueries {
           TA.tokenCount(col("text")), Map("src0" -> 0.2))
         .select("source", "n_docs", "n_tokens", "token_frac",
           "target_frac", "weight", "keep_prob")),
+    // temperature-scaled mixture (the multilingual-LM alpha-sampling
+    // rule): target fraction ∝ token_frac^0.5 — sqrt keeps every score
+    // IEEE-exact cross-engine, the score sum runs over decimal casts
+    "mix_temperature" -> ((s, dir) =>
+      Sampling.temperatureWeights(docs(s, dir), "source",
+          TA.tokenCount(col("text")), alpha = 0.5)
+        .select("source", "n_docs", "n_tokens", "token_frac",
+          "temp_score", "temp_frac", "weight", "keep_prob")),
+    // length-bucketed batching audit: pow-2 length buckets capped at 512,
+    // per-bucket padding tokens + fill fraction — the padding-waste
+    // accounting for example-aligned (pad-to-bucket) training
+    "pack_length_buckets" -> ((s, dir) =>
+      Packing.lengthBuckets(docs(s, dir), TA.tokenCount(col("text")),
+        seqLen = 512L)),
+    // quality-band pruning profile: docs/tokens per 0.1-wide quality
+    // band plus cumulative tokens from the top band down — the "where do
+    // I set the quality threshold to hit a token target" table
+    "text_quality_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).select(
+        least(floor(TA.qualityScore(col("text")) * 10).cast("long"),
+          lit(9L)).as("band"),
+        TA.tokenCount(col("text")).cast("long").as("__n"))
+      // the cumulative window sees the aggregated frame: at most 10 rows
+      val w = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+        .withColumn("cum_tokens_from_top", sum(col("n_tokens")).over(w))
+    }),
     // out-of-vocabulary profile vs the corpus's own top-30 terms — the
     // tokenizer-coverage quality signal
     "text_oov" -> ((s, dir) =>
@@ -959,6 +989,70 @@ object TextQueries {
            |  LEAST(target_frac / token_frac, CAST(1.0 AS DOUBLE)) AS keep_prob
            |FROM w""".stripMargin
       },
+      // mirrors temperatureWeights(.., alpha = 0.5): sqrt is IEEE
+      // correctly-rounded on both engines; the score sum goes through
+      // DECIMAL(20,18) casts so addition is exact and order-free
+      "mix_temperature" ->
+        s"""WITH agg AS (
+           |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY source
+           |), t AS (
+           |  SELECT source, n_docs, n_tokens,
+           |    CAST(n_tokens AS DOUBLE)
+           |      / CAST(CAST(SUM(n_tokens) OVER () AS BIGINT) AS DOUBLE) AS token_frac
+           |  FROM agg
+           |), s AS (
+           |  SELECT *, sqrt(token_frac) AS temp_score FROM t
+           |), n AS (
+           |  SELECT *, temp_score /
+           |    CAST(SUM(CAST(temp_score AS DECIMAL(20,18))) OVER () AS DOUBLE)
+           |      AS temp_frac
+           |  FROM s
+           |)
+           |SELECT source, n_docs, n_tokens, token_frac, temp_score, temp_frac,
+           |  temp_frac / token_frac AS weight,
+           |  LEAST(temp_frac / token_frac, CAST(1.0 AS DOUBLE)) AS keep_prob
+           |FROM n""".stripMargin,
+      // mirrors Packing.lengthBuckets(.., seqLen = 512): pow-2 bucket
+      // bound via the shared bit-length idiom (length(bin(x)))
+      "pack_length_buckets" ->
+        s"""WITH d AS (
+           |  SELECT LEAST(GREATEST(CAST(len($toks) AS BIGINT), 1), 512) AS len0
+           |  FROM documents
+           |), b AS (
+           |  SELECT len0,
+           |    LEAST(CASE WHEN len0 <= 1 THEN 1
+           |               ELSE (CAST(1 AS BIGINT) << length(bin(len0 - 1))) END,
+           |          512) AS bucket_len
+           |  FROM d
+           |)
+           |SELECT bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(len0) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(bucket_len - len0) AS BIGINT) AS n_padding,
+           |  CAST(CAST(SUM(len0) AS BIGINT) AS DOUBLE)
+           |    / CAST(CAST(SUM(len0) AS BIGINT)
+           |           + CAST(SUM(bucket_len - len0) AS BIGINT) AS DOUBLE)
+           |    AS fill_frac
+           |FROM b GROUP BY bucket_len""".stripMargin,
+      // mirrors the text_quality_bins band profile: floor(quality*10)
+      // capped at band 9, cumulative tokens from the top band down
+      "text_quality_bins" ->
+        s"""WITH d AS (
+           |  SELECT LEAST(CAST(floor(q * 10) AS BIGINT), 9) AS band,
+           |    CAST(len(w) AS BIGINT) AS n
+           |  FROM (SELECT ${TA.qualityScoreSql(toks)} AS q, $toks AS w
+           |        FROM documents)
+           |), g AS (
+           |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n) AS BIGINT) AS n_tokens
+           |  FROM d GROUP BY band
+           |)
+           |SELECT band, n_docs, n_tokens,
+           |  CAST(SUM(n_tokens) OVER (ORDER BY band DESC
+           |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |    AS cum_tokens_from_top
+           |FROM g""".stripMargin,
       "text_surprisal" ->
         s"""WITH tok AS (
            |  SELECT doc_id, unnest($toks) AS term FROM documents

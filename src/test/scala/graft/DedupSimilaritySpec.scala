@@ -329,6 +329,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ok.values.toSet === Set(0L))
   }
 
+  test("temperature weights: sqrt rebalances toward low-resource strata") {
+    import graft.functions.Sampling
+    // A holds 90% of tokens, B 10%: at alpha=0.5 the target fractions
+    // become sqrt(.9)/.sum and sqrt(.1)/.sum = 0.75 / 0.25
+    val df = Seq(("A", 90L), ("B", 10L)).toDF("src", "toks")
+    val got = Sampling.temperatureWeights(df, "src", col("toks"))
+      .select("src", "token_frac", "temp_frac", "weight", "keep_prob")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(math.abs(got("A")._2 - 0.9) < 1e-12)
+    val sA = math.sqrt(0.9); val sB = math.sqrt(0.1)
+    assert(math.abs(got("A")._3 - sA / (sA + sB)) < 1e-12)
+    assert(math.abs(got("B")._3 - sB / (sA + sB)) < 1e-12)
+    // low-resource stratum up-weights (>1), dominant one down-weights
+    assert(got("B")._4 > 1.0 && got("A")._4 < 1.0)
+    assert(got("B")._5 === 1.0) // keep_prob caps at 1
+    // alpha = 1 keeps the natural mix: temp_frac == token_frac
+    val nat = Sampling.temperatureWeights(df, "src", col("toks"), alpha = 1.0)
+      .select("token_frac", "temp_frac").as[(Double, Double)].collect()
+    nat.foreach { case (tf, pf) => assert(math.abs(tf - pf) < 1e-12) }
+  }
+
+  test("length buckets: pow-2 bounds, truncation at seqLen, exact padding") {
+    import graft.functions.Packing
+    val df = Seq(1L, 2L, 3L, 5L, 9L, 600L).toDF("n")
+    val got = Packing.lengthBuckets(df, col("n"), seqLen = 512L)
+      .select("bucket_len", "n_docs", "n_tokens", "n_padding")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      (1L, 1L, 1L, 0L),     // len 1 → bucket 1
+      (2L, 1L, 2L, 0L),     // len 2 → bucket 2 (exact fit)
+      (4L, 1L, 3L, 1L),     // len 3 → bucket 4
+      (8L, 1L, 5L, 3L),     // len 5 → bucket 8
+      (16L, 1L, 9L, 7L),    // len 9 → bucket 16
+      (512L, 1L, 512L, 0L)  // len 600 truncates to the 512 cap
+    ))
+  }
+
+  test("quality bands: per-band tokens reconcile and cumulate from the top") {
+    val got = TextQueries.queries("text_quality_bins")(spark, Sf)
+      .select("band", "n_tokens", "cum_tokens_from_top")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val total = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .as[Long].collect()(0)
+    // the lowest band's running total covers the whole corpus, and the
+    // cumulative column is exactly the suffix sum of the bands
+    assert(got.head._3 === total)
+    val suffix = got.map(_._2).scanRight(0L)(_ + _).init
+    assert(got.map(_._3).toSeq === suffix.toSeq)
+  }
+
   test("stratified sample is deterministic, fraction-accurate, shuffle-free") {
     import graft.functions.Sampling
     val a = Sampling.stratifiedSample(docs, "doc_id", "lang",
