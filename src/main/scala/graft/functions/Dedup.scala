@@ -474,10 +474,20 @@ object Dedup {
         .groupBy(edges("src").as("id")).agg(min(col("__flbl")).as("__cand"))
       // pointer halving: every node also adopts its label's label from
       // the persisted state — both references hit the cache, and the
-      // left_outer is formal (labels are node ids, the lookup matches)
-      val hop = state.select(col("id").as("__pid"), col("lbl").as("__plbl"))
-      val stepped = state.select(col("id"), col("lbl"))
-        .join(hop, col("lbl") === col("__pid"), "left_outer")
+      // left_outer is formal (labels are node ids, the lookup matches).
+      // Skipped in the FIRST loop round: near-dup graphs are mostly
+      // pairs/stars that converge before halving could help, and the
+      // extra self-join is a per-round fixed cost (~2 scheduled stages)
+      // those graphs would pay for nothing; deep chains still halve
+      // from round 2 on, keeping the O(log diameter) bound (+1 round).
+      val halved = iter >= 2
+      val base = state.select(col("id"), col("lbl"))
+      val withHop =
+        if (halved) base.join(
+          state.select(col("id").as("__pid"), col("lbl").as("__plbl")),
+          col("lbl") === col("__pid"), "left_outer")
+        else base.withColumn("__plbl", col("lbl"))
+      val stepped = withHop
         .join(cand, Seq("id"), "left_outer")
         .select(col("id"), col("lbl").as("__old"),
           least(col("lbl"), coalesce(col("__plbl"), col("lbl")),
