@@ -181,6 +181,38 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     Sketches.wordShingles(split(text, " "), n)
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — the MOSS algorithm): hash every word k-gram, slide a
+    * w-wide window over the hash sequence, keep each window's minimum.
+    * The guarantee the paper proves: any substring match of at least
+    * k + w - 1 words between two documents shares at least one
+    * fingerprint, at ~2/(w+1) the density of the full shingle set —
+    * this is the passage-level detector (plagiarism/clone/quote
+    * finding) where MinHash answers "how similar overall" but cannot
+    * say WHICH passages collide.
+    *
+    * Output: distinct `(idCol, fingerprint)` rows — the inverted-index
+    * form; documents sharing a passage join on the fingerprint key.
+    * Hashes are the cross-engine 60-bit md5 ([[Sampling.keyHash60]]),
+    * so the fingerprint set is oracle-exact.
+    *
+    * Scale shape: shingling, hashing, window minima and the per-doc
+    * dedup all run in the scan's project via the native [[WinnowExpr]]
+    * (one tight loop per row — the declarative transform/array_min/
+    * slice formulation is semantically identical but interpreted, and
+    * measured 17.7 s vs sub-second at sf0.1); the only explode is the
+    * final fingerprint generator (~2·len/(w+1) rows per doc after
+    * dedup). Documents shorter than k words degrade to one whole-text
+    * shingle exactly as [[wordShingles]] does.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val fps = Sketches.winnowFingerprints(wordShingles(col(textCol), k), w)
+    df.select(col(idCol), explode(fps).as("fingerprint"))
+  }
+
   /** MinHash parameters: k permutations h_i(x) = (a_i * x + b_i) mod p
     * over shingle hashes. Mersenne prime keeps products in Long range
     * after the inner pmod.

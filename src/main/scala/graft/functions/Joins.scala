@@ -95,10 +95,12 @@ object Joins {
     * degenerate interval (a multi-year validity range at the default
     * 1-hour bin) would otherwise explode into 10⁴–10⁵ copies of one row
     * and own the shuffle. Intervals wider than the clamp are routed down
-    * a separate BROADCAST path instead — such outliers are few by the
+    * a separate un-fanned path instead — such outliers are few by the
     * same assumption that makes binning work (binMicros ≈ typical width),
-    * so the broadcast side stays small while the equi-join plan of the
-    * normal population is preserved. The union of the two paths is
+    * so AQE broadcasts that side at runtime (falling back to a
+    * key-shuffled join if the assumption breaks) while the equi-join
+    * plan of the normal population is preserved. The union of the two
+    * paths is
     * exactly the unclamped result: the two interval populations are
     * disjoint, and each (point, interval) pair still meets once.
     */
@@ -122,8 +124,13 @@ object Joins {
         keyCols :+ bin)
       .filter(contains)
       .drop(bin)
+    // no forced broadcast on the outlier population: it is data-dependent
+    // (every interval could exceed the clamp on adversarial data), so the
+    // hint would override AQE's size check. AQE broadcasts it while it
+    // measures small — the expected case the docstring argues — and falls
+    // back to a key-shuffled join when it does not
     val wide = points
-      .join(broadcast(binned.filter(col(nb) > maxBinsPerInterval).drop(nb)),
+      .join(binned.filter(col(nb) > maxBinsPerInterval).drop(nb),
         keyCols)
       .filter(contains)
     narrow.unionByName(wide)

@@ -61,6 +61,14 @@ object Sketches {
   def wordShingles(words: Column, n: Int): Column =
     GraftColumnBridge.column(
       WordShinglesExpr(GraftColumnBridge.expression(words), n))
+
+  /** Distinct winnowing fingerprints of a shingle array: 60-bit md5
+    * hashes, w-wide window minima, first-appearance dedup — evaluated by
+    * the native [[WinnowExpr]].
+    */
+  def winnowFingerprints(shingles: Column, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowExpr(GraftColumnBridge.expression(shingles), w))
 }
 
 /** Static per-row kernels shared by interpreted eval and generated code
@@ -179,6 +187,42 @@ object SketchKernels {
     if (!seen) null else new GenericArrayData(mins)
   }
 
+  /** Winnowing fingerprints over a shingle array: hash every shingle to
+    * the cross-engine 60-bit md5 value ([[md5Hash64]] >>> 4 — identical
+    * to `conv(substr(md5(s),1,15),16,10)`), take the minimum of each
+    * w-wide window of consecutive hashes (one whole-array window when
+    * fewer than w shingles), and emit the distinct minima. Mirrors
+    * `array_distinct(transform(sequence(1, greatest(n-w+1, 1)),
+    * i -> array_min(slice(hashes, i, w))))` exactly, in one tight loop
+    * instead of ~n·w interpreted lambda frames with a per-element md5
+    * dispatch (measured 17.7 s → sub-second at sf0.1).
+    */
+  def winnowFingerprints(arr: ArrayData, w: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) =
+        if (arr.isNullAt(i)) Long.MaxValue
+        else md5Hash64(arr.getUTF8String(i)) >>> 4
+      i += 1
+    }
+    val nw = math.max(n - w + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nw)
+    var s = 0
+    while (s < nw) {
+      val end = math.min(s + w, n)
+      var m = Long.MaxValue
+      var j = s
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      if (seen.add(m)) out += m
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def hyperplaneSketch(arr: ArrayData, planes: Array[Array[Double]],
       dims: Int, isFloat: Boolean): Long = {
     val bits = planes.length
@@ -219,6 +263,26 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if w > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow expects array<string> and w > 0, got $t / w=$w")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.winnowFingerprints(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.winnowFingerprints($c, $w)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

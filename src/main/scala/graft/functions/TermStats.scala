@@ -224,6 +224,45 @@ object TermStats {
         col("sum_weight").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Vocabulary coverage curve: the fraction of all corpus tokens
+    * covered by the top-k most frequent terms, at each requested k —
+    * the diminishing-returns profile that sizes a tokenizer vocabulary.
+    * Ties rank deterministically (count desc, then term), so the curve
+    * is oracle-exact.
+    *
+    * Output: `(k, n_terms, covered_tokens, total_tokens, coverage)`,
+    * one row per requested k (`n_terms < k` when the vocabulary is
+    * smaller than k).
+    *
+    * Scale shape: the (term, count) table partial-aggregates out of the
+    * scan; the ranking window runs over THAT one-row-per-distinct-term
+    * frame (the standard vocab-profile frame — a diagnostics table, not
+    * a data path; swap in an approximate top-k at web-scale
+    * vocabularies). The k cut-points attach via a broadcast theta-join
+    * against a literal |ks|-row frame and the total as a 1-row
+    * broadcast.
+    */
+  def vocabCoverageCurve(docs: DataFrame, textCol: String,
+      ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "need at least one k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val uni = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val ranked = uni.withColumn("rank",
+      row_number().over(Window.orderBy(col("c").desc, col("term"))))
+    val tot = uni.agg(sum(col("c")).as("total_tokens"))
+    val cut = ks.map(_.toLong).toDF("k")
+    ranked.join(broadcast(cut), col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage", col("covered_tokens").cast("double") /
+        col("total_tokens").cast("double"))
+  }
+
   // --- Count-Min sketch --------------------------------------------------
   //
   // The mergeable approximate-counting structure (Cormode & Muthukrishnan)

@@ -47,8 +47,12 @@ object AnalyticsQueries {
         .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      // customer SCALES with the corpus (unlike nation/region), so no
+      // forced hint: AQE picks BHJ while the filtered segment measures
+      // small and falls back to a shuffled join at data scales where a
+      // forced broadcast would OOM the driver
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(revenue).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))

@@ -353,6 +353,17 @@ object TextQueries {
     "pack_length_buckets" -> ((s, dir) =>
       Packing.lengthBuckets(docs(s, dir), TA.tokenCount(col("text")),
         seqLen = 512L)),
+    // winnowing fingerprints (MOSS): per-doc window minima over 5-gram
+    // hashes — the passage-level detector; injected exact dups share
+    // their ENTIRE fingerprint set with their originals
+    "text_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
+        k = 5, w = 4)),
+    // vocabulary coverage curve: corpus token share covered by the
+    // top-{5,20,50} terms — the tokenizer-sizing profile
+    "vocab_coverage_curve" -> ((s, dir) =>
+      graft.functions.TermStats.vocabCoverageCurve(docs(s, dir), "text",
+        ks = Seq(5, 20, 50))),
     // quality-band pruning profile: docs/tokens per 0.1-wide quality
     // band plus cumulative tokens from the top band down — the "where do
     // I set the quality threshold to hit a token target" table
@@ -1035,6 +1046,44 @@ object TextQueries {
            |           + CAST(SUM(bucket_len - len0) AS BIGINT) AS DOUBLE)
            |    AS fill_frac
            |FROM b GROUP BY bucket_len""".stripMargin,
+      // mirrors winnowFingerprints(k=5, w=4): 5-gram shingles (short-doc
+      // fallback idiom), 60-bit md5 hashes, window-of-4 minima, per-doc
+      // distinct
+      "text_winnow" ->
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(w0) < 5 THEN [array_to_string(w0, ' ')]
+           |         ELSE list_transform(range(0, len(w0) - 4),
+           |                i -> array_to_string(list_slice(w0, i + 1, i + 5), ' ')) END
+           |      AS sh
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents)
+           |), h AS (
+           |  SELECT doc_id, list_transform(sh, s -> ${Sampling.keyHash60Sql("s")}) AS hs
+           |  FROM d
+           |), f AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, GREATEST(len(hs) - 3, 1) + 1),
+           |      i -> list_min(list_slice(hs, i, i + 3))) AS fps
+           |  FROM h
+           |)
+           |SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM f""".stripMargin,
+      // mirrors vocabCoverageCurve(ks = 5, 20, 50): deterministic tie
+      // ranking (count desc, term), coverage at each cut point
+      "vocab_coverage_curve" ->
+        s"""WITH tok AS (SELECT unnest($toks) AS term FROM documents),
+           |uni AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+           |r AS (SELECT term, c,
+           |        CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT) AS rank
+           |      FROM uni),
+           |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM uni),
+           |ks AS (SELECT CAST(k AS BIGINT) AS k
+           |       FROM (VALUES (5), (20), (50)) t(k))
+           |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           |  CAST(SUM(c) AS BIGINT) AS covered_tokens, total_tokens,
+           |  CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)
+           |    / CAST(total_tokens AS DOUBLE) AS coverage
+           |FROM r JOIN ks ON r.rank <= ks.k CROSS JOIN tot
+           |GROUP BY k, total_tokens""".stripMargin,
       // mirrors the text_quality_bins band profile: floor(quality*10)
       // capped at band 9, cumulative tokens from the top band down
       "text_quality_bins" ->

@@ -329,6 +329,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ok.values.toSet === Set(0L))
   }
 
+  test("winnowing: shared passage of k+w-1 words guarantees a common fingerprint") {
+    // the SIGMOD'03 guarantee: any match of length >= k + w - 1 = 8
+    // words shares at least one window minimum
+    val passage = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val df = Seq(
+      (1L, s"one two three $passage four five six seven eight nine"),
+      (2L, s"aa bb cc dd ee $passage ff gg hh ii jj kk"),
+      (3L, "totally different words with no overlap at all here today")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", k = 5, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared passage must collide")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // an exact duplicate shares its ENTIRE fingerprint set
+    val dup = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")).toDF("doc_id", "text")
+    val dfp = Dedup.winnowFingerprints(dup, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(dfp(1L) === dfp(2L))
+    // density: far fewer fingerprints than shingles (~2/(w+1))
+    val n = 200
+    val long = Seq((1L, (1 to n).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val cnt = Dedup.winnowFingerprints(long, "doc_id", "text").count()
+    assert(cnt < (n - 4) / 2, s"winnowed $cnt of ${n - 4} shingles — not sparse")
+  }
+
+  test("vocab coverage curve: hand-checked cuts, tie-stable, capped by vocab") {
+    import graft.functions.TermStats
+    // counts: a=4, b=3, c=2, d=1 → total 10
+    val df = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "a b")).toDF("doc_id", "text")
+    val got = TermStats.vocabCoverageCurve(df, "text", ks = Seq(1, 2, 10))
+      .select("k", "n_terms", "covered_tokens", "total_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, 1L, 4L, 10L),   // top-1 = a
+      (2L, 2L, 7L, 10L),   // a + b
+      (10L, 4L, 10L, 10L)  // whole vocabulary: n_terms caps at 4
+    ))
+  }
+
   test("temperature weights: sqrt rebalances toward low-resource strata") {
     import graft.functions.Sampling
     // A holds 90% of tokens, B 10%: at alpha=0.5 the target fractions
