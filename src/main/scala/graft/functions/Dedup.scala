@@ -213,6 +213,47 @@ object Dedup {
     df.select(col(idCol), explode(fps).as("fingerprint"))
   }
 
+  /** Clone/plagiarism candidate pairs from [[winnowFingerprints]] — the
+    * end use of the MOSS sketch: documents sharing >= `minShared`
+    * fingerprints, with each side's fingerprint count for
+    * containment-style normalization downstream
+    * (`n_shared / least(n_a, n_b)`). Because every >= k+w-1-word shared
+    * passage contributes a common fingerprint, a pair's `n_shared`
+    * tracks how much TEXT the documents share, not how similar their
+    * token distributions are — quotes and boilerplate-free partial
+    * copies surface here that MinHash's global Jaccard misses.
+    *
+    * Scale shape: same df-capped blocking as [[ngramJaccardPairs]] —
+    * fingerprints in more than `maxFpDf` documents are boilerplate and
+    * are dropped BEFORE the self-join, so one hot fingerprint can never
+    * own the job with a df² candidate blow-up; the join keys on the
+    * fingerprint, candidate fan-out <= maxFpDf per key. All groupBys
+    * partial-aggregate.
+    *
+    * Output: (id_a, id_b, n_shared, n_a, n_b), id_a < id_b.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxFpDf: Int = 100): DataFrame = {
+    require(minShared >= 1 && maxFpDf >= 1, "need minShared, maxFpDf >= 1")
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .withColumnRenamed(idCol, "id")
+    val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n_fps"))
+    val rare = fp.join(
+      fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxFpDf).select("fingerprint"),
+      Seq("fingerprint"))
+    rare.as("x").join(rare.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") &&
+          col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("id").as("id_a"), col("n_fps").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_fps").as("n_b")), Seq("id_b"))
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b")
+  }
+
   /** MinHash parameters: k permutations h_i(x) = (a_i * x + b_i) mod p
     * over shingle hashes. Mersenne prime keeps products in Long range
     * after the inner pmod.

@@ -359,6 +359,12 @@ object TextQueries {
     "text_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
         k = 5, w = 4)),
+    // winnow clone pairs over the dup-injected corpus: documents
+    // sharing >= 2 df-capped fingerprints — passage-level candidates
+    // that global-Jaccard sketches miss
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxFpDf = 100)),
     // vocabulary coverage curve: corpus token share covered by the
     // top-{5,20,50} terms — the tokenizer-sizing profile
     "vocab_coverage_curve" -> ((s, dir) =>
@@ -567,6 +573,30 @@ object TextQueries {
        |                i -> array_to_string(list_slice(w, i + 1, i + 5), ' ')) END
        |  ) AS shingle
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)""".stripMargin
+
+  /** Shared oracle fragment: distinct winnowing fingerprints per doc of
+    * `src` — 5-gram shingles (short-doc fallback idiom), 60-bit md5
+    * hashes, window-of-4 minima (mirrors
+    * `Dedup.winnowFingerprints(k = 5, w = 4)` exactly).
+    */
+  private def winnowFpSql(src: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w0) < 5 THEN [array_to_string(w0, ' ')]
+       |         ELSE list_transform(range(0, len(w0) - 4),
+       |                i -> array_to_string(list_slice(w0, i + 1, i + 5), ' ')) END
+       |      AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w0 FROM $src)
+       |), h AS (
+       |  SELECT doc_id, list_transform(sh, s -> ${Sampling.keyHash60Sql("s")}) AS hs
+       |  FROM d
+       |), f AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, GREATEST(len(hs) - 3, 1) + 1),
+       |      i -> list_min(list_slice(hs, i, i + 3))) AS fps
+       |  FROM h
+       |)
+       |SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM f""".stripMargin
 
   /** Shared oracle fragment: distinct word 3-gram shingles per doc over
     * the dup-injected corpus (mirrors Dedup.wordShingles exactly).
@@ -1049,24 +1079,27 @@ object TextQueries {
       // mirrors winnowFingerprints(k=5, w=4): 5-gram shingles (short-doc
       // fallback idiom), 60-bit md5 hashes, window-of-4 minima, per-doc
       // distinct
-      "text_winnow" ->
-        s"""WITH d AS (
-           |  SELECT doc_id,
-           |    CASE WHEN len(w0) < 5 THEN [array_to_string(w0, ' ')]
-           |         ELSE list_transform(range(0, len(w0) - 4),
-           |                i -> array_to_string(list_slice(w0, i + 1, i + 5), ' ')) END
-           |      AS sh
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents)
-           |), h AS (
-           |  SELECT doc_id, list_transform(sh, s -> ${Sampling.keyHash60Sql("s")}) AS hs
-           |  FROM d
-           |), f AS (
-           |  SELECT doc_id,
-           |    list_transform(range(1, GREATEST(len(hs) - 3, 1) + 1),
-           |      i -> list_min(list_slice(hs, i, i + 3))) AS fps
-           |  FROM h
-           |)
-           |SELECT DISTINCT doc_id, unnest(fps) AS fingerprint FROM f""".stripMargin,
+      "text_winnow" -> winnowFpSql("documents"),
+      // mirrors winnowPairs(minShared=2, maxFpDf=100) over the
+      // dup-injected corpus: df-capped fingerprints, pair overlap
+      // counts, per-side fingerprint sizes
+      "dedup_winnow_pairs" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |wfp AS (${winnowFpSql("corpus")}),
+           |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           |          FROM wfp GROUP BY doc_id),
+           |rare AS (SELECT fingerprint FROM wfp
+           |         GROUP BY fingerprint HAVING COUNT(*) <= 100),
+           |fpr AS (SELECT wfp.doc_id, wfp.fingerprint
+           |        FROM wfp JOIN rare USING (fingerprint)),
+           |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+           |        CAST(COUNT(*) AS BIGINT) AS n_shared
+           |      FROM fpr x JOIN fpr y
+           |        ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+           |      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+           |SELECT id_a, id_b, n_shared, sa.n AS n_a, sb.n AS n_b
+           |FROM p JOIN sizes sa ON sa.doc_id = p.id_a
+           |       JOIN sizes sb ON sb.doc_id = p.id_b""".stripMargin,
       // mirrors vocabCoverageCurve(ks = 5, 20, 50): deterministic tie
       // ranking (count desc, term), coverage at each cut point
       "vocab_coverage_curve" ->

@@ -355,6 +355,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cnt < (n - 4) / 2, s"winnowed $cnt of ${n - 4} shingles — not sparse")
   }
 
+  test("winnow pairs: partial copy surfaces, boilerplate fingerprint capped out") {
+    // doc 2 quotes a 12-word passage of doc 1 inside otherwise-different
+    // text — a containment case global Jaccard scores low; doc 3 is
+    // unrelated. All docs share an 8-word boilerplate header whose
+    // fingerprints must be df-capped away (maxFpDf = 2 here: the header
+    // appears in all 3 docs).
+    val header = "standard site header words appear on every page"
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val df = Seq(
+      (1L, s"$header $passage a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (2L, s"$header b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 $passage"),
+      (3L, s"$header c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(df, "doc_id", "text",
+        minShared = 2, maxFpDf = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)),
+      "only the passage-sharing pair may survive the df cap")
+    // without the cap the shared header makes every pair a candidate
+    val uncapped = Dedup.winnowPairs(df, "doc_id", "text",
+        minShared = 1, maxFpDf = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 3)
+  }
+
   test("vocab coverage curve: hand-checked cuts, tie-stable, capped by vocab") {
     import graft.functions.TermStats
     // counts: a=4, b=3, c=2, d=1 → total 10
