@@ -163,4 +163,47 @@ object Decontaminate {
       .select(col(idCol), col("n_shingles"), col("n_boiler"),
         col("boiler_frac"))
   }
+
+  /** Pairwise SOURCE overlap matrix — the dataset-card diagnostic for a
+    * multi-source training mix: for every pair of sources, how many
+    * distinct word n-grams they share, with per-source totals and both
+    * containment fractions (a web crawl re-scraping a curated corpus
+    * shows up as high containment of the smaller side). The cross-SOURCE
+    * counterpart of [[ngramHits]]' corpus-vs-benchmark check.
+    *
+    * Output: (src_a, src_b, n_common, n_a, n_b, contain_a, contain_b),
+    * src_a < src_b lexically.
+    *
+    * Scale shape: the (source, shingle) frame dedups in one partial-
+    * aggregating pass keyed on the shingle hash; the self-join keys on
+    * the shingle, and — unlike document-pair joins — the per-key
+    * fan-out is bounded by the SOURCE count squared (sources number in
+    * the dozens), so no df cap is needed; the output is one row per
+    * source pair. Text never shuffles: shingles hash to 60-bit longs in
+    * the scan.
+    */
+  def sourceOverlap(corpus: DataFrame, stratumCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, "shingle size must be >= 1")
+    val sh = corpus.select(col(stratumCol).as("src"),
+        explode(array_distinct(Dedup.wordShingles(col(textCol), n)))
+          .as("__s"))
+      .select(col("src"), Sampling.keyHash60(col("__s")).as("__h"))
+      .distinct()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n_shingles"))
+    sh.as("x").join(sh.as("y"),
+        col("x.__h") === col("y.__h") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("src_a"), col("y.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("src").as("src_a"), col("n_shingles").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n_shingles").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        (col("n_common").cast("double") / col("n_a").cast("double"))
+          .as("contain_a"),
+        (col("n_common").cast("double") / col("n_b").cast("double"))
+          .as("contain_b"))
+  }
 }

@@ -359,6 +359,11 @@ object TextQueries {
     "text_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
         k = 5, w = 4)),
+    // pairwise source-overlap matrix: distinct 3-gram overlap between
+    // every source pair with both containment fractions — the
+    // dataset-card "do my sources re-scrape each other" diagnostic
+    "corpus_source_overlap" -> ((s, dir) =>
+      Decontaminate.sourceOverlap(docs(s, dir), "source", "text", n = 3)),
     // winnow clone pairs over the dup-injected corpus: documents
     // sharing >= 2 df-capped fingerprints — passage-level candidates
     // that global-Jaccard sketches miss
@@ -1080,6 +1085,31 @@ object TextQueries {
       // fallback idiom), 60-bit md5 hashes, window-of-4 minima, per-doc
       // distinct
       "text_winnow" -> winnowFpSql("documents"),
+      // mirrors sourceOverlap(n=3): distinct (source, 60-bit shingle
+      // hash) pairs, source-pair overlap counts, containment fractions
+      "corpus_source_overlap" ->
+        s"""WITH d AS (
+           |  SELECT source, string_split(text, ' ') AS w0 FROM documents
+           |), sh AS (
+           |  SELECT DISTINCT source AS src, ${Sampling.keyHash60Sql("s")} AS h
+           |  FROM (SELECT source, unnest(
+           |    CASE WHEN len(w0) < 3 THEN [array_to_string(w0, ' ')]
+           |         ELSE list_transform(range(0, len(w0) - 2),
+           |                i -> array_to_string(list_slice(w0, i + 1, i + 3), ' ')) END
+           |    ) AS s FROM d)
+           |), sizes AS (
+           |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY src
+           |), p AS (
+           |  SELECT x.src AS src_a, y.src AS src_b,
+           |    CAST(COUNT(*) AS BIGINT) AS n_common
+           |  FROM sh x JOIN sh y ON x.h = y.h AND x.src < y.src
+           |  GROUP BY 1, 2
+           |)
+           |SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           |  CAST(n_common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS contain_a,
+           |  CAST(n_common AS DOUBLE) / CAST(sb.n AS DOUBLE) AS contain_b
+           |FROM p JOIN sizes sa ON sa.src = p.src_a
+           |       JOIN sizes sb ON sb.src = p.src_b""".stripMargin,
       // mirrors winnowPairs(minShared=2, maxFpDf=100) over the
       // dup-injected corpus: df-capped fingerprints, pair overlap
       // counts, per-side fingerprint sizes

@@ -306,6 +306,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === (0L to 49L).map(_ -> 0L).toMap)
   }
 
+  test("dupClusters: reliable checkpoints produce the same clustering") {
+    // the fault-tolerant path for decommission-prone clusters: reliable
+    // checkpoint files instead of executor-local blocks; results must be
+    // identical and the aux caches must drain (no lingering persists)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val got = Dedup.dupClusters(pairs, maxIters = 8, reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(got === (0L to 12L).map(_ -> 0L).toMap)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("winnow kernel matches the declarative transform/array_min formulation") {
+    // property canary for the native WinnowExpr: on arbitrary token
+    // streams the one-pass kernel must produce exactly the fingerprint
+    // set of the interpreted lambda pipeline it replaced
+    import graft.functions.Sampling
+    val texts = (0 until 30).map { s =>
+      val rnd = new scala.util.Random(s)
+      val n = 1 + rnd.nextInt(40)
+      (s.toLong, (0 until n).map(_ => s"t${rnd.nextInt(8)}").mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val native = Dedup.winnowFingerprints(df, "doc_id", "text", k = 3, w = 4)
+      .as[(Long, Long)].collect().toSet
+    val hashes = transform(Dedup.wordShingles(col("text"), 3),
+      s => Sampling.keyHash60(s))
+    val nWin = greatest(size(hashes) - 3, lit(1))
+    val declarative = df.select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(1), nWin),
+          i => array_min(slice(hashes, i, lit(4)))))).as("fingerprint"))
+      .as[(Long, Long)].collect().toSet
+    assert(native === declarative)
+  }
+
   test("dupClusters: empty pair set returns an empty frame, correct schema") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b").filter(col("id_a") < 0)
     val got = Dedup.dupClusters(pairs)
@@ -378,6 +417,22 @@ class DedupSimilaritySpec extends SparkSpec {
         minShared = 1, maxFpDf = 100)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(uncapped.size === 3)
+  }
+
+  test("source overlap: shared shingles counted once, containment directional") {
+    import graft.functions.Decontaminate
+    // A and B share exactly the 3-gram "x y z" (A repeats it — distinct
+    // dedup must count it once); C shares nothing
+    val df = Seq(
+      (1L, "x y z p q r", "A"), (2L, "x y z x y z", "A"),
+      (3L, "x y z m n o", "B"),
+      (4L, "u v w u2 v2 w2", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Decontaminate.sourceOverlap(df, "source", "text", n = 3)
+      .select("src_a", "src_b", "n_common", "n_a", "n_b")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // A's distinct shingles: xyz,yzp,zpq,pqr,yzx,zxy = 6; B's: xyz,yzm,zmn,mno = 4
+    assert(got === Set(("A", "B", 1L, 6L, 4L)))
   }
 
   test("vocab coverage curve: hand-checked cuts, tie-stable, capped by vocab") {
