@@ -143,6 +143,33 @@ object Sampling {
   def shuffleHashSql(salt: String, e: String): String =
     keyHash60Sql(s"'$salt:' || CAST($e AS VARCHAR)")
 
+  /** Deterministic train/val/test split assignment — the dataset
+    * manifest step every training run needs: each row lands in the
+    * first split whose cumulative weight covers its salted key hash
+    * (per-mille weights out of `den`), so the assignment is a pure
+    * function of the key, stable under re-partitioning, re-runs and
+    * corpus growth (an UNCHANGED document never migrates between
+    * splits when new documents arrive — the property random splits
+    * lose and hash splits are used for).
+    *
+    * Output: input columns + `split`. One codegen'd CASE over the
+    * scan — no shuffle, no state.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)], salt: String = "split",
+      den: Int = DefaultDen): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "weights must be >= 0")
+    require(splits.map(_._2).sum == den,
+      s"split weights must sum to den=$den, got ${splits.map(_._2).sum}")
+    val h = pmod(keyHash60(
+      concat_ws(":", lit(salt), col(keyCol).cast("string"))), lit(den))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cum).reverse.foldLeft(lit(splits.last._1)) {
+      case (acc, ((name, _), hi)) => when(h < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Deterministic FIXED-SIZE uniform sample: exactly `n` rows (fewer
     * only if the input is smaller), the n smallest key hashes — the
     * reservoir-sample replacement for pipelines that need "exactly N

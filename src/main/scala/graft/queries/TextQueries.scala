@@ -359,6 +359,15 @@ object TextQueries {
     "text_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
         k = 5, w = 4)),
+    // deterministic 98/1/1 train/val/test manifest: hash-split so an
+    // unchanged document never migrates between splits as the corpus
+    // grows; per-split doc/token accounting
+    "corpus_splits" -> ((s, dir) =>
+      Sampling.splitAssign(docs(s, dir), "doc_id",
+          Seq("train" -> 980, "val" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text")).cast("long")).as("n_tokens"))),
     // pairwise source-overlap matrix: distinct 3-gram overlap between
     // every source pair with both containment fractions — the
     // dataset-card "do my sources re-scrape each other" diagnostic
@@ -1085,6 +1094,19 @@ object TextQueries {
       // fallback idiom), 60-bit md5 hashes, window-of-4 minima, per-doc
       // distinct
       "text_winnow" -> winnowFpSql("documents"),
+      // mirrors splitAssign(980/10/10, salt = "split"): first split
+      // whose cumulative per-mille weight covers the salted key hash
+      "corpus_splits" ->
+        s"""WITH d AS (
+           |  SELECT CASE WHEN h < 980 THEN 'train'
+           |              WHEN h < 990 THEN 'val' ELSE 'test' END AS split,
+           |    CAST(len($toks) AS BIGINT) AS n
+           |  FROM (SELECT ${Sampling.shuffleHashSql("split", "doc_id")} % 1000 AS h,
+           |               text FROM documents)
+           |)
+           |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n) AS BIGINT) AS n_tokens
+           |FROM d GROUP BY split""".stripMargin,
       // mirrors sourceOverlap(n=3): distinct (source, 60-bit shingle
       // hash) pairs, source-pair overlap counts, containment fractions
       "corpus_source_overlap" ->

@@ -24,4 +24,19 @@ class CurationPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
       || plan.contains("ShuffledHashJoin"), plan.take(3000))
   }
+
+  test("curate_corpus_full survives with AQE disabled (static-plan fallback)") {
+    // the unforced joins lean on AQE's runtime size check; with AQE off
+    // the static planner must still produce a correct (if less optimal)
+    // plan — this is the degraded-config resilience the no-hint design
+    // claims. Results must match the AQE run exactly.
+    val withAqe = TextQueries.queries("curate_corpus_full")(spark, Sf)
+      .collect().map(_.toString).sorted
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = TextQueries.queries("curate_corpus_full")(spark, Sf)
+        .collect().map(_.toString).sorted
+      assert(noAqe.sameElements(withAqe))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -419,6 +419,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped.size === 3)
   }
 
+  test("split assignment: deterministic, growth-stable, weights respected") {
+    import graft.functions.Sampling
+    val splits = Seq("train" -> 980, "val" -> 10, "test" -> 10)
+    val a = Sampling.splitAssign(docs, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // growth stability: the same docs keep their split when the corpus
+    // doubles — the property a random split loses
+    val grown = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 5000000L))
+    val b = Sampling.splitAssign(grown, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    a.foreach { case (id, sp) => assert(b(id) === sp) }
+    // weights approximately honored
+    val n = a.size.toDouble
+    assert(math.abs(a.values.count(_ == "train") / n - 0.98) < 0.03)
+    assert(a.values.toSet === Set("train", "val", "test"))
+    // pure scan filter: no exchange
+    val plan = Sampling.splitAssign(docs, "doc_id", splits)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+    // weights must sum to the denominator
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 1, "b" -> 2))
+    }
+  }
+
   test("source overlap: shared shingles counted once, containment directional") {
     import graft.functions.Decontaminate
     // A and B share exactly the 3-gram "x y z" (A repeats it — distinct
