@@ -68,4 +68,54 @@ object Chunking {
         array_join(slice(toks, (col("tok_start") + 1).cast("int"),
           lit(maxTokens)), " "))
   }
+
+  /** CONTENT-DEFINED chunking — the Rabin-style variant next to the
+    * fixed-stride windows of [[chunk]]/[[chunkTokens]]: a chunk boundary
+    * falls after token `i + g - 1` wherever the hash of the g-gram
+    * ending there is ≡ 0 mod m (expected chunk length ≈ m tokens).
+    * Because each cut point depends only on the g tokens around it,
+    * inserting or deleting text elsewhere in a document leaves every
+    * other chunk's CONTENT unchanged — the property that makes CDC the
+    * storage/transfer dedup splitter (fixed-stride chunking shifts every
+    * downstream boundary instead). Chunk texts are therefore stable keys
+    * for chunk-level dedup across document revisions.
+    *
+    * Output: one row per chunk — `chunk_idx` (0-based), `tok_start`
+    * (0-based), `tok_end` (exclusive), `n_chunk_tokens`, `chunk_text`;
+    * every other column carries through.
+    *
+    * Scale shape: cut-point detection is the native
+    * [[CdcBoundariesExpr]] in the scan's project (one loop over the
+    * shingle hashes); the remaining array algebra operates on the FEW
+    * boundary positions per document, and the only generator is the
+    * final per-chunk explode. No shuffle at any scale. Documents
+    * shorter than g words have one whole-text shingle and yield one
+    * whole-document chunk.
+    */
+  def chunkCdc(df: DataFrame, textCol: String,
+      g: Int = 3, m: Int = 16): DataFrame = {
+    require(g >= 1, "g must be >= 1")
+    require(m >= 1, "m must be >= 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val nTok = coalesce(size(toks).cast("long"), lit(0L))
+    val cuts = Sketches.cdcBoundaries(Dedup.wordShingles(col(textCol), g), m)
+    // shingle index i (1-based) cuts after token i + g - 1; a cut at the
+    // document end would open an empty chunk, so it folds into the
+    // appended final boundary
+    val ends = concat(
+      filter(transform(cuts, i => i + (g - 1)), e => e < nTok),
+      array(nTok))
+    df.withColumn("__ends", ends)
+      .select(col("*"),
+        posexplode(col("__ends")).as(Seq("chunk_idx", "tok_end")))
+      .withColumn("tok_start",
+        when(col("chunk_idx") === 0, lit(0L))
+          .otherwise(element_at(col("__ends"), col("chunk_idx"))))
+      .withColumn("n_chunk_tokens", col("tok_end") - col("tok_start"))
+      .withColumn("chunk_text",
+        array_join(slice(TextAnalysis.tokens(col(textCol)),
+          (col("tok_start") + 1).cast("int"),
+          col("n_chunk_tokens").cast("int")), " "))
+      .drop("__ends")
+  }
 }

@@ -69,6 +69,14 @@ object Sketches {
   def winnowFingerprints(shingles: Column, w: Int): Column =
     GraftColumnBridge.column(
       WinnowExpr(GraftColumnBridge.expression(shingles), w))
+
+  /** Content-defined-chunking cut points of a shingle array: the
+    * 1-based indices whose 60-bit md5 hash is ≡ 0 mod m — evaluated by
+    * the native [[CdcBoundariesExpr]].
+    */
+  def cdcBoundaries(shingles: Column, m: Int): Column =
+    GraftColumnBridge.column(
+      CdcBoundariesExpr(GraftColumnBridge.expression(shingles), m))
 }
 
 /** Static per-row kernels shared by interpreted eval and generated code
@@ -223,6 +231,27 @@ object SketchKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Content-defined-chunking cut points: 1-based indices i of the
+    * shingle array whose cross-engine 60-bit md5 hash satisfies
+    * `hash % m == 0` — the Rabin-style "hash of the local window picks
+    * the boundary" rule, so cut points depend only on local content and
+    * survive insertions/deletions elsewhere in the document (the CDC
+    * property fixed-stride chunking lacks). Mirrors
+    * `filter(sequence(...), i -> keyHash60(sh[i]) % m = 0)` in one loop.
+    */
+  def cdcBoundaries(arr: ArrayData, m: Int): GenericArrayData = {
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+          (md5Hash64(arr.getUTF8String(i)) >>> 4) % m == 0L)
+        out += (i + 1).toLong
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def hyperplaneSketch(arr: ArrayData, planes: Array[Array[Double]],
       dims: Int, isFloat: Boolean): Long = {
     val bits = planes.length
@@ -283,6 +312,27 @@ case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.SketchKernels.winnowFingerprints($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CdcBoundariesExpr(child: Expression, m: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if m > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_boundaries expects array<string> and m > 0, got $t / m=$m")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.cdcBoundaries(input.asInstanceOf[ArrayData], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SketchKernels.cdcBoundaries($c, $m)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

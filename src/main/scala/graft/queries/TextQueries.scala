@@ -359,6 +359,14 @@ object TextQueries {
     "text_winnow" -> ((s, dir) =>
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
         k = 5, w = 4)),
+    // content-defined chunking: Rabin-style cut points (3-gram hash ≡ 0
+    // mod 16 → ~16-token chunks) whose positions depend only on local
+    // content — chunk texts are stable dedup keys across doc revisions
+    "text_chunks_cdc" -> ((s, dir) =>
+      graft.functions.Chunking.chunkCdc(docs(s, dir), "text", g = 3, m = 16)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("tok_start"), col("tok_end"), col("n_chunk_tokens"),
+          col("chunk_text"))),
     // deterministic 98/1/1 train/val/test manifest: hash-split so an
     // unchanged document never migrates between splits as the corpus
     // grows; per-split doc/token accounting
@@ -1094,6 +1102,35 @@ object TextQueries {
       // fallback idiom), 60-bit md5 hashes, window-of-4 minima, per-doc
       // distinct
       "text_winnow" -> winnowFpSql("documents"),
+      // mirrors chunkCdc(g=3, m=16): cut after token i+2 where the
+      // 3-gram hash at shingle index i is ≡ 0 mod 16; end-of-doc cut
+      // folds into the appended final boundary
+      "text_chunks_cdc" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT doc_id, w,
+           |  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           |       ELSE list_transform(range(0, len(w) - 2),
+           |              i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) END AS sh
+           |  FROM t),
+           |e AS (SELECT doc_id, w,
+           |  list_append(
+           |    list_filter(list_transform(range(1, len(sh) + 1),
+           |        i -> CASE WHEN ${Sampling.keyHash60Sql("sh[i]")} % 16 = 0
+           |             THEN i + 2 END),
+           |      x -> x IS NOT NULL AND x < len(w)),
+           |    len(w)) AS ends
+           |  FROM s),
+           |c AS (SELECT doc_id, w,
+           |  unnest(list_transform(range(1, len(ends) + 1),
+           |    i -> {'idx': i,
+           |          's': CASE WHEN i = 1 THEN 0 ELSE ends[i - 1] END,
+           |          'e': ends[i]})) AS u
+           |  FROM e)
+           |SELECT doc_id, CAST(u.idx - 1 AS BIGINT) AS chunk_idx,
+           |  CAST(u.s AS BIGINT) AS tok_start, CAST(u.e AS BIGINT) AS tok_end,
+           |  CAST(u.e - u.s AS BIGINT) AS n_chunk_tokens,
+           |  array_to_string(list_slice(w, u.s + 1, u.e), ' ') AS chunk_text
+           |FROM c""".stripMargin,
       // mirrors splitAssign(980/10/10, salt = "split"): first split
       // whose cumulative per-mille weight covers the salted key hash
       "corpus_splits" ->

@@ -419,6 +419,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(uncapped.size === 3)
   }
 
+  test("CDC chunking: lossless reassembly, edit-locality, expected chunk size") {
+    import graft.functions.Chunking
+    val base = (1 to 200).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+    val chunks = Chunking.chunkCdc(df, "text", g = 3, m = 16)
+      .orderBy("chunk_idx")
+      .select("chunk_text", "n_chunk_tokens").as[(String, Long)].collect()
+    // chunks partition the document exactly
+    assert(chunks.map(_._1).mkString(" ") === base)
+    assert(chunks.map(_._2).sum === 200L)
+    // mean chunk length tracks m (loose band — it's a geometric law)
+    assert(chunks.length > 3 && chunks.length < 60)
+    // THE CDC property: prepending tokens shifts offsets but leaves the
+    // chunk CONTENT stream beyond the edit's g-gram neighborhood
+    // identical — fixed-stride chunking would shift every boundary
+    val edited = Seq((1L, s"inserted tokens here $base")).toDF("doc_id", "text")
+    val editedTexts = Chunking.chunkCdc(edited, "text", g = 3, m = 16)
+      .select("chunk_text").as[String].collect().toSet
+    val origTexts = chunks.map(_._1).toSet
+    val shared = origTexts & editedTexts
+    // all original chunks except the first (whose content absorbed the
+    // insertion) must reappear verbatim
+    assert(shared.size >= origTexts.size - 2,
+      s"only ${shared.size}/${origTexts.size} chunks survived a prefix edit")
+  }
+
   test("split assignment: deterministic, growth-stable, weights respected") {
     import graft.functions.Sampling
     val splits = Seq("train" -> 980, "val" -> 10, "test" -> 10)
