@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CassandraMurmur3TokenExpr, CassandraRandomTokenExpr,
-  HyperplaneSketchExpr, MinHashSigExpr, SimHash64Expr, VectorDotExpr,
-  WordShinglesExpr}
+  CdcBoundariesExpr, HyperplaneSketchExpr, MinHashSigExpr, SimHash64Expr,
+  VectorDotExpr, WinnowExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get them
@@ -57,6 +57,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "word_shingles(words, n) — n a literal int")
         WordShinglesExpr(children.head, litInt(children(1), "n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowExpr].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "winnow_fingerprints(shingles, w) — w a literal int")
+        WinnowExpr(children.head, litInt(children(1), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundariesExpr].getName, "cdc_boundaries"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "cdc_boundaries(shingles, m) — m a literal int")
+        CdcBoundariesExpr(children.head, litInt(children(1), "m"))
       }))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sketch"),

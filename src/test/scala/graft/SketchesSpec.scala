@@ -86,6 +86,16 @@ class SketchesSpec extends SparkSpec {
       Seq((1L, Seq(1.0, -2.0, 0.5))).toDF("id", "v"), "id", "v", 8, 3)
       .collect()(0).getAs[Long]("sketch")
     assert(row.getAs[Long]("hp") === expected)
+    // round-9 registrations: winnow + cdc resolve and agree with the API
+    val r2 = spark.sql(
+      """SELECT winnow_fingerprints(word_shingles(split(text, ' '), 5), 4) AS fp,
+        |       cdc_boundaries(word_shingles(split(text, ' '), 3), 4) AS cb
+        |FROM sketch_docs""".stripMargin).collect()(0)
+    val apiFp = Dedup.winnowFingerprints(
+        Seq((7L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"),
+        "id", "text").select("fingerprint").as[Long].collect().toSet
+    assert(r2.getAs[Seq[Long]]("fp").toSet === apiFp)
+    assert(r2.getAs[Seq[Long]]("cb").forall(i => i >= 1L && i <= 7L))
   }
 
   test("native word shingles match the declarative transform/slice reference") {
@@ -119,10 +129,17 @@ class SketchesSpec extends SparkSpec {
           graft.functions.Sketches.minHashSig(
             typedlit(Seq.empty[String]), 4).as("mh_empty"),
           graft.functions.Sketches.wordShingles(
-            split(col("text"), " "), 2).as("sh2"))
+            split(col("text"), " "), 2).as("sh2"),
+          graft.functions.Sketches.winnowFingerprints(
+            graft.functions.Sketches.wordShingles(
+              split(col("text"), " "), 2), 2).as("wf"),
+          graft.functions.Sketches.cdcBoundaries(
+            graft.functions.Sketches.wordShingles(
+              split(col("text"), " "), 2), 2).as("cb"))
         .collect()(0)
       assert(r.getAs[Seq[Long]]("mh").length === 8)
       assert(r.isNullAt(r.fieldIndex("mh_empty"))) // null-on-empty via codegen path
+      assert(r.getSeq[Long](r.fieldIndex("wf")).nonEmpty)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
