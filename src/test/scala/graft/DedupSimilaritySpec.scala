@@ -668,6 +668,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("semanticDedupCells matches an independent Scala reference on random vectors") {
+    import graft.queries.VectorQueries
+    // 20 random bases + jittered near-copies: drops must occur, spread
+    // over multiple cells; the reference reimplements quantization,
+    // argmax assignment and within-cell cosine from the published
+    // definitions, independent of the Spark expressions
+    val rnd = new scala.util.Random(7)
+    val bases = (0L until 20L).map(id =>
+      (id, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val copies = bases.map { case (id, v) =>
+      (id + 100L, v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    val rows = bases ++ copies
+    val got = Similarity.semanticDedupCells(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", VectorQueries.IvfPqGrid, threshold = 0.92,
+        cellCap = 5L) // force sub-splitting on the reference comparison too
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // --- independent reference ---
+    def q(x: Float): Long =
+      math.min(127L, math.max(-127L, math.floor(x.toDouble * 64 + 0.5).toLong))
+    val quant = rows.map { case (id, v) => id -> v.map(q) }.toMap
+    val grid = VectorQueries.IvfPqGrid
+    def cid(qv: Array[Long]): Long = {
+      val scores = grid.map(g =>
+        g.zip(qv).map { case (gi, qi) => gi.toLong * qi }.sum)
+      (scores.indexOf(scores.max) + 1).toLong
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val cells = quant.keys.groupBy(id => cid(quant(id)))
+    val want = cells.flatMap { case (c, ids) =>
+      ids.map { id =>
+        val dropped = ids.exists(o => o < id && cos(quant(o), quant(id)) > 0.92)
+        id -> (c, !dropped)
+      }
+    }
+    assert(got === want)
+    assert(got.count(!_._2._2) >= 10, "jittered copies must actually drop")
+    assert(got.values.map(_._1).toSet.size > 1, "cells must actually spread")
+  }
+
   test("nearDupPairsLsh: planted near-identical pairs are found, plan is bucketed") {
     val e = Tables.load(spark, Sf, "embeddings")
     // plant twins of vecs 1..5: identical vectors ⇒ identical sketches ⇒
