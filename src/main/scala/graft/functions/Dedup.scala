@@ -227,7 +227,14 @@ object Dedup {
     * fingerprints in more than `maxFpDf` documents are boilerplate and
     * are dropped BEFORE the self-join, so one hot fingerprint can never
     * own the job with a df² candidate blow-up; the join keys on the
-    * fingerprint, candidate fan-out <= maxFpDf per key. All groupBys
+    * fingerprint, candidate fan-out <= maxFpDf per key. Per-doc sizes
+    * are computed AFTER the df cap (the [[ngramJaccardPairs]]
+    * convention), so `n_shared / least(n_a, n_b)` reaches exactly 1.0
+    * for full containment regardless of how much boilerplate the docs
+    * carry. The fingerprint frame and its df-capped projection are each
+    * eagerly localCheckpointed once — Spark shares no common subtrees,
+    * and without the barrier the explode would re-run once per
+    * downstream reference (sizes + both self-join sides). All groupBys
     * partial-aggregate.
     *
     * Output: (id_a, id_b, n_shared, n_a, n_b), id_a < id_b.
@@ -238,11 +245,13 @@ object Dedup {
     require(minShared >= 1 && maxFpDf >= 1, "need minShared, maxFpDf >= 1")
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .withColumnRenamed(idCol, "id")
-    val sizes = fp.groupBy(col("id")).agg(count(lit(1)).as("n_fps"))
+      .localCheckpoint()
     val rare = fp.join(
       fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxFpDf).select("fingerprint"),
       Seq("fingerprint"))
+      .localCheckpoint()
+    val sizes = rare.groupBy(col("id")).agg(count(lit(1)).as("n_fps"))
     rare.as("x").join(rare.as("y"),
         col("x.fingerprint") === col("y.fingerprint") &&
           col("x.id") < col("y.id"))

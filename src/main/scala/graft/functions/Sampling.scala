@@ -18,6 +18,18 @@ object Sampling {
 
   val DefaultDen = 1000
 
+  /** Sentinel hashed in place of a NULL key by [[splitAssign]] — kept
+    * printable-free (U+0001 framing) so no real key string collides
+    * with it, and mirrored in SQL via [[nullSafeKeySql]].
+    */
+  val NullKeySentinel = "\u0001null\u0001"
+
+  /** DuckDB expression wrapping key expression `e` with the same NULL
+    * sentinel [[splitAssign]] applies: `chr(1) || 'null' || chr(1)`.
+    */
+  def nullSafeKeySql(e: String): String =
+    s"COALESCE(CAST($e AS VARCHAR), chr(1) || 'null' || chr(1))"
+
   /** 60-bit nonnegative key hash, identical in Spark and DuckDB:
     * `conv(substr(md5(k), 1, 15), 16, 10)`.
     */
@@ -152,6 +164,14 @@ object Sampling {
     * splits when new documents arrive — the property random splits
     * lose and hash splits are used for).
     *
+    * NULL keys hash a distinct explicit sentinel (`NullKeySentinel`) on
+    * BOTH engines — Spark's `concat_ws` silently drops NULL arguments,
+    * so without the coalesce every null-key row would hash the bare
+    * salt and land together in one split while the SQL mirror's NULL
+    * propagation sent them elsewhere. The sentinel keeps the behavior
+    * explicit, engine-identical, and spread across splits like any
+    * other key value.
+    *
     * Output: input columns + `split`. One codegen'd CASE over the
     * scan — no shuffle, no state.
     */
@@ -161,8 +181,8 @@ object Sampling {
     require(splits.nonEmpty && splits.forall(_._2 >= 0), "weights must be >= 0")
     require(splits.map(_._2).sum == den,
       s"split weights must sum to den=$den, got ${splits.map(_._2).sum}")
-    val h = pmod(keyHash60(
-      concat_ws(":", lit(salt), col(keyCol).cast("string"))), lit(den))
+    val h = pmod(keyHash60(concat_ws(":", lit(salt),
+      coalesce(col(keyCol).cast("string"), lit(NullKeySentinel)))), lit(den))
     val cum = splits.scanLeft(0)(_ + _._2).tail
     val assign = splits.zip(cum).reverse.foldLeft(lit(splits.last._1)) {
       case (acc, ((name, _), hi)) => when(h < hi, lit(name)).otherwise(acc)
@@ -229,7 +249,12 @@ object Sampling {
       .withColumn("target_frac",
         coalesce(explicitFrac,
           residual / greatest(col("__n_implicit"), lit(1L)).cast("double")))
-      .withColumn("weight", col("target_frac") / col("token_frac"))
+      // guard the 0-token stratum: target/0 would yield Inf (or NaN for
+      // 0/0, which Spark's NaN-sorts-largest would turn into keep_prob
+      // 1.0) — an empty stratum contributes nothing, so weight 0
+      .withColumn("weight",
+        when(col("token_frac") > 0, col("target_frac") / col("token_frac"))
+          .otherwise(lit(0.0)))
       .withColumn("keep_prob", least(col("weight"), lit(1.0)))
       .drop("__n_implicit")
   }
@@ -271,7 +296,13 @@ object Sampling {
       .withColumn("temp_score", score)
       .withColumn("temp_frac", col("temp_score") /
         sum(col("temp_score").cast("decimal(20,18)")).over(w).cast("double"))
-      .withColumn("weight", col("temp_frac") / col("token_frac"))
+      // guard the 0-token stratum: 0.0/0.0 = NaN, and Spark's
+      // NaN-is-largest ordering would make least(NaN, 1.0) return 1.0 —
+      // the empty stratum would get keep_prob 1 and poison
+      // materializeMixture copy counts. An empty stratum weighs 0.
+      .withColumn("weight",
+        when(col("token_frac") > 0, col("temp_frac") / col("token_frac"))
+          .otherwise(lit(0.0)))
       .withColumn("keep_prob", least(col("weight"), lit(1.0)))
   }
 

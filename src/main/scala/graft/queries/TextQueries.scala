@@ -1048,8 +1048,11 @@ object TextQueries {
            |  FROM t
            |)
            |SELECT source, n_docs, n_tokens, token_frac, target_frac,
-           |  target_frac / token_frac AS weight,
-           |  LEAST(target_frac / token_frac, CAST(1.0 AS DOUBLE)) AS keep_prob
+           |  CASE WHEN token_frac > 0 THEN target_frac / token_frac
+           |       ELSE CAST(0.0 AS DOUBLE) END AS weight,
+           |  LEAST(CASE WHEN token_frac > 0 THEN target_frac / token_frac
+           |             ELSE CAST(0.0 AS DOUBLE) END,
+           |        CAST(1.0 AS DOUBLE)) AS keep_prob
            |FROM w""".stripMargin
       },
       // mirrors temperatureWeights(.., alpha = 0.5): sqrt is IEEE
@@ -1074,8 +1077,11 @@ object TextQueries {
            |  FROM s
            |)
            |SELECT source, n_docs, n_tokens, token_frac, temp_score, temp_frac,
-           |  temp_frac / token_frac AS weight,
-           |  LEAST(temp_frac / token_frac, CAST(1.0 AS DOUBLE)) AS keep_prob
+           |  CASE WHEN token_frac > 0 THEN temp_frac / token_frac
+           |       ELSE CAST(0.0 AS DOUBLE) END AS weight,
+           |  LEAST(CASE WHEN token_frac > 0 THEN temp_frac / token_frac
+           |             ELSE CAST(0.0 AS DOUBLE) END,
+           |        CAST(1.0 AS DOUBLE)) AS keep_prob
            |FROM n""".stripMargin,
       // mirrors Packing.lengthBuckets(.., seqLen = 512): pow-2 bucket
       // bound via the shared bit-length idiom (length(bin(x)))
@@ -1132,13 +1138,16 @@ object TextQueries {
            |  array_to_string(list_slice(w, u.s + 1, u.e), ' ') AS chunk_text
            |FROM c""".stripMargin,
       // mirrors splitAssign(980/10/10, salt = "split"): first split
-      // whose cumulative per-mille weight covers the salted key hash
+      // whose cumulative per-mille weight covers the salted key hash;
+      // the key passes through the same NULL sentinel as the Column
+      // side (engine-identical null bucketing)
       "corpus_splits" ->
         s"""WITH d AS (
            |  SELECT CASE WHEN h < 980 THEN 'train'
            |              WHEN h < 990 THEN 'val' ELSE 'test' END AS split,
            |    CAST(len($toks) AS BIGINT) AS n
-           |  FROM (SELECT ${Sampling.shuffleHashSql("split", "doc_id")} % 1000 AS h,
+           |  FROM (SELECT ${Sampling.shuffleHashSql("split",
+                     Sampling.nullSafeKeySql("doc_id"))} % 1000 AS h,
            |               text FROM documents)
            |)
            |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1171,16 +1180,17 @@ object TextQueries {
            |       JOIN sizes sb ON sb.src = p.src_b""".stripMargin,
       // mirrors winnowPairs(minShared=2, maxFpDf=100) over the
       // dup-injected corpus: df-capped fingerprints, pair overlap
-      // counts, per-side fingerprint sizes
+      // counts, per-side sizes computed AFTER the df cap (the
+      // ngramJaccardPairs convention — full containment scores 1.0)
       "dedup_winnow_pairs" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |wfp AS (${winnowFpSql("corpus")}),
-           |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-           |          FROM wfp GROUP BY doc_id),
            |rare AS (SELECT fingerprint FROM wfp
            |         GROUP BY fingerprint HAVING COUNT(*) <= 100),
            |fpr AS (SELECT wfp.doc_id, wfp.fingerprint
            |        FROM wfp JOIN rare USING (fingerprint)),
+           |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           |          FROM fpr GROUP BY doc_id),
            |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
            |        CAST(COUNT(*) AS BIGINT) AS n_shared
            |      FROM fpr x JOIN fpr y

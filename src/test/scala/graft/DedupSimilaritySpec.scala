@@ -1566,4 +1566,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(by(3L) === ((1L, 0L, 0.0)))
     assert(by(4L) === ((3L, 2L, 2.0 / 3))) // tf(y z)=2 counted per position
   }
+
+  test("winnow pairs: sizes post-cap, exact dup reaches containment 1.0") {
+    import graft.functions.Sampling
+    // docs 1/2 are exact duplicates; all three docs share a boilerplate
+    // header whose fingerprints the df cap (2 < 3 docs) removes. Sizes
+    // computed AFTER the cap mean n_shared == n_a == n_b for the dup
+    // pair — containment n_shared/least(n_a,n_b) is exactly 1.0, which
+    // pre-cap sizes (inflated by the capped header) could never reach.
+    val header = "standard site header words appear on every page"
+    val body = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10 d11 d12"
+    val df = Seq(
+      (1L, s"$header $body"),
+      (2L, s"$header $body"),
+      (3L, s"$header e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(df, "doc_id", "text",
+        minShared = 1, maxFpDf = 2)
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val dup = got.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(dup._3 === dup._4 && dup._4 === dup._5,
+      s"exact dup must fully contain post-cap: $dup")
+
+    // split assignment: NULL keys hash the explicit sentinel, not the
+    // bare salt — identical to hashing the sentinel as a literal key
+    val splits = Seq("train" -> 980, "val" -> 10, "test" -> 10)
+    val withNull = Seq(Some("k1"), None, Some("k2"))
+      .toDF("doc_id")
+    val sp = Sampling.splitAssign(withNull, "doc_id", splits)
+      .select("doc_id", "split").as[(Option[String], String)]
+      .collect().toMap
+    val sentinelSplit = Sampling
+      .splitAssign(Seq(Sampling.NullKeySentinel).toDF("doc_id"), "doc_id", splits)
+      .select("split").as[String].head()
+    assert(sp(None) === sentinelSplit)
+    assert(sp(Some("k1")) === Sampling
+      .splitAssign(Seq("k1").toDF("doc_id"), "doc_id", splits)
+      .select("split").as[String].head())
+  }
+
+  test("mixture weights: zero-token stratum weighs 0, never NaN/Inf") {
+    import graft.functions.Sampling
+    val df = Seq(("A", 90L), ("B", 10L), ("EMPTY", 0L)).toDF("src", "toks")
+    for (g <- Seq(
+        Sampling.temperatureWeights(df, "src", col("toks")),
+        Sampling.mixtureWeights(df, "src", col("toks")))) {
+      val by = g.select("src", "weight", "keep_prob")
+        .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+      assert(by("EMPTY")._2 === 0.0 && by("EMPTY")._3 === 0.0,
+        s"empty stratum must weigh 0: ${by("EMPTY")}")
+      by.values.foreach { case (s, w, kp) =>
+        assert(!w.isNaN && !w.isInfinite && !kp.isNaN, s"$s: $w / $kp")
+      }
+      assert(by("B")._2 > 1.0 && by("A")._2 < 1.0) // rebalancing intact
+    }
+  }
 }
