@@ -90,14 +90,18 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sketch"), b * bitsPerBand)
           .bitwiseAND((1L << bitsPerBand) - 1)): _*)).as(Seq("band", "bucket")))
+    // sim is computed BEFORE the multi-band dedup, map-side of the
+    // exchange: a pair colliding in several bands yields bit-identical
+    // sim rows (deterministic IEEE fold), so distinct on (ids, sim)
+    // dedups exactly while the exchange ships ~24 B/row instead of two
+    // full embeddings — the dedup shuffle width no longer scales with
+    // dims
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") =!= col("y.id"))
       .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
-        col("x.v").as("qv"), col("y.v").as("cv"),
-        col("x.n").as("qn"), col("y.n").as("cn"))
+        (dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))).as("sim"))
       .distinct()
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -359,15 +363,16 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sketch"), b * bitsPerBand)
           .bitwiseAND((1L << bitsPerBand) - 1)): _*)).as(Seq("band", "bucket")))
+    // sim + threshold filter run map-side of the dedup exchange (same
+    // rationale as [[lshTopK]]): identical pairs from different bands
+    // produce bit-identical sim, so distinct on (ids, sim) dedups
+    // exactly — and the below-threshold bulk never enters the shuffle
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.v").as("xv"), col("y.v").as("yv"),
-        col("x.n").as("xn"), col("y.n").as("yn"))
-      .distinct()
-      .withColumn("sim", dot(col("xv"), col("yv")) / (col("xn") * col("yn")))
+        (dot(col("x.v"), col("y.v")) / (col("x.n") * col("y.n"))).as("sim"))
       .filter(col("sim") > threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+      .distinct()
   }
 }
