@@ -180,7 +180,11 @@ object Decontaminate {
     * fan-out is bounded by the SOURCE count squared (sources number in
     * the dozens), so no df cap is needed; the output is one row per
     * source pair. Text never shuffles: shingles hash to 60-bit longs in
-    * the scan.
+    * the scan. The deduped (src, hash) frame is eagerly
+    * localCheckpointed once — it feeds three downstream references
+    * (per-source sizes + both self-join sides), and Spark shares no
+    * common subtrees, so without the barrier the shingle explode +
+    * distinct would run three times.
     */
   def sourceOverlap(corpus: DataFrame, stratumCol: String, textCol: String,
       n: Int = 5): DataFrame = {
@@ -190,6 +194,7 @@ object Decontaminate {
           .as("__s"))
       .select(col("src"), Sampling.keyHash60(col("__s")).as("__h"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n_shingles"))
     sh.as("x").join(sh.as("y"),
         col("x.__h") === col("y.__h") && col("x.src") < col("y.src"))
