@@ -114,7 +114,10 @@ object Similarity {
     * Scale shape: only the nlist×dims centroid matrix ever reaches the
     * driver; assignment is a codegen'd argmax of centroid dot products in
     * the scan's project, and the mean-recompute is a partial-aggregated
-    * `groupBy(cluster, dim)` whose output is nlist×dims rows. Empty
+    * `groupBy(cluster, dim)` whose nlist×dims rows are RE-ASSEMBLED into
+    * per-cluster mean arrays executor-side (a second tiny groupBy), so
+    * the per-iteration collect is nlist ROWS — at the ScaleHints 2^18
+    * nlist cap that is 2^18 array rows, not 2^18×dims scalar Rows. Empty
     * clusters keep their previous centroid.
     */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
@@ -135,9 +138,12 @@ object Similarity {
         .withColumn("cluster", nearestList(col("v"), cents))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster").agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("mv"))
         .collect()
       val next = cents.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      means.foreach(r => next(r.getInt(0)) = r.getSeq[Double](1).toArray)
       cents = next.map(unit)
     }
     cents

@@ -1248,6 +1248,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("sim") - 1.0) < 1e-12)
   }
 
+  test("trainCentroids: executor-side mean arrays preserve dim order") {
+    // the per-iteration collect is nlist ROWS of mean arrays (assembled
+    // executor-side by pos-sorted collect_list), so dim order must
+    // survive the re-assembly: asymmetric dims catch any shuffle of
+    // positions. nlist=1 → centroid = unit(mean of all vectors).
+    val df = Seq((1L, Array(1.0, 0.0, 0.0, 2.0)),
+      (2L, Array(3.0, 0.0, 0.0, 4.0))).toDF("id", "v")
+    val c = Similarity.trainCentroids(df, "id", "v", nlist = 1, iters = 1)
+    assert(c.length === 1)
+    val n = math.sqrt(2.0 * 2 + 3.0 * 3)
+    val expect = Array(2.0 / n, 0.0, 0.0, 3.0 / n)
+    c(0).zip(expect).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
   test("IVF topk recall vs brute force is measured and bounded") {
     val e = Tables.load(spark, Sf, "embeddings")
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 5)
