@@ -293,10 +293,17 @@ object Similarity {
     * the output is bit-identical to the unsplit join. `cellCap <= 0`
     * (default) self-sizes as √n ([[ScaleHints]]) computed IN-PLAN from
     * the cell-size table — no driver-side action.
+    *
+    * `reliable = true` stores the materialized assignment as a
+    * fault-tolerant RELIABLE checkpoint (requires
+    * `sparkContext.setCheckpointDir`) instead of executor-local blocks —
+    * the same switch as [[Dedup.dupClusters]]: localCheckpoint is not
+    * recomputable on executor loss, so decommission-prone long cluster
+    * runs flip this on; the default keeps the fast local path.
     */
   def semanticDedupCells(df: DataFrame, idCol: String, vecCol: String,
       grid: Array[Array[Int]], threshold: Double,
-      cellCap: Long = 0L): DataFrame = {
+      cellCap: Long = 0L, reliable: Boolean = false): DataFrame = {
     val dims = grid(0).length
     def score(vec: Column, c: Int): Column =
       (0 until dims).map(i =>
@@ -311,13 +318,21 @@ object Similarity {
     // (vector, cell) assignment artifact a production SemDeDup pipeline
     // persists anyway. localCheckpoint stores executor-local (fast, GC-
     // freed, but not recomputable on executor loss — the same tradeoff
-    // documented on Dedup.dupClusters; swap for reliable checkpoints on
-    // long decommission-prone cluster runs).
-    val v = df.select(col(idCol),
+    // documented on Dedup.dupClusters; `reliable = true` swaps in a
+    // fault-tolerant checkpoint, persisting first so the checkpoint
+    // writer's second pass reads the cache instead of recomputing the
+    // argmax, then dropping the cache once the files exist).
+    val assigned = df.select(col(idCol),
         array_position(sc, array_max(sc)).cast("long").as("cid"),
         cv.as("cv"))
       .withColumn("n", sqrt(dot(col("cv"), col("cv"))))
-      .localCheckpoint()
+    val v =
+      if (reliable) {
+        val cached = assigned.persist()
+        val cp = cached.checkpoint() // eager: files written here
+        cached.unpersist()
+        cp
+      } else assigned.localCheckpoint()
     // per-cell sizes: |grid| rows after the partial agg — broadcasts. The
     // total rides along (an unpartitioned window over the already-tiny
     // sizes frame — no 1-row cross join in the plan) so the √n auto-cap

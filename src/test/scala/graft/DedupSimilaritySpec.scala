@@ -666,6 +666,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plan.contains("__b"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // reliable checkpointing (decommission-safe assignment artifact)
+    // produces the identical result, and its temp cache drains
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val rel = Similarity.semanticDedupCells(df, "vec_id", "embedding",
+        VectorQueries.IvfPqGrid, threshold = 0.92, cellCap = 8L,
+        reliable = true)
+      assert(s === rel.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("semanticDedupCells matches an independent Scala reference on random vectors") {
