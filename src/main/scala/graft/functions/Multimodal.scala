@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed in batched partition passes —
   * the Scala analog of a `mapInPandas` decode stage.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment): [[StubDecoder]] produces deterministic fake
-  * width/height/features from the bytes. Everything around it — schema,
-  * binary plumbing, batch shape, partition-level batching, feature
-  * output — is real and tested, so a real decoder drops in by replacing
-  * one function.
+  * IMAGES decode for real: [[ImageCodec]] wraps `javax.imageio`
+  * (PNG/JPEG/GIF/BMP — the JDK's standard readers), sniffing the
+  * payload's magic bytes so image blobs get true dimensions and pixel
+  * statistics while non-image payloads (audio/video stand-ins, for
+  * which this container has no codec libraries) fall back to the
+  * deterministic [[StubDecoder]]. The plumbing — schema, binary
+  * batching, partition-local fan-out — is identical on both paths, so
+  * an audio/video codec drops in exactly the way the image one did.
   */
 object Multimodal {
 
@@ -30,9 +32,10 @@ object Multimodal {
       height: Int,
       byte_hist: Array[Double])
 
-  /** STUB decoder — deterministic fake of an image decode. A real
-    * implementation would decode `blob.data` with an imaging library;
-    * everything downstream consumes only the returned schema.
+  /** STUB decoder for NON-IMAGE payloads — audio/video have no codec
+    * libraries in this container, so they get deterministic fake
+    * dimensions and a real byte histogram. Image payloads never reach
+    * this: [[decodeFeatures]] routes them through [[ImageCodec]].
     */
   object StubDecoder {
     val HistBins = 16
@@ -58,6 +61,97 @@ object Multimodal {
     }
   }
 
+  /** Real image codec over `javax.imageio` — pure JDK, headless-safe
+    * (no display, no native libs). PNG encode/decode is LOSSLESS, so a
+    * gray PNG round-trips its exact pixel bytes and every pixel
+    * statistic is bit-deterministic cross-run — which is what lets the
+    * image pipeline be ORACLE-GATED: the DuckDB side recomputes the
+    * same statistics analytically from the generator formula.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // no temp-file stream cache on executors — decode stays in-memory
+    ImageIO.setUseCache(false)
+
+    /** Magic-byte sniff for formats the JDK reader handles. Cheap guard
+      * so non-image payloads never pay a failed decode attempt.
+      */
+    def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 && (
+        (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+    /** Decode to a BufferedImage; None for corrupt/unsupported bytes
+      * (ImageIO returns null rather than throwing for unknown formats).
+      */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (!looksLikeImage(bytes)) None
+      else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+
+    /** Integer ITU-R 601 luma in [0, 255]; exact identity on gray
+      * pixels (r=g=b=v → (299+587+114)·v / 1000 = v).
+      */
+    def luma(rgb: Int): Int = {
+      val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    /** Gray level of pixel (x, y). Single-band (grayscale) images read
+      * the RASTER directly — `getRGB` on TYPE_BYTE_GRAY applies a
+      * linear-gray→sRGB colorspace conversion that silently REMAPS the
+      * stored sample (the classic AWT trap), which would break the
+      * lossless round-trip the oracle gate depends on. Multi-band
+      * images go through sRGB luma.
+      */
+    def grayAt(img: BufferedImage, x: Int, y: Int): Int =
+      if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+      else luma(img.getRGB(x, y))
+
+    /** Encode a grayscale image whose pixel (x, y) is `f(x, y)` as PNG.
+      * Deterministic: PNG is lossless and the JDK writer is stable for
+      * TYPE_BYTE_GRAY input.
+      */
+    def encodeGrayPng(width: Int, height: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { raster.setSample(x, y, 0, f(x, y) & 0xFF); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Nearest-neighbor resample to `dw`×`dh` gray bytes (row-major):
+      * out(x, y) = luma(src(⌊x·sw/dw⌋, ⌊y·sh/dh⌋)) — integer index
+      * arithmetic, so the DuckDB oracle mirrors it exactly.
+      */
+    def resizeGray(img: BufferedImage, dw: Int, dh: Int): Array[Byte] = {
+      val sw = img.getWidth; val sh = img.getHeight
+      val out = new Array[Byte](dw * dh)
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          out(y * dw + x) =
+            grayAt(img, x * sw / dw, y * sh / dh).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   /** Wrap a text corpus as binary blobs (stand-in for real media files —
     * the plumbing is type-identical).
     */
@@ -69,7 +163,10 @@ object Multimodal {
 
   /** The decode stage: batched per-partition map — mirrors the
     * `mapInPandas` batch shape (a real codec amortizes model/codec init
-    * per batch, not per row).
+    * per batch, not per row). Image payloads (magic-sniffed) decode for
+    * REAL via [[ImageCodec]]: true width/height and a 16-bin pixel-luma
+    * histogram; other payloads keep the deterministic stub so the
+    * operator stays total over mixed media columns.
     */
   def decodeFeatures(blobs: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = blobs.sparkSession
@@ -77,7 +174,106 @@ object Multimodal {
     blobs.as[MediaBlob].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // per-batch init would go here (codec/model handle)
-        batch.iterator.map(StubDecoder.decode)
+        batch.iterator.map { b =>
+          ImageCodec.decode(b.data) match {
+            case Some(img) =>
+              val hist = new Array[Double](StubDecoder.HistBins)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  hist(ImageCodec.grayAt(img, x, y) /
+                    (256 / StubDecoder.HistBins)) += 1.0
+                  x += 1
+                }
+                y += 1
+              }
+              val total = math.max(w.toLong * h, 1L).toDouble
+              var j = 0
+              while (j < StubDecoder.HistBins) { hist(j) /= total; j += 1 }
+              MediaFeatures(b.doc_id, b.media_type, b.data.length.toLong,
+                w, h, hist)
+            case None => StubDecoder.decode(b)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Deterministic synthetic gray PNG per row: width = 8 + id mod 16,
+    * height = 8 + (id/16) mod 16, pixel (x, y) = (31·id + 7x + 13y)
+    * mod 256 — every statistic of the image is an integer formula of
+    * the id, which is what makes the REAL encode→decode pipeline
+    * oracle-checkable (DuckDB recomputes the formula analytically; the
+    * engine must reproduce it through actual PNG bytes). Runs in the
+    * same batched partition pass as the decoders.
+    */
+  def synthGrayPng(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val w = (8 + id % 16).toInt
+            val h = (8 + (id / 16) % 16).toInt
+            MediaBlob(id, "image/png", ImageCodec.encodeGrayPng(w, h,
+              (x, y) => ((31 * id + 7 * x + 13 * y) % 256).toInt))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Pixel statistics of REAL decoded images: true dimensions plus the
+    * exact integer luma sum (order-independent — bit-reproducible on
+    * any partitioning). Rows whose payload does not decode are dropped,
+    * the filter-the-corrupt-files step of a real media pipeline.
+    */
+  final case class ImageStats(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, luma_sum: Long)
+  def imageStats(blobs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { b =>
+          ImageCodec.decode(b.data).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { s += ImageCodec.grayAt(img, x, y); x += 1 }
+              y += 1
+            }
+            ImageStats(b.doc_id, w, h, w.toLong * h, s)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** REAL image resize: decode → nearest-neighbor gray resample →
+    * re-encode as PNG, emitting a blob the rest of the pipeline (e.g.
+    * [[imageStats]]) consumes like any other image. Non-decodable rows
+    * drop. Stays partition-local like every codec stage.
+    */
+  def resizeImage(blobs: DataFrame, width: Int, height: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(width > 0 && height > 0, "target dimensions must be positive")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { b =>
+          ImageCodec.decode(b.data).map { img =>
+            val g = ImageCodec.resizeGray(img, width, height)
+            MediaBlob(b.doc_id, "image/png",
+              ImageCodec.encodeGrayPng(width, height,
+                (x, y) => g(y * width + x) & 0xFF))
+          }
+        }
       }
     }.toDF()
   }

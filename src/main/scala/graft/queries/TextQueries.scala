@@ -582,6 +582,25 @@ object TextQueries {
         Multimodal.toBlobs(docs(s, dir), "doc_id", "text"), 16, 16)
         .select(col("doc_id"), col("width"), col("height"),
           length(col("data")).cast("bigint").as("n_bytes"))),
+    // REAL image decode: deterministic gray PNGs are synthesized per
+    // doc (dimensions + pixels are integer formulas of the id), pushed
+    // through actual javax.imageio PNG bytes, and decoded back — the
+    // oracle recomputes dimensions and the exact luma sum analytically,
+    // so any codec/colorspace deviation hash-mismatches
+    "multimodal_decode_real" -> ((s, dir) =>
+      Multimodal.imageStats(
+        Multimodal.synthGrayPng(docs(s, dir), "doc_id"))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), col("luma_sum"))),
+    // REAL image resize: decode → 8×8 nearest-neighbor gray resample →
+    // PNG re-encode → decode again for stats; the oracle evaluates the
+    // nearest-neighbor index formula on the generator directly
+    "multimodal_resize_real" -> ((s, dir) =>
+      Multimodal.imageStats(
+        Multimodal.resizeImage(
+          Multimodal.synthGrayPng(docs(s, dir), "doc_id"), 8, 8))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), col("luma_sum"))),
   )
 
   /** Shared oracle fragment: distinct word 5-gram shingles per doc from
@@ -1599,5 +1618,41 @@ object TextQueries {
         """SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
           |  CAST(256 AS BIGINT) AS n_bytes
           |FROM documents""".stripMargin,
+      // mirrors synthGrayPng → ImageIO decode: w = 8 + id%16,
+      // h = 8 + (id/16)%16, pixel(x,y) = (31·id + 7x + 13y) % 256 —
+      // the engine must reproduce these through REAL PNG bytes
+      "multimodal_decode_real" ->
+        """WITH d AS (
+          |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 16 AS h
+          |  FROM documents
+          |), px AS (
+          |  SELECT doc_id, w, h,
+          |    SUM((31 * doc_id + 7 * x.x + 13 * y.y) % 256) AS ls
+          |  FROM d,
+          |    LATERAL (SELECT UNNEST(range(0, w)) AS x) x,
+          |    LATERAL (SELECT UNNEST(range(0, h)) AS y) y
+          |  GROUP BY doc_id, w, h
+          |)
+          |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+          |  CAST(w * h AS BIGINT) AS n_pixels, CAST(ls AS BIGINT) AS luma_sum
+          |FROM px""".stripMargin,
+      // mirrors resizeImage(8, 8) over synthGrayPng: nearest-neighbor
+      // sample at (⌊x·w/8⌋, ⌊y·h/8⌋) of the generator formula
+      "multimodal_resize_real" ->
+        """WITH d AS (
+          |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 16 AS h
+          |  FROM documents
+          |), px AS (
+          |  SELECT doc_id,
+          |    SUM((31 * doc_id + 7 * ((x.x * w) // 8)
+          |         + 13 * ((y.y * h) // 8)) % 256) AS ls
+          |  FROM d,
+          |    LATERAL (SELECT UNNEST(range(0, 8)) AS x) x,
+          |    LATERAL (SELECT UNNEST(range(0, 8)) AS y) y
+          |  GROUP BY doc_id
+          |)
+          |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+          |  CAST(64 AS BIGINT) AS n_pixels, CAST(ls AS BIGINT) AS luma_sum
+          |FROM px""".stripMargin,
     )
 }

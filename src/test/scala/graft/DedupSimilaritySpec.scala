@@ -1348,6 +1348,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a(999999L).forall(_ === 0.toByte)) // empty payload → zero-fill
   }
 
+  test("real image codec: PNG round-trip exact, sniffing routes, resize formula") {
+    import Multimodal.ImageCodec
+    // lossless round-trip: encode a known gray pattern, decode, read
+    // back the EXACT samples (raster path — getRGB would remap them)
+    val png = ImageCodec.encodeGrayPng(11, 7, (x, y) => (5 * x + 17 * y) % 256)
+    assert(ImageCodec.looksLikeImage(png))
+    val img = ImageCodec.decode(png).get
+    assert(img.getWidth === 11 && img.getHeight === 7)
+    for (y <- 0 until 7; x <- 0 until 11)
+      assert(ImageCodec.grayAt(img, x, y) === (5 * x + 17 * y) % 256)
+    // non-image bytes: sniff rejects, decode is None, stub handles
+    assert(!ImageCodec.looksLikeImage("plain text".getBytes))
+    assert(ImageCodec.decode("plain text".getBytes).isEmpty)
+    // nearest-neighbor resize indexes ⌊x·sw/dw⌋: hand-check a corner
+    val small = ImageCodec.resizeGray(img, 4, 2)
+    assert(small.length === 8)
+    assert((small(0) & 0xFF) === 0) // (0,0) → src (0,0) = 0
+    assert((small(1) & 0xFF) === (5 * (1 * 11 / 4)) % 256) // (1,0) → src(2,0)
+
+    // decodeFeatures routes image blobs through the REAL path: true
+    // dimensions, luma histogram over pixels
+    val blob = Seq((42L, "image/png", png)).toDF("doc_id", "media_type", "data")
+    val f = Multimodal.decodeFeatures(blob).collect()(0)
+    assert(f.getAs[Int]("width") === 11 && f.getAs[Int]("height") === 7)
+    val hist = f.getAs[scala.collection.Seq[Double]]("byte_hist")
+    assert(math.abs(hist.sum - 1.0) < 1e-9)
+
+    // end-to-end synth → decode → resize → re-decode matches formulas
+    val ids = Seq(0L, 1L, 17L, 255L).toDF("doc_id")
+    val stats = Multimodal.imageStats(Multimodal.synthGrayPng(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(4)))).toMap
+    for (id <- Seq(0L, 1L, 17L, 255L)) {
+      val w = (8 + id % 16).toInt; val h = (8 + (id / 16) % 16).toInt
+      val expect = (for (x <- 0 until w; y <- 0 until h)
+        yield (31 * id + 7 * x + 13 * y) % 256).sum
+      assert(stats(id) === ((w, h, expect)), s"id=$id")
+    }
+    val rs = Multimodal.imageStats(Multimodal.resizeImage(
+        Multimodal.synthGrayPng(ids, "doc_id"), 8, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(4)))).toMap
+    for (id <- Seq(0L, 1L, 17L, 255L)) {
+      val w = (8 + id % 16).toInt; val h = (8 + (id / 16) % 16).toInt
+      val expect = (for (x <- 0 until 8; y <- 0 until 8)
+        yield (31 * id + 7 * (x * w / 8) + 13 * (y * h / 8)) % 256).sum
+      assert(rs(id) === ((8, 8, expect)), s"id=$id")
+    }
+  }
+
   private def withConf[A](pairs: (String, String)*)(body: => A): A = {
     val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
