@@ -601,6 +601,42 @@ object Dedup {
     state.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Dedup IMPACT report — the "what does deduplication buy me" table a
+    * dataset card needs before committing to a dedup pass: connected
+    * components over the near-dup `pairs` ([[dupClusters]]), singletons
+    * included, rolled up by cluster size with the docs and tokens a
+    * keep-the-smallest-id policy removes. `tokens_saved` counts every
+    * non-canonical member's tokens (the canonical doc's tokens are
+    * kept).
+    *
+    * Output: (cluster_size, n_clusters, docs_removed, tokens_saved).
+    *
+    * Scale shape: membership joins on the doc id (shuffle join — no
+    * broadcast hint, membership is corpus-sized on a duplicated
+    * corpus); the per-cluster agg partial-aggregates to one row per
+    * cluster; the histogram agg is a handful of rows. The member frame
+    * is localCheckpointed once — it feeds both the per-cluster agg and
+    * the canonical-token lookup, and recomputing it would re-run the
+    * whole pair pipeline + label propagation twice.
+    */
+  def dedupSavings(corpus: DataFrame, idCol: String, nTokens: Column,
+      pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"),
+      nTokens.cast("long").as("n_tokens"))
+    val member = base.join(dupClusters(pairs, maxIters), Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .localCheckpoint()
+    val per = member.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"), sum(col("n_tokens")).as("tok"),
+        min(col("id")).as("canon"))
+    per.join(member.select(col("id").as("canon"),
+        col("n_tokens").as("canon_tok")), Seq("canon"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz") - 1).as("docs_removed"),
+        sum(col("tok") - col("canon_tok")).as("tokens_saved"))
+  }
+
   /** 64-bit SimHash per document, evaluated by the native per-row
     * [[SimHash64Expr]]: bit-sign counters over xxhash64(token) in one
     * tight loop inside the scan's project — no explode, no exchange.

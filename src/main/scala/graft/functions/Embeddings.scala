@@ -180,4 +180,46 @@ object Embeddings {
     * the PQ quantizer for composition (IVF+PQ residuals).
     */
   def grid64(vec: Column, i: Int): Column = q64(vec, i)
+
+  /** Signed Johnson–Lindenstrauss random projection: out dim d is
+    * `Σ_i sign(d, i) · grid64(vec, i)` with the deterministic ±1 signs
+    * of [[Similarity.planeSign]] (splitmix64 — no RNG state, identical
+    * on every engine). Projecting the ×64-quantized vector keeps the
+    * arithmetic INTEGER, so projections are bit-exact cross-engine and
+    * the operator is oracle-gateable — the classic dense-JL dimension
+    * reduction (Achlioptas' ±1 construction) that prefilters ANN /
+    * clustering at a fraction of the full-dimension cost.
+    *
+    * Scale shape: entirely scan-local — the grid vector materializes
+    * once per row in its own projection (the PQ codegen-split pattern:
+    * one CreateArray of 64 simple terms), and each output dim is a
+    * SEPARATE projection expression (64-term integer sum), so codegen
+    * splits per dim instead of building one giant method. No exchange
+    * at any scale.
+    *
+    * Output: (idCol, p0 … p{outDims-1}) — one Long column per output
+    * dimension.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, inDims: Int = 64): DataFrame = {
+    require(outDims >= 1 && inDims >= 1, "dims must be positive")
+    val gridArr = array((0 until inDims).map(i => q64(col(vecCol), i)): _*)
+    val g = df.select(col(idCol), gridArr.as("__cv"))
+    val projCols = (0 until outDims).map { d =>
+      (0 until inDims).map { i =>
+        val t = element_at(col("__cv"), i + 1)
+        if (Similarity.planeSign(d, i) > 0) t else -t
+      }.reduce(_ + _).as(s"p$d")
+    }
+    g.select(col(idCol) +: projCols: _*)
+  }
+
+  /** The DuckDB mirror of [[randomProjection]]'s dim-`d` sum over a
+    * quantized-vector SQL array expression `cv` (1-indexed).
+    */
+  def randomProjectionSql(cv: String, d: Int, inDims: Int = 64): String =
+    "0 " + (0 until inDims).map { i =>
+      val s = if (Similarity.planeSign(d, i) > 0) "+" else "-"
+      s"$s $cv[${i + 1}]"
+    }.mkString(" ")
 }

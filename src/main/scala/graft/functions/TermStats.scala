@@ -263,6 +263,44 @@ object TermStats {
         col("total_tokens").cast("double"))
   }
 
+  /** Vocabulary GROWTH curve (Heaps' law): distinct terms and total
+    * tokens in the corpus prefix `id < cutoff`, for each cutoff — the
+    * "how fast does my vocabulary grow as I add data" tokenizer- and
+    * dedup-planning profile (sublinear growth is healthy; near-linear
+    * growth flags noise/mojibake inflating the term space). The
+    * type-token ratio rides along.
+    *
+    * Scale shape: one (term → first id) partial-aggregating groupBy —
+    * the only corpus-sized exchange, carrying (term, id) pairs — then
+    * joins against the literal cutoffs frame (bounded by construction,
+    * broadcast). Per-doc token counts aggregate in a second narrow
+    * pass; nothing concentrates.
+    */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+      cutoffs: Seq[Long]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ >= 1),
+      "need at least one positive cutoff")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cut = cutoffs.toDF("cutoff")
+    val first = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(min(col("id")).as("first_id"))
+    val terms = first.join(broadcast(cut), col("first_id") < col("cutoff"))
+      .groupBy(col("cutoff")).agg(count(lit(1)).as("n_terms"))
+    val toks = docs
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+      .join(broadcast(cut), col("id") < col("cutoff"))
+      .groupBy(col("cutoff"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    toks.join(terms, Seq("cutoff"))
+      .withColumn("ttr", col("n_terms").cast("double") /
+        greatest(col("n_tokens"), lit(1L)).cast("double"))
+      .select("cutoff", "n_docs", "n_tokens", "n_terms", "ttr")
+  }
+
   // --- Count-Min sketch --------------------------------------------------
   //
   // The mergeable approximate-counting structure (Cormode & Muthukrishnan)

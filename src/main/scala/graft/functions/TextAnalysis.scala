@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -31,6 +31,61 @@ object TextAnalysis {
   def punctRatio(text: Column): Column =
     (length(text) - length(translate(text, PunctChars, ""))).cast("double") /
       greatest(length(text), lit(1)).cast("double")
+
+  /** Character-class inventory for the script profile — `translate`
+    * alphabets, not regexes (regex char-class semantics differ subtly
+    * between Java and RE2; translate is char-for-char identical).
+    */
+  val AsciiAlpha: String =
+    ('a' to 'z').mkString + ('A' to 'Z').mkString
+  val AsciiDigit: String = ('0' to '9').mkString
+  val AsciiPunct: String = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+  private def classCount(text: Column, chars: String): Column =
+    (length(text) - length(translate(text, chars, ""))).cast("long")
+
+  /** Per-document character-class/script profile: how much of the text
+    * is ASCII letters, digits, spaces, punctuation, or OTHER (the
+    * other bucket is where non-Latin scripts, control bytes, and
+    * mojibake land) — the script-detection quality signal that flags
+    * encoding damage and wrong-script slices before tokenization.
+    * Pure scan-local length arithmetic; no shuffle.
+    */
+  def charClassProfile(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_alpha", classCount(t, AsciiAlpha))
+      .withColumn("n_digit", classCount(t, AsciiDigit))
+      .withColumn("n_space", classCount(t, " "))
+      .withColumn("n_punct", classCount(t, AsciiPunct))
+      .withColumn("n_other",
+        col("n_chars") - col("n_alpha") - col("n_digit") -
+          col("n_space") - col("n_punct"))
+  }
+
+  /** Corpus script profile rolled up per stratum (language, source…):
+    * doc counts plus summed char-class counts and the non-ASCII
+    * fraction. One partial-aggregating groupBy over the scan.
+    */
+  def scriptProfile(df: DataFrame, stratumCol: String,
+      textCol: String): DataFrame =
+    charClassProfile(df, textCol)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("n_alpha").as("n_alpha"), sum("n_digit").as("n_digit"),
+        sum("n_space").as("n_space"), sum("n_punct").as("n_punct"),
+        sum("n_other").as("n_other"))
+      .withColumn("other_frac", col("n_other").cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double"))
+
+  /** SQL string literal with embedded quotes doubled. */
+  def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** DuckDB mirror of [[charClassProfile]]'s count of `chars` in
+    * text expression `e`.
+    */
+  def classCountSql(e: String, chars: String): String =
+    s"CAST(length($e) - length(translate($e, ${sqlQuote(chars)}, '')) AS BIGINT)"
 
   /** Language → marker stopwords. Public high-frequency function words. */
   val StopwordLists: Seq[(String, Seq[String])] = Seq(

@@ -601,6 +601,25 @@ object TextQueries {
           Multimodal.synthGrayPng(docs(s, dir), "doc_id"), 8, 8))
         .select(col("doc_id"), col("width"), col("height"),
           col("n_pixels"), col("luma_sum"))),
+    // script/char-class profile per language: ASCII letters, digits,
+    // spaces, punctuation vs OTHER (where non-Latin scripts and
+    // encoding damage land) — translate-based, regex-dialect-free
+    "text_scripts" -> ((s, dir) =>
+      TA.scriptProfile(docs(s, dir), "lang", "text")),
+    // vocabulary growth (Heaps' law) at corpus-prefix cutoffs: distinct
+    // terms + tokens + type-token ratio after the first N doc ids
+    "vocab_growth" -> ((s, dir) =>
+      graft.functions.TermStats.vocabGrowth(docs(s, dir), "doc_id", "text",
+        cutoffs = Seq(100L, 250L, 500L, 2000L))),
+    // dedup impact report: near-dup components over the dup-injected
+    // corpus rolled up by cluster size, with the docs and tokens a
+    // keep-smallest-id policy removes — the dataset-card savings table
+    "dedup_savings" -> ((s, dir) =>
+      Dedup.dedupSavings(dupCorpus(docs(s, dir)), "doc_id",
+        TA.tokenCount(col("text")),
+        Dedup.ngramJaccardPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)
+          .select("id_a", "id_b"))),
   )
 
   /** Shared oracle fragment: distinct word 5-gram shingles per doc from
@@ -1599,7 +1618,9 @@ object TextQueries {
            |WHERE GREATEST(CAST(n_common AS DOUBLE) / CAST(a.n AS DOUBLE),
            |               CAST(n_common AS DOUBLE) / CAST(b.n AS DOUBLE)) >= 0.9""".stripMargin
 
-  private def baseOracles: Map[String, String] = Map(
+  private def baseOracles: Map[String, String] = {
+    val toks = "string_split(text, ' ')"
+    Map(
       "multimodal_decode" ->
         """SELECT doc_id, 'application/octet-stream' AS media_type,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1636,6 +1657,83 @@ object TextQueries {
           |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
           |  CAST(w * h AS BIGINT) AS n_pixels, CAST(ls AS BIGINT) AS luma_sum
           |FROM px""".stripMargin,
+      // mirrors scriptProfile(lang): translate-based char-class counts
+      // (identical char-for-char semantics on both engines), summed per
+      // language
+      "text_scripts" -> {
+        val cc = (name: String, chars: String) =>
+          s"${TA.classCountSql("text", chars)} AS $name"
+        s"""WITH d AS (
+           |  SELECT lang, CAST(length(text) AS BIGINT) AS n_chars,
+           |    ${cc("n_alpha", TA.AsciiAlpha)},
+           |    ${cc("n_digit", TA.AsciiDigit)},
+           |    ${cc("n_space", " ")},
+           |    ${cc("n_punct", TA.AsciiPunct)}
+           |  FROM documents
+           |)
+           |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           |  CAST(SUM(n_alpha) AS BIGINT) AS n_alpha,
+           |  CAST(SUM(n_digit) AS BIGINT) AS n_digit,
+           |  CAST(SUM(n_space) AS BIGINT) AS n_space,
+           |  CAST(SUM(n_punct) AS BIGINT) AS n_punct,
+           |  CAST(SUM(n_chars - n_alpha - n_digit - n_space - n_punct)
+           |       AS BIGINT) AS n_other,
+           |  CAST(CAST(SUM(n_chars - n_alpha - n_digit - n_space - n_punct)
+           |            AS BIGINT) AS DOUBLE)
+           |    / CAST(GREATEST(CAST(SUM(n_chars) AS BIGINT), 1) AS DOUBLE)
+           |    AS other_frac
+           |FROM d GROUP BY lang""".stripMargin
+      },
+      // mirrors vocabGrowth(cutoffs = 100, 250, 500, 2000): first-seen
+      // doc id per term, prefix joins against the literal cutoffs
+      "vocab_growth" ->
+        s"""WITH cut AS (SELECT CAST(c AS BIGINT) AS cutoff
+           |             FROM (VALUES (100), (250), (500), (2000)) t(c)),
+           |tok AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+           |fst AS (SELECT term, MIN(doc_id) AS first_id FROM tok GROUP BY term),
+           |trm AS (SELECT cutoff, CAST(COUNT(*) AS BIGINT) AS n_terms
+           |        FROM fst JOIN cut ON first_id < cutoff GROUP BY cutoff),
+           |dt AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+           |tk AS (SELECT cutoff, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(n) AS BIGINT) AS n_tokens
+           |       FROM dt JOIN cut ON doc_id < cutoff GROUP BY cutoff)
+           |SELECT cutoff, n_docs, n_tokens, n_terms,
+           |  CAST(n_terms AS DOUBLE)
+           |    / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS ttr
+           |FROM tk JOIN trm USING (cutoff)""".stripMargin,
+      // mirrors dedupSavings over the same ngram pairs as dedup_clusters:
+      // recursive-CTE components, singleton fill-in, per-cluster-size
+      // rollup of removed docs/tokens under keep-smallest-id
+      "dedup_savings" ->
+        s"""WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ($ngramPairsOracleSql)),
+           |e AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION
+           |  SELECT id_b AS src, id_a AS dst FROM pairs
+           |),
+           |reach(id, lbl) AS (
+           |  SELECT src, src FROM e
+           |  UNION
+           |  SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.id
+           |),
+           |clusters AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+           |corpus AS ($dupCorpusSql),
+           |member AS (
+           |  SELECT COALESCE(c.cluster_id, d.doc_id) AS cluster_id, d.doc_id,
+           |    CAST(len($toks) AS BIGINT) AS n_tokens
+           |  FROM corpus d LEFT JOIN clusters c ON d.doc_id = c.id),
+           |per AS (
+           |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz,
+           |    CAST(SUM(n_tokens) AS BIGINT) AS tok, MIN(doc_id) AS canon
+           |  FROM member GROUP BY cluster_id),
+           |j AS (
+           |  SELECT p.sz, p.tok, m.n_tokens AS canon_tok
+           |  FROM per p JOIN member m ON m.doc_id = p.canon)
+           |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           |  CAST(SUM(sz - 1) AS BIGINT) AS docs_removed,
+           |  CAST(SUM(tok - canon_tok) AS BIGINT) AS tokens_saved
+           |FROM j GROUP BY sz""".stripMargin,
       // mirrors resizeImage(8, 8) over synthGrayPng: nearest-neighbor
       // sample at (⌊x·w/8⌋, ⌊y·h/8⌋) of the generator formula
       "multimodal_resize_real" ->
@@ -1655,4 +1753,5 @@ object TextQueries {
           |  CAST(64 AS BIGINT) AS n_pixels, CAST(ls AS BIGINT) AS luma_sum
           |FROM px""".stripMargin,
     )
+  }
 }

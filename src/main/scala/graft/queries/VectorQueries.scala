@@ -79,6 +79,12 @@ object VectorQueries {
     // no cross product); rows-only gate + recall ScalaTest
     "ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), "vec_id", "embedding", k = 5)),
+    // signed Johnson–Lindenstrauss projection of the ×64-quantized
+    // vectors to 8 integer dims — dimension reduction that stays
+    // bit-exact cross-engine (Achlioptas ±1 signs from splitmix64)
+    "embed_project" -> ((s, dir) =>
+      graft.functions.Embeddings.randomProjection(
+        emb(s, dir), "vec_id", "embedding", outDims = 8)),
     // IVF approximate top-k — coarse-quantizer lists, nprobe probing.
     // TRAINED centroids (means over doubles) are never bit-reproducible
     // cross-engine, so the raw neighbor list cannot be hash-matched;
@@ -589,6 +595,21 @@ object VectorQueries {
         |FROM c WHERE rn = cnt""".stripMargin,
     "embed_neardup" -> neardupOracleSql,
     "ann_lsh" -> lshTopKOracleSql,
+    // mirrors randomProjection(outDims = 8): the same ±1 sign matrix is
+    // interpolated as literal signs over the shared ×64 grid idiom
+    "embed_project" -> {
+      import graft.functions.Embeddings
+      val ps = (0 until 8).map(d =>
+        s"CAST(${Embeddings.randomProjectionSql("cv", d)} AS BIGINT) AS p$d")
+        .mkString(",\n|  ")
+      s"""WITH g AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(LEAST(GREATEST(FLOOR(x * 64 + 0.5), -127), 127) AS BIGINT)) AS cv
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  $ps
+         |FROM g""".stripMargin
+    },
     // self-grading verdict (see the ann_ivf query comment): DuckDB owns
     // n_queries; TRUE is the asserted recall verdict — if Spark's trained
     // IVF ever drops below the 0.3 recall floor the flag flips and the

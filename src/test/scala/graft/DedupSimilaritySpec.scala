@@ -1683,6 +1683,72 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("split").as[String].head())
   }
 
+  test("random projection: unit-axis images, sign symmetry, integer-exact") {
+    import graft.functions.Embeddings
+    // v = e_i scaled to grid 64: projection dim d must be ±64 exactly
+    // (the sign matrix entry), and proj(-v) = -proj(v)
+    val dims = 64
+    val rows = Seq(3, 17).flatMap { i =>
+      val v = Array.fill(dims)(0.0f); v(i) = 1.0f
+      val n = v.map(x => -x)
+      Seq((i.toLong * 2, v), (i.toLong * 2 + 1, n))
+    }
+    val got = Embeddings.randomProjection(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", outDims = 8)
+      .collect().map(r => r.getLong(0) -> (0 until 8).map(d =>
+        r.getLong(r.fieldIndex(s"p$d"))))
+      .toMap
+    for (i <- Seq(3, 17); d <- 0 until 8) {
+      val p = got(i.toLong * 2)(d)
+      assert(math.abs(p) === 64L,
+        s"unit axis $i must project to ±64 in dim $d, got $p")
+      assert(got(i.toLong * 2 + 1)(d) === -p) // sign symmetry
+      assert(p === Similarity.planeSign(d, i).toLong * 64L) // exact sign
+    }
+    // scan-local: no exchange in the plan
+    val plan = Embeddings.randomProjection(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", outDims = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1000))
+  }
+
+  test("char-class profile: hand-counted classes, rollup fractions") {
+    val df = Seq((1L, "Ab1 ,x!", "en"), (2L, "zzé", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val per = TA.charClassProfile(df, "text")
+      .select("doc_id", "n_chars", "n_alpha", "n_digit", "n_space",
+        "n_punct", "n_other")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(per(1L) === ((1L, 7L, 3L, 1L, 1L, 2L, 0L))) // A b x | 1 | ' ' | , !
+    assert(per(2L) === ((2L, 3L, 2L, 0L, 0L, 0L, 1L))) // é is OTHER
+    val roll = TA.scriptProfile(df, "lang", "text")
+      .select("lang", "n_docs", "n_other", "other_frac")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(roll("fr") === (("fr", 1L, 1L, 1.0 / 3.0)))
+  }
+
+  test("vocab growth: prefix-distinct terms, Heaps-curve monotone") {
+    import graft.functions.TermStats
+    // prefix id<2: docs 0,1 → terms {a,b,c}, 5 tokens; id<4 adds d
+    val df = Seq((0L, "a b a"), (1L, "b c"), (2L, "a d"), (3L, "d d"))
+      .toDF("doc_id", "text")
+    val got = TermStats.vocabGrowth(df, "doc_id", "text", Seq(2L, 4L))
+      .select("cutoff", "n_docs", "n_tokens", "n_terms")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((2L, 2L, 5L, 3L), (4L, 4L, 9L, 4L)))
+  }
+
+  test("dedup savings: cluster-size histogram with keep-smallest tokens") {
+    // cluster {1,2,3} (chain), singleton 4; tokens 5,3,2,7 — canonical 1
+    // keeps 5 tokens, so the size-3 row saves 3+2 and removes 2 docs
+    val corpus = Seq((1L, 5L), (2L, 3L), (3L, 2L), (4L, 7L))
+      .toDF("doc_id", "toks")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupSavings(corpus, "doc_id", col("toks"), pairs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, 1L, 0L, 0L), (3L, 1L, 2L, 5L)))
+  }
+
   test("mixture weights: zero-token stratum weighs 0, never NaN/Inf") {
     import graft.functions.Sampling
     val df = Seq(("A", 90L), ("B", 10L), ("EMPTY", 0L)).toDF("src", "toks")
