@@ -85,6 +85,14 @@ object VectorQueries {
     "embed_project" -> ((s, dir) =>
       graft.functions.Embeddings.randomProjection(
         emb(s, dir), "vec_id", "embedding", outDims = 8)),
+    // two-stage ANN: JL-projected integer-dot coarse shortlist (16
+    // terms per pair instead of 64) → exact grid-cosine rerank; both stages
+    // integer/grid-exact, so the WHOLE result hash-matches the oracle
+    "ann_project_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.projectTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, shortlist = 50)
+    }),
     // IVF approximate top-k — coarse-quantizer lists, nprobe probing.
     // TRAINED centroids (means over doubles) are never bit-reproducible
     // cross-engine, so the raw neighbor list cannot be hash-matched;
@@ -609,6 +617,47 @@ object VectorQueries {
          |SELECT vec_id,
          |  $ps
          |FROM g""".stripMargin
+    },
+    // mirrors projectTopK(k=5, shortlist=50, outDims=8): same literal
+    // sign sums for the coarse stage, grid-double cosine for the rerank
+    "ann_project_topk" -> {
+      import graft.functions.Embeddings
+      val ps = (0 until 16).map(d =>
+        s"CAST(${Embeddings.randomProjectionSql("cv", d)} AS BIGINT) AS p$d")
+        .mkString(",\n|    ")
+      val coarse = (0 until 16).map(d => s"q.p$d * c.p$d").mkString(" + ")
+      s"""WITH g AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |      x -> CAST(LEAST(GREATEST(FLOOR(x * 64 + 0.5), -127), 127) AS BIGINT)) AS cv
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id,
+         |    $ps
+         |  FROM g),
+         |co AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $coarse AS coarse
+         |  FROM p q JOIN p c ON q.vec_id < 8 AND q.vec_id <> c.vec_id),
+         |sh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY coarse DESC, neighbor_id) AS r FROM co)
+         |  WHERE r <= 50),
+         |gd AS (
+         |  SELECT vec_id, list_transform(cv, x -> CAST(x AS DOUBLE)) AS dv
+         |  FROM g),
+         |nv AS (
+         |  SELECT vec_id, dv, sqrt(list_dot_product(dv, dv)) AS n FROM gd),
+         |rr AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    list_dot_product(q.dv, c.dv) / (q.n * c.n) AS sim
+         |  FROM sh s JOIN nv q ON q.vec_id = s.query_id
+         |            JOIN nv c ON c.vec_id = s.neighbor_id),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM rr)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
+         |FROM rk WHERE rank <= 5""".stripMargin
     },
     // self-grading verdict (see the ann_ivf query comment): DuckDB owns
     // n_queries; TRUE is the asserted recall verdict — if Spark's trained

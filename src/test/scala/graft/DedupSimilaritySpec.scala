@@ -1711,6 +1711,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(1000))
   }
 
+  test("projectTopK: twin survives the JL shortlist, recall measured") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    val twin = e.filter(col("vec_id") === 1).withColumn("vec_id", lit(900000L))
+    val full = e.unionByName(twin)
+    // an identical vector has the identical projection, so it tops the
+    // coarse stage and must rerank to rank 1 with grid-cosine 1 (query
+    // from the twin side — ties at sim 1.0 break toward the smaller id,
+    // which is the original)
+    val got = Similarity.projectTopK(
+        full.filter(col("vec_id") === 900000L), full,
+        "vec_id", "embedding", k = 3, shortlist = 20)
+      .filter(col("rank") === 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("neighbor_id") === 1L)
+    assert(math.abs(got(0).getAs[Double]("sim") - 1.0) < 1e-12)
+    // recall of the JL prefilter vs grid-exact brute force
+    val qs = e.filter(col("vec_id") < 16)
+    val truth = Similarity.projectTopK(qs, e, "vec_id", "embedding",
+        k = 5, shortlist = 1000000) // shortlist ≥ corpus = exact brute
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.projectTopK(qs, e, "vec_id", "embedding",
+        k = 5, shortlist = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    info(f"JL-prefilter recall@5 (shortlist 50, 16 dims): $recall%.3f")
+    // random near-orthogonal corpus is the worst case (see the LSH
+    // note); the floor documents measured behavior
+    assert(recall > 0.1)
+  }
+
   test("char-class profile: hand-counted classes, rollup fractions") {
     val df = Seq((1L, "Ab1 ,x!", "en"), (2L, "zzé", "fr"))
       .toDF("doc_id", "text", "lang")
