@@ -420,6 +420,52 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b",
         "containment_a", "containment_b")
 
+  /** TF-weighted sparse-vector cosine pairs — the bag-of-words
+    * similarity that SET-based measures miss: two docs repeating the
+    * same rare vocabulary with different n-gram order score high here
+    * and low on shingle Jaccard (template re-fills, shuffled
+    * concatenations, translations sharing names/numbers). Classic
+    * sparse cosine via the inverted-index join: dot(a, b) =
+    * Σ_term tf_a·tf_b over SHARED terms only.
+    *
+    * Exactness: tf products and squared norms are integer sums;
+    * `sim = dot / (√n2_a · √n2_b)` is then three IEEE ops on exact
+    * integers — bit-identical in DuckDB, so the threshold filter can
+    * never disagree cross-engine. Norms are computed AFTER the df cap
+    * (the [[ngramJaccardPairs]] convention), so identical docs score
+    * exactly 1.0 however much boilerplate vocabulary they carry.
+    *
+    * Scale shape: the (id, term, tf) frame partial-aggregates in one
+    * exchange; terms in more than `maxTermDf` docs ("the") drop BEFORE
+    * the self-join, bounding per-key fan-out exactly like the shingle
+    * df cap; the capped frame localCheckpoints once (it feeds norms +
+    * both join sides). Text never crosses an exchange.
+    */
+  def tfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double = 0.5, maxTermDf: Int = 100): DataFrame = {
+    require(maxTermDf >= 1, "maxTermDf must be >= 1")
+    val tf = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val rare = tf.join(
+        tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxTermDf).select("term"),
+        Seq("term"))
+      .localCheckpoint()
+    val norms = rare.groupBy(col("id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    rare.as("x").join(rare.as("y"),
+        col("x.term") === col("y.term") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
+      .join(norms.select(col("id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("sim") >= minSim)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "sim")
+  }
+
   /** Shared pair-statistics subtree of the shingle-set similarity
     * family: distinct (id, shingle) pairs (df-capped), per-doc set
     * sizes, and per-pair intersection counts via the shingle-key

@@ -611,6 +611,13 @@ object TextQueries {
     "vocab_growth" -> ((s, dir) =>
       graft.functions.TermStats.vocabGrowth(docs(s, dir), "doc_id", "text",
         cutoffs = Seq(100L, 250L, 500L, 2000L))),
+    // TF-weighted sparse cosine pairs over the dup-injected corpus:
+    // inverted-index join on df-capped terms, integer dot/norms, exact
+    // IEEE cosine — catches same-vocabulary/different-order near-dups
+    // that shingle Jaccard misses
+    "dedup_tf_cosine" -> ((s, dir) =>
+      Dedup.tfCosinePairs(dupCorpus(docs(s, dir)), "doc_id", "text",
+        minSim = 0.8, maxTermDf = 100)),
     // dedup impact report: near-dup components over the dup-injected
     // corpus rolled up by cluster size, with the docs and tokens a
     // keep-smallest-id policy removes — the dataset-card savings table
@@ -1702,6 +1709,36 @@ object TextQueries {
            |  CAST(n_terms AS DOUBLE)
            |    / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS ttr
            |FROM tk JOIN trm USING (cutoff)""".stripMargin,
+      // mirrors tfCosinePairs(minSim=0.8, maxTermDf=100): inverted-index
+      // join on df-capped terms; integer dot and norms, the same three
+      // IEEE ops for sim
+      "dedup_tf_cosine" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |tf AS (
+           |  SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest($toks) AS term FROM corpus)
+           |  GROUP BY doc_id, term),
+           |rare AS (
+           |  SELECT tf.* FROM tf JOIN (
+           |    SELECT term FROM tf GROUP BY term HAVING COUNT(*) <= 100
+           |  ) r USING (term)),
+           |norms AS (
+           |  SELECT id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+           |  FROM rare GROUP BY id),
+           |p AS (
+           |  SELECT x.id AS id_a, y.id AS id_b,
+           |    CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+           |  FROM rare x JOIN rare y ON x.term = y.term AND x.id < y.id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+           |  CAST(dot AS DOUBLE)
+           |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+           |    AS sim
+           |FROM p JOIN norms na ON na.id = p.id_a
+           |       JOIN norms nb ON nb.id = p.id_b
+           |WHERE CAST(dot AS DOUBLE)
+           |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+           |    >= 0.8""".stripMargin,
       // mirrors dedupSavings over the same ngram pairs as dedup_clusters:
       // recursive-CTE components, singleton fill-in, per-cluster-size
       // rollup of removed docs/tokens under keep-smallest-id

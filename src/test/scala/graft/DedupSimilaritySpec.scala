@@ -1768,6 +1768,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === List((2L, 2L, 5L, 3L), (4L, 4L, 9L, 4L)))
   }
 
+  test("tf cosine pairs: order-insensitive, exact-dup scores 1.0, df cap") {
+    // docs 1/2 share the same rare vocabulary in DIFFERENT order (zero
+    // shared 3-grams beyond chance) — tf cosine must score them 1.0
+    // while shingle Jaccard scores ~0; doc 3 is unrelated; all docs
+    // share a boilerplate word that the df cap (2 < 3) removes
+    val df = Seq(
+      (1L, "boiler alpha beta gamma delta"),
+      (2L, "boiler delta gamma beta alpha"),
+      (3L, "boiler x1 x2 x3 x4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.tfCosinePairs(df, "doc_id", "text",
+        minSim = 0.5, maxTermDf = 2)
+      .select("id_a", "id_b", "dot", "n2_a", "n2_b", "sim")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length === 1)
+    val p = got(0)
+    assert((p._1, p._2) === ((1L, 2L)))
+    assert(p._3 === 4L && p._4 === 4L && p._5 === 4L) // 4 rare terms, tf 1
+    assert(p._6 === 1.0) // exactly — integer dot over sqrt of equal norms
+    // multiplicity weighting: tf vectors (2,1)·(1,2) = 4, norms² = 5
+    // → sim = 4/(√5·√5), the exact IEEE value (√5·√5 ≠ 5 in doubles)
+    val m = Seq((1L, "a a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val gm = Dedup.tfCosinePairs(m, "doc_id", "text",
+        minSim = 0.0, maxTermDf = 10)
+      .select("dot", "n2_a", "n2_b", "sim")
+      .as[(Long, Long, Long, Double)].head()
+    assert(gm === ((4L, 5L, 5L, 4.0 / (math.sqrt(5.0) * math.sqrt(5.0)))))
+  }
+
   test("dedup savings: cluster-size histogram with keep-smallest tokens") {
     // cluster {1,2,3} (chain), singleton 4; tokens 5,3,2,7 — canonical 1
     // keeps 5 tokens, so the size-3 row saves 3+2 and removes 2 docs
