@@ -447,6 +447,7 @@ object Dedup {
     val tf = df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // the df-count subtree reads it twice
     val rare = tf.join(
         tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxTermDf).select("term"),
@@ -474,16 +475,28 @@ object Dedup {
   private def shinglePairStats(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int, maxShingleDf: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // shingles stay TEXT here, deliberately: the md5-based 60-bit hash
+    // (the sourceOverlap shape) was tried in round 10 and measured a
+    // net loss at bench scale — the per-shingle md5 costs more than the
+    // narrower exchange saves (1.70 s vs 1.39 s on dedup_ngram_pairs,
+    // sf0.1 min-of-5). At larger scale the trade tilts back; revisit
+    // with a cheaper cross-engine hash if one lands in both engines.
     val sh0 = df.select(col(idCol).as("id"),
         explode(wordShingles(col(textCol), shingleN)).as("shingle"))
       .distinct()
-    val sh =
+    // the (df-capped) shingle frame feeds THREE downstream references
+    // (sizes + both self-join sides); Spark shares no common subtrees,
+    // so without the one-shot materialization the shingle explode +
+    // distinct (+ df window) would run three times — the same barrier
+    // sourceOverlap and winnowPairs carry
+    val sh = (
       if (maxShingleDf > 0)
         sh0.withColumn("__df",
             count(lit(1)).over(Window.partitionBy("shingle")))
           .filter(col("__df") <= maxShingleDf)
           .drop("__df")
       else sh0
+    ).localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
