@@ -301,6 +301,109 @@ object TermStats {
       .select("cutoff", "n_docs", "n_tokens", "n_terms", "ttr")
   }
 
+  /** BPE tokenizer TRAINING — the greedy merge-learning loop itself
+    * (Sennrich et al., "Neural Machine Translation of Rare Words with
+    * Subword Units"), not just its pair-count inner statistic: start
+    * from characters + an end-of-word marker, repeatedly count adjacent
+    * symbol pairs over the word-count vocabulary, merge the most
+    * frequent pair (ties: lexicographically smallest), `nMerges` times.
+    * Output is the learned merge table `(rank, sym_a, sym_b,
+    * pair_count)` — the artifact a tokenizer ships.
+    *
+    * Determinism/exactness: symbol strings are bracket-framed
+    * (`⟨h⟩⟨a⟩⟨t⟩⟨/w⟩`), so merge application is a plain left-to-right
+    * non-overlapping string `replace` — identical semantics in Spark
+    * and DuckDB — and the greedy choice orders by (count desc, pair
+    * asc), a total order. The oracle re-derives every round itself
+    * (chained CTEs), so the gate checks the whole training loop, not
+    * just a final state.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the word-count
+    * aggregation (partial map-side); every merge round then works on
+    * the distinct-word vocabulary table — bounded by vocabulary, not
+    * corpus, exactly like production BPE trainers. Per round: one
+    * vocab-sized pair aggregation, a 1-row driver `limit(1)` (the
+    * chosen pair), and a scan-local replace; lineage truncates per
+    * round via localCheckpoint.
+    */
+  def bpeLearnMerges(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, "need 1 <= nMerges <= 64")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    var vocab = words.select(
+      concat(lit("⟨"),
+        array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), "⟩⟨"),
+        lit("⟩⟨/w⟩")).as("s"),
+      col("c")).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to nMerges) {
+      val syms = split(trim(col("s"), "⟨⟩"), "⟩⟨")
+      val best = vocab
+        .select(col("c"), explode(
+            transform(sequence(lit(1), size(syms) - 1), i =>
+              struct(element_at(syms, i).as("a"),
+                element_at(syms, i + lit(1)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, a, b, cnt))
+      vocab = vocab.withColumn("s",
+          call_function("replace", col("s"),
+            lit("⟨" + a + "⟩⟨" + b + "⟩"), lit("⟨" + a + b + "⟩")))
+        .localCheckpoint()
+    }
+    merges.result().toDF("rank", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** DuckDB mirror of [[bpeLearnMerges]]: `nMerges` chained CTE rounds,
+    * each re-deriving the pair counts, the greedy argmax, and the
+    * merge application from the previous round's vocabulary — no
+    * data-dependent value is interpolated, so the oracle checks the
+    * full training loop. Every round CTE is MATERIALIZED — DuckDB
+    * inlines CTEs by default, and w(r) references w(r-1) twice (pair
+    * counts + merge application), so the un-materialized expansion is
+    * 2^nMerges. 
+    */
+  def bpeLearnMergesSql(toksExpr: String, nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT sym[i] AS a, sym[i + 1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(s, '⟨⟩'), '⟩⟨') AS sym, c FROM w${r - 1}),
+         |       unnest(range(1, len(sym))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT CAST($r AS BIGINT) AS rank, a, b, cnt FROM p$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT replace(s, '⟨' || a || '⟩⟨' || b || '⟩',
+         |                 '⟨' || a || b || '⟩') AS s, c
+         |  FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges).map(r => s"SELECT * FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest($toksExpr) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT '⟨' || array_to_string(
+       |      list_transform(range(1, length(w) + 1), i -> w[i]), '⟩⟨')
+       |    || '⟩⟨/w⟩' AS s, c
+       |  FROM wc),
+       |$rounds
+       |SELECT rank, a AS sym_a, b AS sym_b, cnt AS pair_count FROM (
+       |  $union
+       |)""".stripMargin
+  }
+
   // --- Count-Min sketch --------------------------------------------------
   //
   // The mergeable approximate-counting structure (Cormode & Muthukrishnan)

@@ -387,6 +387,12 @@ object TextQueries {
     "dedup_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(dupCorpus(docs(s, dir)), "doc_id", "text",
         k = 5, w = 4, minShared = 2, maxFpDf = 100)),
+    // BPE tokenizer TRAINING: the greedy merge-learning loop itself —
+    // 12 rounds of pair-count → argmax → merge over the word-count
+    // vocabulary; the oracle re-derives every round (chained CTEs)
+    "vocab_bpe_merges" -> ((s, dir) =>
+      graft.functions.TermStats.bpeLearnMerges(docs(s, dir), "text",
+        nMerges = 12)),
     // vocabulary coverage curve: corpus token share covered by the
     // top-{5,20,50} terms — the tokenizer-sizing profile
     "vocab_coverage_curve" -> ((s, dir) =>
@@ -1692,6 +1698,10 @@ object TextQueries {
            |    AS other_frac
            |FROM d GROUP BY lang""".stripMargin
       },
+      // mirrors bpeLearnMerges(nMerges = 12): 12 chained CTE training
+      // rounds, no data-dependent interpolation
+      "vocab_bpe_merges" ->
+        graft.functions.TermStats.bpeLearnMergesSql(toks, nMerges = 12),
       // mirrors vocabGrowth(cutoffs = 100, 250, 500, 2000): first-seen
       // doc id per term, prefix joins against the literal cutoffs
       "vocab_growth" ->

@@ -1757,6 +1757,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(roll("fr") === (("fr", 1L, 1L, 1.0 / 3.0)))
   }
 
+  test("BPE merge learning: hand-derived Sennrich example, greedy + ties") {
+    import graft.functions.TermStats
+    // the canonical BPE corpus: low×5, lower×2, newest×6, widest×3.
+    // Round 1: (e,s)=(n..est+w..est)=9 ties (s,t) and (t,/w) — lexic
+    // smallest pair wins → (e,s). Then (es,t)=9, (est,/w)=9, then
+    // (l,o)=7 ties (o,w) → (l,o).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TermStats.bpeLearnMerges(df, "text", nMerges = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toList
+    assert(got === List(
+      (1L, "e", "s", 9L),
+      (2L, "es", "t", 9L),
+      (3L, "est", "/w", 9L),
+      (4L, "l", "o", 7L)))
+  }
+
   test("vocab growth: prefix-distinct terms, Heaps-curve monotone") {
     import graft.functions.TermStats
     // prefix id<2: docs 0,1 → terms {a,b,c}, 5 tokens; id<4 adds d
