@@ -190,12 +190,14 @@ object Embeddings {
     * reduction (Achlioptas' ±1 construction) that prefilters ANN /
     * clustering at a fraction of the full-dimension cost.
     *
-    * Scale shape: entirely scan-local — the grid vector materializes
-    * once per row in its own projection (the PQ codegen-split pattern:
-    * one CreateArray of 64 simple terms), and each output dim is a
-    * SEPARATE projection expression (64-term integer sum), so codegen
-    * splits per dim instead of building one giant method. No exchange
-    * at any scale.
+    * Scale shape: entirely scan-local — the whole projection is ONE
+    * native kernel call per row ([[Sketches.jlProject]]: grid-quantize
+    * + signed sums in a single tight loop, generated code), where the
+    * declarative 16-columns-of-64-element_at-terms formulation left the
+    * optimizer free to re-inline the grid array into every term (the
+    * round-8 PQ trap). No exchange at any scale; at the bench scale
+    * factor the embeddings table is tiny, so measured time there is
+    * fixed stage overhead, not compute.
     *
     * Output: (idCol, p0 … p{outDims-1}) — one Long column per output
     * dimension.
@@ -203,15 +205,10 @@ object Embeddings {
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
       outDims: Int, inDims: Int = 64): DataFrame = {
     require(outDims >= 1 && inDims >= 1, "dims must be positive")
-    val gridArr = array((0 until inDims).map(i => q64(col(vecCol), i)): _*)
-    val g = df.select(col(idCol), gridArr.as("__cv"))
-    val projCols = (0 until outDims).map { d =>
-      (0 until inDims).map { i =>
-        val t = element_at(col("__cv"), i + 1)
-        if (Similarity.planeSign(d, i) > 0) t else -t
-      }.reduce(_ + _).as(s"p$d")
-    }
-    g.select(col(idCol) +: projCols: _*)
+    val g = df.select(col(idCol),
+      Sketches.jlProject(col(vecCol), outDims, inDims).as("__p"))
+    g.select(col(idCol) +:
+      (0 until outDims).map(d => element_at(col("__p"), d + 1).as(s"p$d")): _*)
   }
 
   /** The DuckDB mirror of [[randomProjection]]'s dim-`d` sum over a

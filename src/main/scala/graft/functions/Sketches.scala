@@ -53,6 +53,17 @@ object Sketches {
     GraftColumnBridge.column(
       HyperplaneSketchExpr(GraftColumnBridge.expression(vec), bits, dims))
 
+  /** Signed JL projection of the ×64-grid-quantized vector: out dim d =
+    * Σ_j sign(d, j) · grid64(vec[j]) — one tight loop per row. The
+    * declarative 16×64 element_at formulation leaves the optimizer free
+    * to re-inline the grid array into every term (the PQ codegen trap);
+    * the kernel guarantees one evaluation per row at any scale. Signs
+    * are [[Similarity.planeSign]].
+    */
+  def jlProject(vec: Column, outDims: Int, dims: Int): Column =
+    GraftColumnBridge.column(
+      JlProjectExpr(GraftColumnBridge.expression(vec), outDims, dims))
+
   /** Word n-gram shingles over a word array: shingle i =
     * words[i..i+n-1] joined by single spaces; arrays shorter than n
     * collapse to one shingle of all words (concat_ws semantics — null
@@ -252,6 +263,31 @@ object SketchKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Kernel for [[JlProjectExpr]]: grid-quantize + signed sums in one
+    * pass. Integer arithmetic after the grid step — bit-exact with the
+    * `least(greatest(floor(x·64+0.5), -127), 127)` SQL idiom.
+    */
+  def jlProject(arr: ArrayData, signs: Array[Array[Double]],
+      dims: Int, isFloat: Boolean): GenericArrayData = {
+    val outDims = signs.length
+    val out = new Array[Long](outDims)
+    val n = math.min(arr.numElements(), dims)
+    var j = 0
+    while (j < n) {
+      val x = if (isFloat) arr.getFloat(j).toDouble else arr.getDouble(j)
+      var g = math.floor(x * 64 + 0.5)
+      if (g < -127) g = -127 else if (g > 127) g = 127
+      val gi = g.toLong
+      var d = 0
+      while (d < outDims) {
+        out(d) += (if (signs(d)(j) > 0) gi else -gi)
+        d += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
   def hyperplaneSketch(arr: ArrayData, planes: Array[Array[Double]],
       dims: Int, isFloat: Boolean): Long = {
     val bits = planes.length
@@ -386,6 +422,38 @@ case class MinHashSigExpr(child: Expression, k: Int, useMd5: Boolean = false)
       |${ev.value} = graft.functions.SketchKernels.minHashSig($c, $asRef, $bsRef, $useMd5);
       |${ev.isNull} = (${ev.value} == null);
       |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Signed JL projection expression — see [[Sketches.jlProject]]. */
+case class JlProjectExpr(child: Expression, outDims: Int, dims: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _)
+        if outDims > 0 && dims > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"jl_project expects array<float|double>, positive dims, got $t")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(outDims, dims)((d, j) => Similarity.planeSign(d, j))
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.jlProject(input.asInstanceOf[ArrayData], signs, dims, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("jlSigns", signs, "double[][]")
+    val fl = if (isFloat) "true" else "false"
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SketchKernels.jlProject($c, $signsRef, $dims, $fl)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
