@@ -77,6 +77,40 @@ object AnalyticsQueries {
         .groupBy(col("n_name"))
         .agg(sum(revenue).cast("double").as("revenue"))
     }),
+    // TPC-H Q7-style bilateral trade: 6-way join with TWO roles of the
+    // same dimension (nation as supplier-side and customer-side), a
+    // disjunctive cross-role filter, per-year rollup — the join-reorder
+    // + broadcast-dim breadth test q5 doesn't cover
+    "q7_volume_shipping" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem").filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), sup("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+    }),
+    // ANALYZE-style optimizer statistics: one pass over the table,
+    // per-column null/NDV/min/max — the stats-collection operator every
+    // engine ships for join planning and data validation
+    "table_stats" -> ((s, dir) =>
+      graft.functions.TableStats.columnStats(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus"))),
     // window function: deterministic running sum per supplier
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -456,6 +490,34 @@ object AnalyticsQueries {
          |  AND o_orderdate >= TIMESTAMP '1995-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+         |  CAST(SUM(volume) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    year(l_shipdate) AS l_year, $revenueSql AS volume
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |)
+         |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "table_stats" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    },
     "window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (

