@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-diagnosis primitives: the profiling operators an engine team
+  * runs BEFORE tuning a 100 TB job — key-skew measurement (is this join
+  * salt-worthy, and by how much) and zone-map pruning (which storage
+  * buckets can a range predicate skip). Both are plain aggregations, so
+  * they cost one pass and are oracle-exact.
+  */
+object Diagnostics {
+
+  /** Join-key skew profile: the `topK` heaviest keys with their share
+    * of rows, skew ratio (count / mean per-key count), and the salt
+    * factor that would level each onto the mean — the measurement that
+    * decides between a plain shuffle join, AQE skew handling, or
+    * explicit salting ([[graft.queries.AnalyticsQueries]]'
+    * `q_salted_join` consumes exactly this number).
+    *
+    * Exactness: `suggested_salt = ⌈cnt · n_keys / total⌉` in integer
+    * arithmetic; shares/ratios divide exact longs as doubles.
+    *
+    * Scale shape: one partial-aggregating groupBy on the key (the same
+    * exchange the join itself would pay), materialized once (it feeds
+    * the totals row AND the top-k); the totals frame is 1 row
+    * (broadcast); top-k is a per-partition heap
+    * (TakeOrderedAndProject).
+    */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tot = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(tot))
+      .withColumn("share", col("cnt").cast("double") / col("total").cast("double"))
+      .withColumn("skew_ratio", col("cnt").cast("double") *
+        col("n_keys").cast("double") / col("total").cast("double"))
+      .withColumn("suggested_salt",
+        expr("CAST((cnt * n_keys + total - 1) DIV total AS BIGINT)"))
+      .select("key", "cnt", "share", "skew_ratio", "suggested_salt")
+  }
+
+  /** Zone maps: per-bucket min/max/count of `value` — the skip-index
+    * every columnar store keeps per file/row-group, here as a first-
+    * class table an engine can persist next to the data. One partial-
+    * aggregating pass.
+    */
+  def zoneMaps(df: DataFrame, bucket: Column, value: Column): DataFrame =
+    df.groupBy(bucket.as("bucket"))
+      .agg(min(value).as("min_v"), max(value).as("max_v"),
+        count(lit(1)).as("n_rows"))
+
+  /** Prune decision per zone: `scan = NOT (max_v < lo OR min_v > hi)`
+    * for the closed range [lo, hi] — the planner-side step that turns
+    * zone maps into skipped I/O. Pure projection over the (tiny) zone
+    * table; the skip RATIO it reveals is the measure of how well the
+    * bucket key clusters the value (high skip = the layout works).
+    */
+  def zonePrune(zones: DataFrame, lo: Column, hi: Column): DataFrame =
+    zones.withColumn("scan", !(col("max_v") < lo || col("min_v") > hi))
+}

@@ -105,6 +105,25 @@ object AnalyticsQueries {
           year(col("l_shipdate")).as("l_year"))
         .agg(sum(revenue).cast("double").as("revenue"))
     }),
+    // join-key skew profile: the 10 heaviest customer keys with share,
+    // skew ratio, and the integer salt factor that levels each onto the
+    // mean — the measurement that decides plain vs salted joins
+    "skew_profile" -> ((s, dir) =>
+      graft.functions.Diagnostics.skewProfile(t(s, dir, "orders"),
+        "o_custkey", topK = 10)),
+    // zone-map pruning: per-bucket (event_id DIV 256) min/max of ts +
+    // the scan/skip decision for a one-week predicate — event ids are
+    // time-correlated, so most buckets skip (the skip ratio measures
+    // how well the layout clusters the value)
+    "events_zonemap" -> ((s, dir) => {
+      import graft.functions.Diagnostics
+      val z = Diagnostics.zoneMaps(t(s, dir, "events"),
+        expr("event_id DIV 256"), col("ts"))
+      Diagnostics.zonePrune(z,
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-17 00:00:00").cast("timestamp"))
+        .select(col("bucket"), col("n_rows"), col("scan"))
+    }),
     // ANALYZE-style optimizer statistics: one pass over the table,
     // per-column null/NDV/min/max — the stats-collection operator every
     // engine ships for join planning and data validation
@@ -508,6 +527,29 @@ object AnalyticsQueries {
          |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
          |)
          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "skew_profile" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT key, cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        |  CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(total AS DOUBLE) AS skew_ratio,
+        |  CAST((cnt * n_keys + total - 1) // total AS BIGINT) AS suggested_salt
+        |FROM c CROSS JOIN t
+        |ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    "events_zonemap" ->
+      """WITH z AS (
+        |  SELECT event_id // 256 AS bucket, MIN(ts) AS min_v, MAX(ts) AS max_v,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1)
+        |SELECT bucket, n_rows,
+        |  NOT (max_v < TIMESTAMP '2024-01-10 00:00:00'
+        |    OR min_v > TIMESTAMP '2024-01-17 00:00:00') AS scan
+        |FROM z""".stripMargin,
     "table_stats" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
       cols.map(c =>

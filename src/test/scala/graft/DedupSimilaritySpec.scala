@@ -1757,6 +1757,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(roll("fr") === (("fr", 1L, 1L, 1.0 / 3.0)))
   }
 
+  test("skew profile + zone maps: hand-checked salt factor and pruning") {
+    import graft.functions.Diagnostics
+    // key A: 6 rows, B: 2, C: 1 → total 9, n_keys 3, mean 3
+    val df = (Seq.fill(6)("A") ++ Seq.fill(2)("B") ++ Seq("C")).toDF("k")
+    val got = Diagnostics.skewProfile(df, "k", topK = 2)
+      .as[(String, Long, Double, Double, Long)].collect().sortBy(-_._2).toList
+    assert(got.map(r => (r._1, r._2)) === List(("A", 6L), ("B", 2L)))
+    assert(got(0)._4 === 2.0)          // A is 2× the mean
+    assert(got(0)._5 === 2L)           // salt 2 levels A onto the mean
+    assert(got(1)._5 === 1L)           // B needs no salt
+    // zone maps prune exactly the buckets whose range misses [25, 35]
+    val ev = Seq((0L, 10L), (1L, 20L), (256L, 30L), (257L, 33L),
+      (512L, 50L)).toDF("id", "v")
+    val z = Diagnostics.zonePrune(
+        Diagnostics.zoneMaps(ev, expr("id DIV 256"), col("v")),
+        lit(25L), lit(35L))
+      .select("bucket", "scan").as[(Long, Boolean)].collect().toMap
+    assert(z === Map(0L -> false, 1L -> true, 2L -> false))
+  }
+
   test("table stats: one-pass nulls/NDV/min-max, hand-checked") {
     import graft.functions.TableStats
     val df = Seq(
