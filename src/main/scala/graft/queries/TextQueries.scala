@@ -312,6 +312,28 @@ object TextQueries {
           "lang", k = 40,
           order = Seq(col("quality").desc, col("doc_id")))
         .select("doc_id", "lang", "quality")),
+    // MERGE/upsert: apply a deterministic changeset (updates on
+    // id%10=0, deletes on id%17=0 taking precedence, 50 inserted docs)
+    // to the documents snapshot — the Delta-style MERGE INTO semantics
+    // as one full-outer key join (the diff engine's O4 shape)
+    "snapshot_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select("doc_id", "lang", "source", "text")
+      val upd = d.filter(col("doc_id") % 10 === 0 && col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("lang"), lit("patched").as("source"),
+          concat(col("text"), lit(" v2")).as("text"), lit("upsert").as("op"))
+      val del = d.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          lit("delete").as("op"))
+      val ins = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          lit("patch").as("source"), lit("inserted doc").as("text"),
+          lit("upsert").as("op"))
+      graft.functions.Merge.applyChangeset(base,
+          upd.unionByName(del).unionByName(ins), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).cast("long").as("n_text"))
+    }),
     // per-stratum eval HOLDOUT: the N smallest salted key hashes per
     // language — growth-stable (an unchanged doc never enters or leaves
     // the holdout as the corpus grows) and stratified, the standard
@@ -1561,6 +1583,29 @@ object TextQueries {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
            |    ORDER BY quality DESC, doc_id) AS rn FROM member)
            |WHERE rn = 1""".stripMargin,
+      // mirrors Merge.applyChangeset over the derived changeset:
+      // updates id%10 (unless deleted), deletes id%17, inserts id<50
+      // shifted by 1e6; MERGE SET semantics (change values win)
+      "snapshot_merge" ->
+        """WITH ch AS (
+          |  SELECT doc_id, lang, 'patched' AS source, text || ' v2' AS text,
+          |         'upsert' AS op
+          |  FROM documents WHERE doc_id % 10 = 0 AND doc_id % 17 <> 0
+          |  UNION ALL
+          |  SELECT doc_id, lang, source, text, 'delete' AS op
+          |  FROM documents WHERE doc_id % 17 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, lang, 'patch' AS source,
+          |         'inserted doc' AS text, 'upsert' AS op
+          |  FROM documents WHERE doc_id < 50
+          |)
+          |SELECT COALESCE(s.doc_id, c.doc_id) AS doc_id,
+          |  CASE WHEN c.op = 'upsert' THEN c.lang ELSE s.lang END AS lang,
+          |  CASE WHEN c.op = 'upsert' THEN c.source ELSE s.source END AS source,
+          |  CAST(length(CASE WHEN c.op = 'upsert' THEN c.text
+          |                   ELSE s.text END) AS BIGINT) AS n_text
+          |FROM documents s FULL OUTER JOIN ch c ON s.doc_id = c.doc_id
+          |WHERE c.op IS NULL OR c.op <> 'delete'""".stripMargin,
       "sample_holdout" ->
         s"""SELECT doc_id, lang FROM (
            |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang

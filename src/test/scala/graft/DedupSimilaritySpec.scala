@@ -1757,6 +1757,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(roll("fr") === (("fr", 1L, 1L, 1.0 / 3.0)))
   }
 
+  test("merge changeset: upsert replaces, insert adds, delete drops, null-out works") {
+    import graft.functions.Merge
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "v", "extra")
+    // changeset lacks the 'extra' column → passes through untouched
+    val ch = Seq(
+      (2L, Some("B"), "upsert"),  // update
+      (3L, Some("c"), "delete"),  // delete
+      (4L, Some("d"), "upsert"),  // insert
+      (9L, Some("x"), "delete"),  // delete of absent key: no-op
+      (1L, None: Option[String], "upsert") // null-out v (MERGE SET semantics)
+    ).toDF("id", "v", "op")
+    val got = Merge.applyChangeset(snap, ch, Seq("id"))
+      .as[(Long, Option[String], Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, None, Some(10L)),      // v nulled, extra untouched
+      (2L, Some("B"), Some(20L)),
+      (4L, Some("d"), None)))     // inserted row has no extra
+    // plan: a real shuffled full-outer join on the key, no broadcast of
+    // the changeset side, no nested loop
+    val plan = Merge.applyChangeset(snap, ch, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("skew profile + zone maps: hand-checked salt factor and pruning") {
     import graft.functions.Diagnostics
     // key A: 6 rows, B: 2, C: 1 → total 9, n_keys 3, mean 3
