@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CassandraMurmur3TokenExpr, CassandraRandomTokenExpr,
-  CdcBoundariesExpr, HyperplaneSketchExpr, MinHashSigExpr, SimHash64Expr,
-  VectorDotExpr, WinnowExpr, WordShinglesExpr}
+  CdcBoundariesExpr, HyperplaneSketchExpr, JlProjectExpr, MinHashSigExpr,
+  SimHash64Expr, VectorDotExpr, WinnowExpr, WordShinglesExpr}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions, so `spark.sql` users get them
@@ -73,6 +73,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "cdc_boundaries(shingles, m) — m a literal int")
         CdcBoundariesExpr(children.head, litInt(children(1), "m"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jl_project"),
+      new ExpressionInfo(classOf[JlProjectExpr].getName, "jl_project"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "jl_project(vec, outDims, dims) — outDims/dims literal ints")
+        JlProjectExpr(children.head,
+          litInt(children(1), "outDims"), litInt(children(2), "dims"))
       }))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sketch"),

@@ -331,6 +331,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Sketch-quality evaluation — precision/recall of a candidate pair
+    * set against an exact truth set, as one number row: the "measure,
+    * don't guess" harness for tuning LSH knobs (bands, bits, df caps)
+    * in-pipeline rather than in a notebook. Both inputs are (id_a,
+    * id_b) frames with id_a < id_b.
+    *
+    * Scale shape: one full-outer join on the pair key (both sides
+    * already deduplicated pair sets — far smaller than the corpus),
+    * then a single partial-aggregated count row. Ratios divide exact
+    * longs; empty sides yield 0, never NaN.
+    */
+  def sketchEval(cand: DataFrame, truth: DataFrame): DataFrame = {
+    val j = cand.select(col("id_a"), col("id_b"), lit(true).as("__c"))
+      .join(truth.select(col("id_a"), col("id_b"), lit(true).as("__t")),
+        Seq("id_a", "id_b"), "full_outer")
+    j.agg(
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("__t").isNotNull, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)).as("tp"))
+      .withColumn("fp", col("n_candidates") - col("tp"))
+      .withColumn("fn", col("n_truth") - col("tp"))
+      .withColumn("precision",
+        when(col("n_candidates") > 0,
+          col("tp").cast("double") / col("n_candidates").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("n_truth") > 0,
+          col("tp").cast("double") / col("n_truth").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Incremental dedup — classify a NEW batch of documents against an
     * existing deduplicated snapshot, the standard production flow: a
     * 100 TB corpus is deduplicated once; each day's crawl delta is

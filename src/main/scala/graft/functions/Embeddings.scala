@@ -211,6 +211,47 @@ object Embeddings {
       (0 until outDims).map(d => element_at(col("__p"), d + 1).as(s"p$d")): _*)
   }
 
+  /** Embedding-distribution drift between two corpus snapshots: cosine
+    * of the per-label mean vectors — the "did my embedding distribution
+    * move between crawls / pipeline versions" monitor (drift in a
+    * label's centroid flags upstream model or corpus changes before any
+    * downstream metric does).
+    *
+    * Exactness: works on the ×64 integer grid, and NEVER sums floats —
+    * `cos(mean_a, mean_b) = Σ sa·sb / (√Σ sa² · √Σ sb²)` where `sa(pos)`
+    * is the per-(label, pos) integer SUM of grid values (the 1/n mean
+    * factors cancel), so the whole statistic is exact longs + three
+    * IEEE ops. Bounds: |s| ≤ 127·n, Σ over 64 dims of s² ≤ 64·127²·n² —
+    * inside a long up to n ≈ 10⁸ rows per label; past that, the same
+    * mechanics move onto decimal(38,0).
+    *
+    * Scale shape: each snapshot is one partial-aggregating
+    * (label, pos) groupBy — |labels|×dims rows out; everything after
+    * joins/aggregates those tiny frames.
+    *
+    * Output: (label, n_a, n_b, centroid_cos).
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, dims: Int = 64): DataFrame = {
+    def sums(df: DataFrame) = df
+      .select(col(labelCol).as("label"),
+        posexplode(array((0 until dims).map(i => q64(col(vecCol), i)): _*))
+          .as(Seq("pos", "g")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("g")).as("s"), count(lit(1)).as("n"))
+    sums(a).withColumnRenamed("s", "sa").withColumnRenamed("n", "na")
+      .join(sums(b).withColumnRenamed("s", "sb").withColumnRenamed("n", "nb"),
+        Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(col("sa") * col("sb")).as("__dot"),
+        sum(col("sa") * col("sa")).as("__a2"),
+        sum(col("sb") * col("sb")).as("__b2"))
+      .withColumn("centroid_cos", col("__dot").cast("double") /
+        (sqrt(col("__a2").cast("double")) * sqrt(col("__b2").cast("double"))))
+      .select("label", "n_a", "n_b", "centroid_cos")
+  }
+
   /** The DuckDB mirror of [[randomProjection]]'s dim-`d` sum over a
     * quantized-vector SQL array expression `cv` (1-indexed).
     */

@@ -312,6 +312,28 @@ object TextQueries {
           "lang", k = 40,
           order = Seq(col("quality").desc, col("doc_id")))
         .select("doc_id", "lang", "quality")),
+    // sketch-quality evaluation: precision/recall of the md5-mode
+    // MinHash LSH candidates against the exact 0.5-Jaccard truth set —
+    // the in-pipeline measurement for tuning bands/bits/df caps
+    "dedup_eval" -> ((s, dir) => {
+      val corpus = dupCorpus(docs(s, dir))
+      Dedup.sketchEval(
+        Dedup.minHashCandidatePairs(corpus, "doc_id", "text", useMd5 = true),
+        Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5, maxShingleDf = 64)
+          .select("id_a", "id_b"))
+    }),
+    // embedding-distribution drift: per-label centroid cosine between
+    // the corpus and a deterministically perturbed snapshot (every 5th
+    // vector reversed) — integer grid sums, no float summation
+    "embed_drift" -> ((s, dir) => {
+      val e = graft.engine.Tables.load(s, dir, "embeddings")
+      val b = e.withColumn("embedding",
+        when(col("vec_id") % 5 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      graft.functions.Embeddings.centroidDrift(e, b, "vec_id",
+        "embedding", "label")
+    }),
     // MERGE/upsert: apply a deterministic changeset (updates on
     // id%10=0, deletes on id%17=0 taking precedence, 50 inserted docs)
     // to the documents snapshot — the Delta-style MERGE INTO semantics
@@ -1583,6 +1605,62 @@ object TextQueries {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
            |    ORDER BY quality DESC, doc_id) AS rn FROM member)
            |WHERE rn = 1""".stripMargin,
+      // mirrors sketchEval(minhash cand, 0.5-jaccard truth): full-outer
+      // pair join, exact counts, guarded ratios
+      "dedup_eval" ->
+        s"""WITH $minHashCtesSql,
+           |truth AS (SELECT id_a, id_b FROM ($ngramPairsOracleSql)),
+           |j AS (
+           |  SELECT c.id_a IS NOT NULL AS is_c, t.id_a IS NOT NULL AS is_t
+           |  FROM cand c FULL OUTER JOIN truth t
+           |    ON c.id_a = t.id_a AND c.id_b = t.id_b),
+           |s AS (
+           |  SELECT CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           |    CAST(SUM(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END) AS BIGINT) AS tp
+           |  FROM j)
+           |SELECT n_candidates, n_truth, tp,
+           |  n_candidates - tp AS fp, n_truth - tp AS fn,
+           |  CASE WHEN n_candidates > 0
+           |       THEN CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+           |       ELSE CAST(0.0 AS DOUBLE) END AS precision,
+           |  CASE WHEN n_truth > 0
+           |       THEN CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE)
+           |       ELSE CAST(0.0 AS DOUBLE) END AS recall
+           |FROM s""".stripMargin,
+      // mirrors centroidDrift over the reversed-every-5th snapshot:
+      // per-(label, pos) integer grid sums, mean factors cancel in the
+      // cosine — exact longs + three IEEE ops
+      "embed_drift" ->
+        """WITH ga AS (
+          |  SELECT label, i AS pos,
+          |    CAST(SUM(CAST(LEAST(GREATEST(FLOOR(embedding[i + 1] * 64 + 0.5),
+          |      -127), 127) AS BIGINT)) AS BIGINT) AS sa,
+          |    CAST(COUNT(*) AS BIGINT) AS na
+          |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+          |  GROUP BY label, i),
+          |b0 AS (
+          |  SELECT label, vec_id,
+          |    CASE WHEN vec_id % 5 = 0 THEN list_reverse(embedding)
+          |         ELSE embedding END AS emb
+          |  FROM embeddings),
+          |gb AS (
+          |  SELECT label, i AS pos,
+          |    CAST(SUM(CAST(LEAST(GREATEST(FLOOR(emb[i + 1] * 64 + 0.5),
+          |      -127), 127) AS BIGINT)) AS BIGINT) AS sb,
+          |    CAST(COUNT(*) AS BIGINT) AS nb
+          |  FROM b0 CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+          |  GROUP BY label, i),
+          |d AS (
+          |  SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+          |    CAST(SUM(sa * sb) AS BIGINT) AS dt,
+          |    CAST(SUM(sa * sa) AS BIGINT) AS a2,
+          |    CAST(SUM(sb * sb) AS BIGINT) AS b2
+          |  FROM ga JOIN gb USING (label, pos) GROUP BY label)
+          |SELECT label, n_a, n_b,
+          |  CAST(dt AS DOUBLE) / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))
+          |    AS centroid_cos
+          |FROM d""".stripMargin,
       // mirrors Merge.applyChangeset over the derived changeset:
       // updates id%10 (unless deleted), deletes id%17, inserts id<50
       // shifted by 1e6; MERGE SET semantics (change values win)

@@ -1757,6 +1757,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(roll("fr") === (("fr", 1L, 1L, 1.0 / 3.0)))
   }
 
+  test("sketch eval: hand-checked confusion counts, empty-side guards") {
+    val cand = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (4L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val r = Dedup.sketchEval(cand, truth)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    assert(r === ((3L, 3L, 2L, 1L, 1L, 2.0 / 3, 2.0 / 3)))
+    val empty = Dedup.sketchEval(cand.limit(0), truth.limit(0))
+      .select("precision", "recall").as[(Double, Double)].head()
+    assert(empty === ((0.0, 0.0))) // no NaN on empty sides
+  }
+
+  test("centroid drift: identical snapshots cos 1.0, sign-flip cos -1.0") {
+    import graft.functions.Embeddings
+    val a = Seq((1L, Array(0.5f, -0.25f, 0.125f, 1.0f), "x"),
+      (2L, Array(0.25f, 0.5f, -1.0f, 0.0f), "x")).toDF("vec_id", "embedding", "label")
+    val same = Embeddings.centroidDrift(a, a, "vec_id", "embedding", "label",
+        dims = 4)
+      .select("n_a", "n_b", "centroid_cos")
+      .as[(Long, Long, Double)].head()
+    assert(same._1 === 2L && same._2 === 2L)
+    assert(math.abs(same._3 - 1.0) < 1e-12)
+    val neg = a.withColumn("embedding",
+      transform(col("embedding"), x => -x))
+    val flip = Embeddings.centroidDrift(a, neg, "vec_id", "embedding", "label",
+        dims = 4)
+      .select("centroid_cos").as[Double].head()
+    assert(math.abs(flip + 1.0) < 1e-12)
+  }
+
   test("merge changeset: upsert replaces, insert adds, delete drops, null-out works") {
     import graft.functions.Merge
     val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))

@@ -96,6 +96,15 @@ class SketchesSpec extends SparkSpec {
         "id", "text").select("fingerprint").as[Long].collect().toSet
     assert(r2.getAs[Seq[Long]]("fp").toSet === apiFp)
     assert(r2.getAs[Seq[Long]]("cb").forall(i => i >= 1L && i <= 7L))
+    // round-10 registration: jl_project resolves and agrees with the API
+    val r3 = spark.sql(
+      "SELECT jl_project(array(1.0D, -0.5D, 0.25D), 4, 3) AS p").collect()(0)
+    val apiP = graft.functions.Embeddings.randomProjection(
+        Seq((1L, Seq(1.0, -0.5, 0.25))).toDF("id", "v"), "id", "v",
+        outDims = 4, inDims = 3)
+      .collect()(0)
+    assert(r3.getAs[Seq[Long]]("p") ===
+      (0 until 4).map(d => apiP.getAs[Long](s"p$d")))
   }
 
   test("native word shingles match the declarative transform/slice reference") {
