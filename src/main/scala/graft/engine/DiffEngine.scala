@@ -197,8 +197,8 @@ object DiffEngine {
     * order. Tables declaring `uniqueKey` skip the window (and its
     * shuffle) entirely.
     */
-  private val Occ = "__occ"
-  private def withOccurrence(df: DataFrame, spec: TableSpec,
+  private[engine] val Occ = "__occ"
+  private[engine] def withOccurrence(df: DataFrame, spec: TableSpec,
       reverse: Boolean = false): DataFrame =
     if (spec.uniqueKey) df.withColumn(Occ, lit(1))
     else {

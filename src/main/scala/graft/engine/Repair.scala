@@ -33,6 +33,65 @@ object Repair {
 
   import DiffEngine.{matchCol, srcCol, InSrc, InTgt}
 
+  /** The reconciliation changeset AS DATAFLOW (here the TARGET is the
+    * side of truth — the mirror image of [[repairStatements]]'s CQL
+    * script, for file-based snapshots that are replayed with
+    * [[graft.functions.Merge.applyChangeset]] instead of a CQL
+    * session): one row per divergent full primary key,
+    *
+    *   - key only in target           → upsert (insert) of the target row
+    *   - key only in source           → delete
+    *   - both present, any value diff → upsert with the target payload
+    *   - identical                    → no row
+    *
+    * The closure property `applyChangeset(src, changeset) == tgt` is
+    * what makes diff→merge a complete repair loop; it is asserted
+    * end-to-end by the `diff_reconcile` oracle query (the reconciled
+    * frame must hash-match the perturbed target itself) and
+    * spec-tested on the perturbation corpus. Duplicate full-PK rows are
+    * identified by the SAME deterministic occurrence index the diff
+    * engine pairs them with ([[DiffEngine.withOccurrence]]), so the
+    * changeset key (primaryKey + occurrence) is always unique.
+    *
+    * Scale shape: ONE full-outer shuffle join on the full primary key —
+    * the diff engine's O4 shape; only divergent keys survive, so the
+    * changeset is mismatch-sized, not corpus-sized.
+    */
+  def reconcileChangeset(src: DataFrame, tgt: DataFrame,
+      spec: TableSpec): DataFrame = {
+    val keys = spec.primaryKey :+ DiffEngine.Occ
+    val payload = src.columns.filterNot(keys.contains)
+    // rename the target side up front — tgt routinely derives from src
+    // (a perturbed/evolved copy), and alias resolution on shared
+    // lineage silently mis-binds the join (see Merge.applyChangeset)
+    val s = DiffEngine.withOccurrence(src, spec).withColumn("__sp", lit(true))
+    val t = DiffEngine.withOccurrence(tgt, spec).withColumn("__tp", lit(true))
+    val tr = t.select(t.columns.map(n => col(n).as(s"__t_$n")): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+    val anyDiff = payload.map(p => !(col(p) <=> col(s"__t_$p")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val op = when(col("__t___tp").isNull, lit("delete"))
+      .when(col("__sp").isNull || anyDiff, lit("upsert"))
+      .otherwise(lit(null).cast("string"))
+    s.join(tr, cond, "full_outer")
+      .withColumn("op", op)
+      .filter(col("op").isNotNull)
+      .select(keys.map(k => coalesce(col(s"__t_$k"), col(k)).as(k)) ++
+        payload.map(p => col(s"__t_$p").as(p)) :+ col("op"): _*)
+  }
+
+  /** `src` reconciled onto `tgt`: [[reconcileChangeset]] applied via
+    * [[graft.functions.Merge.applyChangeset]] on the occurrence-
+    * extended key — returns a frame equal to `tgt` as a multiset (the
+    * occurrence column is internal and dropped).
+    */
+  def reconcile(src: DataFrame, tgt: DataFrame, spec: TableSpec): DataFrame =
+    graft.functions.Merge.applyChangeset(
+        DiffEngine.withOccurrence(src, spec),
+        reconcileChangeset(src, tgt, spec),
+        spec.primaryKey :+ DiffEngine.Occ)
+      .drop(DiffEngine.Occ)
+
   /** Render a value column as CQL literal text. */
   private def render(c: Column, dt: DataType): Column = {
     val rendered = dt match {

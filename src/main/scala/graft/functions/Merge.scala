@@ -34,19 +34,22 @@ object Merge {
     require(changes.columns.contains(opCol), s"changes must carry '$opCol'")
     val payload = snapshot.columns.filterNot(keyCols.contains)
     val chCols = changes.columns.toSet
-    val s = snapshot.as("s")
-    val c = changes.as("c")
-    val cond = keyCols.map(k => col(s"s.$k") <=> col(s"c.$k")).reduce(_ && _)
-    val applied = keyCols.map(k =>
-      coalesce(col(s"s.$k"), col(s"c.$k")).as(k)) ++
+    // RENAME the changeset side up front instead of relying on dataset
+    // aliases: a changeset routinely derives from the snapshot itself
+    // (e.g. the diff-repair loop), and alias resolution on shared
+    // lineage silently mis-binds the join condition (every row
+    // unmatched → duplicated output). Unique names are robust.
+    val c = changes.select(changes.columns.map(n => col(n).as(s"__c_$n")): _*)
+    val cond = keyCols.map(k => col(k) <=> col(s"__c_$k")).reduce(_ && _)
+    val cOp = col(s"__c_$opCol")
+    val applied = keyCols.map(k => coalesce(col(k), col(s"__c_$k")).as(k)) ++
       payload.map { p =>
         if (chCols.contains(p))
-          when(col(s"c.$opCol") === "upsert", col(s"c.$p"))
-            .otherwise(col(s"s.$p")).as(p)
-        else col(s"s.$p").as(p)
+          when(cOp === "upsert", col(s"__c_$p")).otherwise(col(p)).as(p)
+        else col(p)
       }
-    s.join(c, cond, "full_outer")
-      .filter(!(col(s"c.$opCol") <=> lit("delete")))
+    snapshot.join(c, cond, "full_outer")
+      .filter(!(cOp <=> lit("delete")))
       .select(applied: _*)
   }
 }

@@ -128,6 +128,13 @@ object DiffQueries {
     "diff_repair" -> ((s, dir) =>
       graft.engine.Repair.repairStatements(li(s, dir),
         Perturb.lineitemTarget(li(s, dir)), lineitemSpec)),
+    // the CLOSED repair loop: diff → changeset → MERGE must reproduce
+    // the target exactly — the oracle for the reconciled frame is the
+    // perturbed target ITSELF, so any divergence anywhere in the
+    // diff/changeset/merge chain hash-mismatches
+    "diff_reconcile" -> ((s, dir) =>
+      graft.engine.Repair.reconcile(li(s, dir),
+        Perturb.lineitemTarget(li(s, dir)), lineitemSpec)),
     // RandomPartitioner tokens, value-checked cross-engine: the key scan
     // computes the 127-bit md5 token of every (string-serialized) orders
     // key, and the oracle recomputes it in DuckDB from the md5 hex digest
@@ -195,6 +202,8 @@ object DiffQueries {
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     "diff_cell_values" -> OracleSql.cellValues(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    // closure property: the reconciled frame IS the perturbed target
+    "diff_reconcile" -> s"SELECT * FROM (${Perturb.lineitemTargetSql})",
     "diff_repair" -> OracleSql.repair(lineitemSpec,
       Map("l_quantity" -> "double", "l_extendedprice" -> "double",
         "l_discount" -> "double", "l_tax" -> "double",

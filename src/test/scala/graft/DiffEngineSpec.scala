@@ -501,4 +501,29 @@ class DiffEngineSpec extends SparkSpec {
       (5L, "UPDATE",
         "UPDATE ks.t SET v = 2.00 WHERE pk = 5 AND ck = 1;")))
   }
+
+  test("reconcile closes the repair loop: merge(src, diff changeset) == tgt") {
+    import graft.engine.{Perturb, Repair}
+    import graft.engine.Perturb.lineitemSpec
+    // the full perturbation corpus: drops, inserts, value edits AND
+    // duplicate full-PK rows — the reconciled frame must equal the
+    // target as a MULTISET (occurrence pairing included)
+    val src = graft.engine.Tables.load(spark, Sf, "lineitem")
+    val tgt = Perturb.lineitemTarget(src)
+    // reconcile keys-first column order → realign to tgt's order before
+    // the positional multiset compare
+    val order = tgt.columns
+    def multiset(df: org.apache.spark.sql.DataFrame) = df
+      .select(order.map(col): _*)
+      .groupBy(order.map(col): _*).count()
+      .collect().map(_.toSeq).toSet
+    val rec = Repair.reconcile(src, tgt, lineitemSpec)
+    assert(rec.count() === tgt.count())
+    assert(multiset(rec) === multiset(tgt))
+    // idempotence: reconciling identical snapshots produces NO changes
+    assert(Repair.reconcileChangeset(tgt, tgt, lineitemSpec).count() === 0L)
+    // and the changeset is mismatch-sized, not corpus-sized
+    val ch = Repair.reconcileChangeset(src, tgt, lineitemSpec)
+    assert(ch.count() < src.count())
+  }
 }
