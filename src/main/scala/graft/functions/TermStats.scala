@@ -328,14 +328,25 @@ object TermStats {
     */
   def bpeLearnMerges(docs: DataFrame, textCol: String,
       nMerges: Int): DataFrame = {
-    require(nMerges >= 1 && nMerges <= 64, "need 1 <= nMerges <= 64")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrain(docs, textCol, nMerges)._1
+      .toDF("rank", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** The shared training loop: returns the merge list AND the final
+    * merged vocabulary `(w, s, c)` — word, fully-merged framed symbol
+    * string, corpus count — which is exactly the encode table a trained
+    * BPE tokenizer applies ([[bpeEncodeStats]]).
+    */
+  private def bpeTrain(docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 64, "need 1 <= nMerges <= 64")
     val words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
-    var vocab = words.select(
+    var vocab = words.select(col("w"),
       concat(lit("⟨"),
         array_join(transform(sequence(lit(1), length(col("w"))),
           i => col("w").substr(i, lit(1))), "⟩⟨"),
@@ -360,7 +371,39 @@ object TermStats {
             lit("⟨" + a + "⟩⟨" + b + "⟩"), lit("⟨" + a + b + "⟩")))
         .localCheckpoint()
     }
-    merges.result().toDF("rank", "sym_a", "sym_b", "pair_count")
+    (merges.result(), vocab)
+  }
+
+  /** BPE tokenizer APPLICATION — encode the corpus with the vocabulary
+    * [[bpeLearnMerges]] just learned and report per-document subword
+    * token counts: `(id, n_words, n_bpe_tokens, bpe_ratio)`. This is the
+    * train → encode → count loop a tokenizer ships: the token budget a
+    * document actually costs under the learned vocabulary (vs the
+    * whitespace word count), which is what mixture weighting and packing
+    * budget on.
+    *
+    * Scale shape: encoding is VOCABULARY-bounded, not corpus-bounded —
+    * the merge loop already maintains every distinct word's fully-merged
+    * symbol string, so per-word subword counts are one scan-local
+    * projection over the vocab table, and the corpus-sized work is a
+    * single (id, word) explode joined to that table on the word key
+    * (plain shuffle join; AQE promotes it to broadcast when the
+    * vocabulary is small) followed by a map-side-partial per-doc sum.
+    * Text never crosses an exchange; the join carries words + one long.
+    */
+  def bpeEncodeStats(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val vocab = bpeTrain(docs, textCol, nMerges)._2
+      .select(col("w"),
+        size(split(trim(col("s"), "⟨⟩"), "⟩⟨")).cast("long").as("nt"))
+    docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe_tokens"))
+      .withColumn("bpe_ratio",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
   }
 
   /** DuckDB mirror of [[bpeLearnMerges]]: `nMerges` chained CTE rounds,
@@ -373,6 +416,23 @@ object TermStats {
     * 2^nMerges. 
     */
   def bpeLearnMergesSql(toksExpr: String, nMerges: Int): String = {
+    val union = (1 to nMerges).map(r => s"SELECT * FROM b$r")
+      .mkString("\n  UNION ALL ")
+    // concatenate pre-stripped parts: the rounds block is already
+    // margin-stripped, a second stripMargin would eat `||` continuations
+    "WITH " + bpeRoundsSql(toksExpr, nMerges, carryWord = false) + "\n" +
+      s"""SELECT rank, a AS sym_a, b AS sym_b, cnt AS pair_count FROM (
+         |  $union
+         |)""".stripMargin
+  }
+
+  /** The shared `wc/w0/p·b·w` round CTEs of the BPE oracle;
+    * `carryWord = true` threads the original word through every round so
+    * the final vocabulary can be joined back for encoding.
+    */
+  private def bpeRoundsSql(toksExpr: String, nMerges: Int,
+      carryWord: Boolean): String = {
+    val wCol = if (carryWord) "w, " else ""
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT sym[i] AS a, sym[i + 1] AS b, CAST(SUM(c) AS BIGINT) AS cnt
@@ -383,26 +443,39 @@ object TermStats {
          |  SELECT CAST($r AS BIGINT) AS rank, a, b, cnt FROM p$r
          |  ORDER BY cnt DESC, a, b LIMIT 1),
          |w$r AS MATERIALIZED (
-         |  SELECT replace(s, '⟨' || a || '⟩⟨' || b || '⟩',
+         |  SELECT ${wCol}replace(s, '⟨' || a || '⟩⟨' || b || '⟩',
          |                 '⟨' || a || b || '⟩') AS s, c
          |  FROM w${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to nMerges).map(r => s"SELECT * FROM b$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH wc AS (
+    s"""wc AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
        |  FROM (SELECT unnest($toksExpr) AS w FROM documents)
        |  WHERE w <> '' GROUP BY w),
        |w0 AS MATERIALIZED (
-       |  SELECT '⟨' || array_to_string(
+       |  SELECT $wCol'⟨' || array_to_string(
        |      list_transform(range(1, length(w) + 1), i -> w[i]), '⟩⟨')
        |    || '⟩⟨/w⟩' AS s, c
        |  FROM wc),
-       |$rounds
-       |SELECT rank, a AS sym_a, b AS sym_b, cnt AS pair_count FROM (
-       |  $union
-       |)""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** DuckDB mirror of [[bpeEncodeStats]]: the same training rounds with
+    * the word carried through, then the per-doc word explode joined to
+    * the final vocabulary's symbol counts.
+    */
+  def bpeEncodeSql(idCol: String, toksExpr: String, nMerges: Int): String =
+    "WITH " + bpeRoundsSql(toksExpr, nMerges, carryWord = true) + ",\n" +
+      s"""wt AS (
+         |  SELECT w, CAST(len(string_split(trim(s, '⟨⟩'), '⟩⟨')) AS BIGINT) AS nt
+         |  FROM w$nMerges),
+         |dt AS (
+         |  SELECT $idCol, unnest($toksExpr) AS w FROM documents)
+         |SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(CAST(SUM(nt) AS BIGINT) AS DOUBLE)
+         |         / CAST(COUNT(*) AS DOUBLE) AS bpe_ratio
+         |FROM dt JOIN wt USING (w)
+         |WHERE w <> '' GROUP BY $idCol""".stripMargin
 
   // --- Count-Min sketch --------------------------------------------------
   //
@@ -527,5 +600,117 @@ object TermStats {
       .agg(count(lit(1)).as("pair_count"))
       .orderBy(col("pair_count").desc, col("left_tok"), col("right_tok"))
       .limit(k)
+  }
+
+  // --- BM25 retrieval ----------------------------------------------------
+  //
+  // Okapi BM25 (Robertson et al., TREC-3) with k1 = 1.2, b = 0.75, kept
+  // FIXED-POINT INTEGER so the ranking is bit-reproducible cross-engine:
+  //  - idf uses the Robertson–Spärck Jones RATIO (N - df + 0.5)/(df + 0.5)
+  //    directly (no log — ln differs in final ulps between libm builds),
+  //    scaled to millionths by one integer division:
+  //      idf_fp = (1e6 * (2N - 2df + 1)) div (2df + 1)
+  //    A monotone-in-df surrogate: per-term ordering is identical to the
+  //    log form; multi-term sums weight rare terms MORE steeply than ln
+  //    (documented divergence from the textbook formula).
+  //  - The tf saturation term tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))
+  //    multiplies through by 10·S (avgdl = S/N, k1 = 6/5, b = 3/4) into a
+  //    ratio of exact longs:
+  //      tf_fp = (1e6 * 22 * S * tf) div (10*S*tf + 3*S + 9*dl*N)
+  //  - contribution = (idf_fp * tf_fp) div 1e6; the document score is the
+  //    exact long sum of contributions, and only the display column
+  //    divides once by 1e6 (exactly-rounded IEEE op on an exact long).
+  // Intermediate products stay below 2^63 while 22e6·S·tf_max < 2^63,
+  // i.e. corpus token count S up to ~1e10 with tf ≤ 40; past that, scale
+  // the fixed point down or pre-divide S — the ranking tolerates it.
+
+  /** Top-`k` documents for a bag-of-words query under fixed-point BM25.
+    *
+    * Scale shape: ONE corpus pass — per-document `dl` and per-query-term
+    * `tf` come from a single conditional aggregation over the exploded
+    * token stream (map-side partial, exchange carries one row per doc),
+    * the corpus totals (N, S, per-term df) are ONE row cross-joined back
+    * (broadcast bounded by construction: |Q| + 2 longs), scoring is
+    * scan-local integer arithmetic, and the top-k is
+    * TakeOrderedAndProject — per-partition heaps, k rows to the driver.
+    * Documents matching no query term score 0 and are filtered before
+    * the sort.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      "need 1 <= queryTerms.size <= 16")
+    require(k >= 1, "k must be >= 1")
+    val q = queryTerms.zipWithIndex
+    val tfAggs = count(lit(1)).as("dl") +: q.map { case (t, i) =>
+      sum(when(col("t") === lit(t), 1L).otherwise(0L)).as(s"tf_$i") }
+    // referenced twice (totals + scoring) — materialize once so the
+    // corpus explode+aggregate runs once, not per reference (Spark
+    // shares no common subtrees); the frame is ids + (2+|Q|) longs
+    val perDoc = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy(col(idCol))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+      .localCheckpoint()
+    val totAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("s")) ++
+      q.map { case (_, i) =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i") }
+    val tot = perDoc.agg(totAggs.head, totAggs.tail: _*)
+    val contribs = q.map { case (_, i) =>
+      s"""(((1000000 * (2*n - 2*df_$i + 1)) DIV (2*df_$i + 1))
+         | * (CASE WHEN tf_$i > 0
+         |     THEN (1000000 * 22 * s * tf_$i)
+         |          DIV (10*s*tf_$i + 3*s + 9*dl*n)
+         |     ELSE 0 END)) DIV 1000000""".stripMargin.replace("\n", " ")
+    }
+    val matched = q.map { case (_, i) =>
+      s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)" }.mkString(" + ")
+    perDoc.crossJoin(broadcast(tot))
+      .withColumn("score_fp", expr(contribs.mkString("(", ") + (", ")")))
+      .filter(col("score_fp") > 0)
+      .select(col(idCol), expr(s"CAST($matched AS BIGINT)").as("n_terms_matched"),
+        col("score_fp"),
+        (col("score_fp").cast("double") / lit(1000000.0)).as("score"))
+      .orderBy(col("score_fp").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[bm25TopK]] — identical integer ops (`//` floors
+    * like Spark's `DIV` for the all-positive operands here).
+    */
+  def bm25TopKSql(idCol: String, toksExpr: String,
+      queryTerms: Seq[String], k: Int): String = {
+    val q = queryTerms.zipWithIndex
+    def lit_(t: String) = "'" + t.replace("'", "''") + "'"
+    val tfCols = q.map { case (t, i) =>
+      s"CAST(COUNT(*) FILTER (WHERE t = ${lit_(t)}) AS BIGINT) AS tf_$i"
+    }.mkString(",\n         ")
+    val dfCols = q.map { case (_, i) =>
+      s"CAST(COUNT(*) FILTER (WHERE tf_$i > 0) AS BIGINT) AS df_$i"
+    }.mkString(",\n         ")
+    val contribs = q.map { case (_, i) =>
+      s"""(((1000000 * (2*n - 2*df_$i + 1)) // (2*df_$i + 1))
+         | * (CASE WHEN tf_$i > 0
+         |     THEN (1000000 * 22 * s * tf_$i)
+         |          // (10*s*tf_$i + 3*s + 9*dl*n)
+         |     ELSE 0 END)) // 1000000""".stripMargin.replace("\n", " ")
+    }.mkString("(", ") + (", ")")
+    val matched = q.map { case (_, i) =>
+      s"(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)" }.mkString(" + ")
+    s"""WITH tok AS (SELECT $idCol, unnest($toksExpr) AS t FROM documents),
+       |pd AS (SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS dl,
+       |         $tfCols
+       |       FROM tok GROUP BY $idCol),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(dl) AS BIGINT) AS s,
+       |         $dfCols
+       |       FROM pd),
+       |sc AS (SELECT $idCol, CAST($matched AS BIGINT) AS n_terms_matched,
+       |         CAST($contribs AS BIGINT) AS score_fp
+       |       FROM pd CROSS JOIN tot)
+       |SELECT $idCol, n_terms_matched, score_fp,
+       |       CAST(score_fp AS DOUBLE) / 1000000.0 AS score
+       |FROM sc WHERE score_fp > 0
+       |ORDER BY score_fp DESC, $idCol LIMIT $k""".stripMargin
   }
 }

@@ -18,6 +18,12 @@ object TextQueries {
   /** corpus + exact dups (doc_id%10) + near dups with 3 extra tokens
     * (doc_id%15).
     */
+  /** The fixed bag-of-words query for `search_bm25`: one rare term
+    * ("dup", df ≈ 5% of docs) + two near-ubiquitous ones, so the idf
+    * spread actually exercises the weighting.
+    */
+  val Bm25Query: Seq[String] = Seq("dup", "spark", "batch")
+
   def dupCorpus(d: DataFrame): DataFrame =
     d.unionByName(
         d.filter(col("doc_id") % 10 === 0)
@@ -448,6 +454,19 @@ object TextQueries {
     "vocab_bpe_merges" -> ((s, dir) =>
       graft.functions.TermStats.bpeLearnMerges(docs(s, dir), "text",
         nMerges = 12)),
+    // BM25 retrieval: top-10 documents for a fixed bag-of-words query
+    // under fixed-point integer Okapi BM25 (rational idf; one corpus
+    // pass + a 1-row totals broadcast — see TermStats.bm25TopK)
+    "search_bm25" -> ((s, dir) =>
+      graft.functions.TermStats.bm25TopK(docs(s, dir), "doc_id", "text",
+        Bm25Query, k = 10)),
+    // BPE tokenizer APPLICATION: encode the corpus with the vocabulary
+    // the 12-merge training run just learned — per-doc subword token
+    // counts (the token budget mixture weighting/packing run on); the
+    // oracle re-derives training AND encoding
+    "vocab_bpe_encode" -> ((s, dir) =>
+      graft.functions.TermStats.bpeEncodeStats(docs(s, dir), "doc_id",
+        "text", nMerges = 12)),
     // vocabulary coverage curve: corpus token share covered by the
     // top-{5,20,50} terms — the tokenizer-sizing profile
     "vocab_coverage_curve" -> ((s, dir) =>
@@ -1842,6 +1861,14 @@ object TextQueries {
       // rounds, no data-dependent interpolation
       "vocab_bpe_merges" ->
         graft.functions.TermStats.bpeLearnMergesSql(toks, nMerges = 12),
+      // mirrors bm25TopK: identical fixed-point integer scoring
+      "search_bm25" ->
+        graft.functions.TermStats.bm25TopKSql("doc_id", toks, Bm25Query,
+          k = 10),
+      // mirrors bpeEncodeStats(nMerges = 12): training rounds with the
+      // word carried through, then the encode join
+      "vocab_bpe_encode" ->
+        graft.functions.TermStats.bpeEncodeSql("doc_id", toks, nMerges = 12),
       // mirrors vocabGrowth(cutoffs = 100, 250, 500, 2000): first-seen
       // doc id per term, prefix joins against the literal cutoffs
       "vocab_growth" ->

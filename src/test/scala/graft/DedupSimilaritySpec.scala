@@ -1889,6 +1889,44 @@ class DedupSimilaritySpec extends SparkSpec {
       (4L, "l", "o", 7L)))
   }
 
+  test("BPE encode: subword counts under the learned vocabulary") {
+    import graft.functions.TermStats
+    // same canonical corpus as the merge-learning test, split over two
+    // docs so the word counts (low×5 lower×2 newest×6 widest×3) and
+    // hence the 4 learned merges (e,s)(es,t)(est,/w)(l,o) are identical.
+    // Final vocab: low=⟨lo⟩⟨w⟩⟨/w⟩(3) lower=⟨lo⟩⟨w⟩⟨e⟩⟨r⟩⟨/w⟩(5)
+    // newest=⟨n⟩⟨e⟩⟨w⟩⟨est/w⟩(4) widest=⟨w⟩⟨i⟩⟨d⟩⟨est/w⟩(4)
+    val d1 = (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")
+    val d2 = (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val got = TermStats.bpeEncodeStats(df, "doc_id", "text", nMerges = 4)
+      .select("doc_id", "n_words", "n_bpe_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got === List((1L, 7L, 5L * 3 + 2L * 5), (2L, 9L, 6L * 4 + 3L * 4)))
+  }
+
+  test("BM25 top-k: hand-derived fixed-point scores and ordering") {
+    import graft.functions.TermStats
+    // N=3 docs, S=9 tokens, df(rare)=2 → idf_fp = (1e6·3)//5 = 600000.
+    // d3 (tf=2): tf_fp = (1e6·22·9·2)//(180+27+81) = 1375000 → 825000.
+    // d1 (tf=1): tf_fp = (1e6·22·9)//(90+27+81) = 1000000 → 600000.
+    // d2 matches nothing and is filtered before the sort.
+    val df = Seq((1L, "rare common common"), (2L, "common common common"),
+      (3L, "rare rare common")).toDF("doc_id", "text")
+    val got = TermStats.bm25TopK(df, "doc_id", "text", Seq("rare"), k = 2)
+      .select("doc_id", "n_terms_matched", "score_fp", "score")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got === List((3L, 1L, 825000L, 0.825), (1L, 1L, 600000L, 0.6)))
+    // multi-term: every contribution is positive, rare outweighs common
+    val multi = TermStats.bm25TopK(df, "doc_id", "text",
+        Seq("rare", "common"), k = 3)
+      .select("doc_id", "n_terms_matched", "score_fp")
+      .as[(Long, Long, Long)].collect().toList
+    assert(multi.map(_._1) === List(3L, 1L, 2L)) // rare-heavy first
+    assert(multi.map(_._2) === List(2L, 2L, 1L))
+    assert(multi.forall(_._3 > 0))
+  }
+
   test("vocab growth: prefix-distinct terms, Heaps-curve monotone") {
     import graft.functions.TermStats
     // prefix id<2: docs 0,1 → terms {a,b,c}, 5 tokens; id<4 adds d
