@@ -25,6 +25,31 @@ class CurationPlanSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), plan.take(3000))
   }
 
+  test("search_bm25 plan: one corpus pass, top-k heap, no vector exchange") {
+    // the per-doc frame must materialize ONCE (localCheckpoint) so the
+    // corpus explode doesn't run per reference; the totals side is a
+    // 1-row broadcast (the only sanctioned cross join); the top-k must
+    // be TakeOrdered, never a global sort
+    val df = TextQueries.queries("search_bm25")(spark, Sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // exactly one Generate (the explode) across the whole plan — a
+    // second one means the per-doc subtree recomputed
+    assert("Generate".r.findAllIn(plan).size <= 1, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("vocab_bpe_encode plan: vocabulary join carries no broadcast hint") {
+    // the vocab is corpus-derived (unbounded) — the word-key join must
+    // come from AQE's size check, not a forced hint; and no nested loop
+    val df = TextQueries.queries("vocab_bpe_encode")(spark, Sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("curate_corpus_full survives with AQE disabled (static-plan fallback)") {
     // the unforced joins lean on AQE's runtime size check; with AQE off
     // the static planner must still produce a correct (if less optimal)
