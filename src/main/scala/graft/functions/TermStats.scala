@@ -572,6 +572,170 @@ object TermStats {
         col("sum_surprisal").cast("double") / col("n_bigrams").cast("double"))
   }
 
+  /** CROSS-VALIDATED trigram surprisal with stupid backoff (Brants et
+    * al., "Large Language Models in Machine Translation") — the honest
+    * form of the LM-quality gate: [[surprisalStats]] and
+    * [[bigramSurprisalStats]] score the corpus under counts trained ON
+    * it, so every n-gram is seen and backoff is dead code; here a
+    * deterministic hash split ([[Sampling.splitAssign]], salt "cv")
+    * holds out `evalPerMille`/1000 of the documents, counts come from
+    * the REST, and the held-out docs are scored with the full backoff
+    * cascade a production LM filter needs:
+    *
+    *   seen trigram          s = log2(c2(ab)/c3(abc))         (floored)
+    *   backoff to bigram     s = 2 + log2(c1(b)/c2(bc))
+    *   backoff to unigram    s = 4 + log2(T/c1(c))
+    *   OOV word              s = 4 + log2(T)
+    *
+    * The +2-bits-per-level penalty is the integer-exact surrogate for
+    * stupid backoff's α = 0.4 (−log2 α ≈ 1.32; 2 keeps every quantity a
+    * long — the same floor-log2 discipline as the rest of the family).
+    * Prefix counts (c2 as trigram-prefix, c1 as bigram-prefix) come
+    * from the n-gram tables themselves so each conditional is a true
+    * MLE over its context.
+    *
+    * Output per held-out doc: trigram count, how many fell to each
+    * backoff level, and the summed/mean surprisal. High mean = text the
+    * train split's model finds unpredictable (noise, other-language,
+    * shuffled) — the CCNet-style perplexity prune, cross-validated.
+    *
+    * Scale shape: three train-side count aggregations (all partial
+    * map-side; the n-gram streams form scan-locally via slice-zips),
+    * each localCheckpointed once (every table feeds its own prefix agg
+    * AND a join — Spark shares no subtrees); the scoring side is the
+    * eval (doc, trigram, tf) stream LEFT-joined to the three surprisal
+    * tables (broadcast at vocabulary sizes; `broadcastTerms = false` →
+    * term-key shuffle joins at web scale) and one 1-row totals
+    * broadcast. Text never crosses an exchange.
+    */
+  def trigramSurprisalCv(docs: DataFrame, idCol: String, textCol: String,
+      evalPerMille: Int = 100, broadcastTerms: Boolean = true): DataFrame = {
+    require(evalPerMille >= 1 && evalPerMille <= 999,
+      "need 1 <= evalPerMille <= 999")
+    val split = Sampling.splitAssign(docs, idCol,
+      Seq("train" -> (1000 - evalPerMille), "eval" -> evalPerMille),
+      salt = "cv")
+    val train = split.filter(col("split") === "train")
+    val eval_ = split.filter(col("split") === "eval")
+    def mb(df: DataFrame) = if (broadcastTerms) broadcast(df) else df
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val biCol = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (b, c) => struct(b.as("b"), c.as("c")))
+    val n2 = greatest(size(toks) - 2, lit(0))
+    val triCol = zip_with(slice(toks, lit(1), n2),
+      zip_with(slice(toks, lit(2), n2), slice(toks, lit(3), n2),
+        (b, c) => struct(b.as("b"), c.as("c"))),
+      (a, bc) => struct(a.as("a"),
+        bc.getField("b").as("b"), bc.getField("c").as("c")))
+
+    val tri = train.select(explode(triCol).as("t"))
+      .groupBy(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+      .agg(count(lit(1)).as("c3")).localCheckpoint()
+    val c2p = tri.groupBy(col("a"), col("b")).agg(sum(col("c3")).as("c2p"))
+    val sup3 = tri.join(mb(c2p), Seq("a", "b"))
+      .select(col("a"), col("b"), col("c"),
+        ilog2(expr("c2p DIV c3")).as("s3"))
+
+    val bi = train.select(explode(biCol).as("p"))
+      .groupBy(col("p.b").as("b"), col("p.c").as("c"))
+      .agg(count(lit(1)).as("c2b")).localCheckpoint()
+    val c1p = bi.groupBy(col("b")).agg(sum(col("c2b")).as("c1b"))
+    val sup2 = bi.join(mb(c1p), Seq("b"))
+      .select(col("b"), col("c"),
+        (lit(2L) + ilog2(expr("c1b DIV c2b"))).as("s2"))
+
+    val uni = train.select(explode(toks).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("c1")).localCheckpoint()
+    val tot = uni.agg(sum(col("c1")).as("t1"))
+    val sup1 = uni.crossJoin(broadcast(tot))
+      .select(col("c"), (lit(4L) + ilog2(expr("t1 DIV c1"))).as("s1"))
+    val s0 = tot.select((lit(4L) + ilog2(col("t1"))).as("s0"))
+
+    eval_
+      .select(col(idCol), explode(triCol).as("t"))
+      .groupBy(col(idCol), col("t.a").as("a"), col("t.b").as("b"),
+        col("t.c").as("c"))
+      .agg(count(lit(1)).as("tf"))
+      .join(mb(sup3), Seq("a", "b", "c"), "left")
+      .join(mb(sup2), Seq("b", "c"), "left")
+      .join(mb(sup1), Seq("c"), "left")
+      .crossJoin(broadcast(s0))
+      .select(col(idCol), col("tf"),
+        coalesce(col("s3"), col("s2"), col("s1"), col("s0")).as("s"),
+        col("s3"), col("s2"), col("s1"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(when(col("s3").isNull && col("s2").isNotNull, col("tf"))
+          .otherwise(0L)).as("n_bo2"),
+        sum(when(col("s3").isNull && col("s2").isNull && col("s1").isNotNull,
+          col("tf")).otherwise(0L)).as("n_bo1"),
+        sum(when(col("s3").isNull && col("s2").isNull && col("s1").isNull,
+          col("tf")).otherwise(0L)).as("n_oov"),
+        sum(col("tf") * col("s")).as("sum_surprisal"))
+      .withColumn("mean_surprisal",
+        col("sum_surprisal").cast("double") / col("n_trigrams").cast("double"))
+  }
+
+  /** DuckDB mirror of [[trigramSurprisalCv]] — identical hash split,
+    * counts, and backoff cascade.
+    */
+  def trigramSurprisalCvSql(idCol: String, toksExpr: String,
+      evalPerMille: Int): String = {
+    val h = Sampling.shuffleHashSql("cv", Sampling.nullSafeKeySql(idCol))
+    val cut = 1000 - evalPerMille
+    s"""WITH base AS (SELECT $idCol, $toksExpr AS t, $h % 1000 AS h
+       |              FROM documents),
+       |tr AS MATERIALIZED (SELECT t FROM base WHERE h < $cut),
+       |tri AS MATERIALIZED (
+       |  SELECT t[i] AS a, t[i + 1] AS b, t[i + 2] AS c,
+       |         CAST(COUNT(*) AS BIGINT) AS c3
+       |  FROM tr, unnest(range(1, len(t) - 1)) AS u(i)
+       |  GROUP BY 1, 2, 3),
+       |c2p AS (SELECT a, b, CAST(SUM(c3) AS BIGINT) AS c2p
+       |        FROM tri GROUP BY a, b),
+       |sup3 AS (SELECT a, b, c,
+       |           CAST(length(bin(c2p // c3)) - 1 AS BIGINT) AS s3
+       |         FROM tri JOIN c2p USING (a, b)),
+       |bi AS MATERIALIZED (
+       |  SELECT t[i] AS b, t[i + 1] AS c, CAST(COUNT(*) AS BIGINT) AS c2b
+       |  FROM tr, unnest(range(1, len(t))) AS u(i)
+       |  GROUP BY 1, 2),
+       |c1p AS (SELECT b, CAST(SUM(c2b) AS BIGINT) AS c1b FROM bi GROUP BY b),
+       |sup2 AS (SELECT b, c,
+       |           2 + CAST(length(bin(c1b // c2b)) - 1 AS BIGINT) AS s2
+       |         FROM bi JOIN c1p USING (b)),
+       |uni AS MATERIALIZED (
+       |  SELECT c, CAST(COUNT(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(t) AS c FROM tr) GROUP BY c),
+       |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1 FROM uni),
+       |sup1 AS (SELECT c, 4 + CAST(length(bin(t1 // c1)) - 1 AS BIGINT) AS s1
+       |         FROM uni CROSS JOIN tot),
+       |ev AS (
+       |  SELECT $idCol, t[i] AS a, t[i + 1] AS b, t[i + 2] AS c,
+       |         CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM base, unnest(range(1, len(t) - 1)) AS u(i)
+       |  WHERE h >= $cut
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT $idCol, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+       |  CAST(SUM(CASE WHEN s3 IS NULL AND s2 IS NOT NULL THEN tf
+       |                ELSE 0 END) AS BIGINT) AS n_bo2,
+       |  CAST(SUM(CASE WHEN s3 IS NULL AND s2 IS NULL AND s1 IS NOT NULL
+       |                THEN tf ELSE 0 END) AS BIGINT) AS n_bo1,
+       |  CAST(SUM(CASE WHEN s3 IS NULL AND s2 IS NULL AND s1 IS NULL
+       |                THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(tf * COALESCE(s3, s2, s1,
+       |    4 + length(bin(t1)) - 1)) AS BIGINT) AS sum_surprisal,
+       |  CAST(SUM(tf * COALESCE(s3, s2, s1, 4 + length(bin(t1)) - 1))
+       |       AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS mean_surprisal
+       |FROM ev LEFT JOIN sup3 USING (a, b, c)
+       |        LEFT JOIN sup2 USING (b, c)
+       |        LEFT JOIN sup1 USING (c)
+       |        CROSS JOIN tot
+       |GROUP BY $idCol""".stripMargin
+  }
+
   /** Corpus-wide adjacent-token-pair counts — the statistic at the heart
     * of BPE/WordPiece vocabulary induction: each merge step picks the
     * most frequent adjacent pair, so tokenizer training over a corpus is

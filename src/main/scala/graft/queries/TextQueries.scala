@@ -538,6 +538,13 @@ object TextQueries {
     "text_bigram_surprisal" -> ((s, dir) =>
       graft.functions.TermStats.bigramSurprisalStats(docs(s, dir),
         "doc_id", "text")),
+    // CROSS-VALIDATED trigram surprisal with stupid backoff: counts
+    // from a 90% hash-split train side score the held-out 10% — the
+    // honest LM-quality gate where backoff actually fires (the
+    // self-scored uni/bigram variants never miss an n-gram)
+    "text_surprisal_cv" -> ((s, dir) =>
+      graft.functions.TermStats.trigramSurprisalCv(docs(s, dir),
+        "doc_id", "text", evalPerMille = 100)),
     // epoch-repetition materialization: quality-proportional weights in
     // [0,3] — docs repeat floor(w) times plus a deterministic fractional
     // copy, exercising up-sampling, down-sampling, and dropping
@@ -1458,6 +1465,11 @@ object TextQueries {
            |    AS mean_surprisal
            |FROM bg JOIN sup ON bg.l = sup.l AND bg.r = sup.r
            |GROUP BY doc_id""".stripMargin,
+      // mirrors trigramSurprisalCv(evalPerMille = 100): identical hash
+      // split, prefix-derived conditionals, backoff cascade
+      "text_surprisal_cv" ->
+        graft.functions.TermStats.trigramSurprisalCvSql("doc_id", toks,
+          evalPerMille = 100),
       "text_pmi_pairs" ->
         """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
           |p0 AS (

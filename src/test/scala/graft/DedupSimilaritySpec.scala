@@ -1905,6 +1905,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === List((1L, 7L, 5L * 3 + 2L * 5), (2L, 9L, 6L * 4 + 3L * 4)))
   }
 
+  test("trigram CV surprisal: every backoff level fires with its penalty") {
+    import graft.functions.{Sampling, TermStats}
+    // learn the hash split first, then CRAFT texts per membership:
+    // train docs are all "a b c d" (k copies), four eval docs exercise
+    // the full cascade against counts c3=c2p=k, c2b=c1p=k, c1=k, T=4k
+    val ids = (1L to 200L).toDF("doc_id")
+    val assign = Sampling.splitAssign(ids, "doc_id",
+        Seq("train" -> 900, "eval" -> 100), salt = "cv")
+      .as[(Long, String)].collect()
+    val evalIds = assign.filter(_._2 == "eval").map(_._1).sorted.take(4)
+    assert(evalIds.length === 4) // ~20 expected of 200
+    val k = assign.count(_._2 == "train")
+    val scenarios = Map(
+      evalIds(0) -> "a b c", // seen trigram: s3 = ilog2(k/k) = 0
+      evalIds(1) -> "c b c", // unseen tri, seen bigram (b,c): s2 = 2
+      evalIds(2) -> "a b d", // unseen tri+bigram, seen unigram d: s1 = 6
+      evalIds(3) -> "q q q") // fully OOV: s0 = 4 + ilog2(4k)
+    val docs = assign.map { case (id, split) =>
+      (id, if (split == "train") "a b c d" else scenarios.getOrElse(id, ""))
+    }.toSeq.toDF("doc_id", "text")
+    val got = TermStats.trigramSurprisalCv(docs, "doc_id", "text",
+        evalPerMille = 100)
+      .select("doc_id", "n_trigrams", "n_bo2", "n_bo1", "n_oov",
+        "sum_surprisal")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toList
+    def ilog2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    assert(got === List(
+      (evalIds(0), 1L, 0L, 0L, 0L, 0L),
+      (evalIds(1), 1L, 1L, 0L, 0L, 2L),
+      (evalIds(2), 1L, 0L, 1L, 0L, 4L + ilog2(4L * k / k)),
+      (evalIds(3), 1L, 0L, 0L, 1L, 4L + ilog2(4L * k))).sortBy(_._1))
+  }
+
   test("BM25 top-k: hand-derived fixed-point scores and ordering") {
     import graft.functions.TermStats
     // N=3 docs, S=9 tokens, df(rare)=2 → idf_fp = (1e6·3)//5 = 600000.
