@@ -42,6 +42,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Matryoshka-style PREFIX-dimension retrieval evaluation: for each
+    * prefix length `d`, run the same brute-force top-k using only the
+    * first `d` vector dimensions and report per-query overlap with the
+    * full-dimension truth — the measurement behind "can I search on a
+    * dimension prefix and rerank", the storage/latency lever MRL-trained
+    * embeddings expose (Kusupati et al., "Matryoshka Representation
+    * Learning"). Output: (prefix_dims, query_id, n_overlap, recall)
+    * with recall = n_overlap / k (one exact IEEE division of two small
+    * ints).
+    *
+    * Everything is the [[bruteForceTopK]] arithmetic over sliced
+    * arrays — sequential-fold dots, (sim desc, neighbor_id) total
+    * order — so the whole verdict table hash-matches the oracle, unlike
+    * trained-ANN paths. Scale shape: one corpus stream per prefix
+    * length against broadcast queries (an EVALUATION harness — run on a
+    * sample, like every recall measurement here); the overlap join is
+    * queries×k rows against queries×k rows.
+    */
+  def prefixRecall(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, prefixes: Seq[Int]): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ >= 1),
+      "need at least one positive prefix length")
+    def sliced(df: DataFrame, d: Int) =
+      df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+    val truth = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val perPrefix = prefixes.map { d =>
+      val got = bruteForceTopK(sliced(queries, d), sliced(corpus, d),
+          idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      truth.join(got, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+        .select(lit(d.toLong).as("prefix_dims"), col("query_id"),
+          col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
+    }
+    perPrefix.reduce(_.unionByName(_))
+  }
+
   /** Two-stage ANN with a Johnson–Lindenstrauss prefilter: stage 1
     * scores every (query, candidate) pair by the INTEGER dot product of
     * their [[Embeddings.randomProjection]] images (`outDims` terms per

@@ -16,6 +16,47 @@ object VectorQueries {
 
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Oracle for `embed_prefix_recall`: per prefix length a brute top-k
+    * over sliced `DOUBLE[]` lists (the ann_topk pattern), LEFT-joined to
+    * the full-dimension truth, unioned. Same (sim DESC, neighbor_id)
+    * total order as [[Similarity.bruteForceTopK]].
+    */
+  private def prefixRecallSql(k: Int, prefixes: Seq[Int]): String = {
+    def top(name: String, slice: String): String =
+      s"""$name AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, c.neighbor_id, ROW_NUMBER() OVER (
+         |        PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(qv$slice, cv$slice) /
+         |          (sqrt(list_dot_product(qv$slice, qv$slice)) *
+         |           sqrt(list_dot_product(cv$slice, cv$slice))) DESC,
+         |          c.neighbor_id) AS rk
+         |    FROM q, c WHERE q.query_id <> c.neighbor_id)
+         |  WHERE rk <= $k)""".stripMargin
+    val gs = prefixes.map(d => top(s"g$d", s"[1:$d]")).mkString(",\n")
+    val os = prefixes.map { d =>
+      s"""o$d AS (
+         |  SELECT CAST($d AS BIGINT) AS prefix_dims, tr.query_id,
+         |         CAST(COUNT(g.query_id) AS BIGINT) AS n_overlap
+         |  FROM tr LEFT JOIN g$d g
+         |    ON tr.query_id = g.query_id AND tr.neighbor_id = g.neighbor_id
+         |  GROUP BY tr.query_id)""".stripMargin
+    }.mkString(",\n")
+    val union = prefixes.map(d => s"SELECT * FROM o$d")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       |      FROM embeddings),
+       |${top("tr", "")},
+       |$gs,
+       |$os
+       |SELECT prefix_dims, query_id, n_overlap,
+       |       CAST(n_overlap AS DOUBLE) / $k.0 AS recall
+       |FROM ($union)""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force top-5 cosine neighbors for 8 query vectors
     "ann_topk" -> ((s, dir) => {
@@ -27,6 +68,14 @@ object VectorQueries {
     "embed_centroids" -> ((s, dir) =>
       graft.functions.Embeddings.labelCentroids(
         emb(s, dir), "vec_id", "embedding", "label")),
+    // Matryoshka prefix-dimension retrieval eval: top-5 recall of
+    // 8/16/32-dim prefixes vs the full 64-dim truth — all brute-exact,
+    // so the verdict table hash-matches
+    "embed_prefix_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.prefixRecall(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", k = 5, prefixes = Seq(8, 16, 32))
+    }),
     // embedding-cosine near-dup pairs over a deterministic subset; the
     // subset is bounded by construction (quarter of a fixed table), so
     // the O(n²) size guard is skipped — its count() action exactly
@@ -565,6 +614,8 @@ object VectorQueries {
          |)
          |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, sim
          |FROM r WHERE rank <= 5""".stripMargin,
+    // mirrors prefixRecall(k = 5, prefixes = 8/16/32)
+    "embed_prefix_recall" -> prefixRecallSql(5, Seq(8, 16, 32)),
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

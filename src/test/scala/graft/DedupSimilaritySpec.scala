@@ -1905,6 +1905,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got === List((1L, 7L, 5L * 3 + 2L * 5), (2L, 9L, 6L * 4 + 3L * 4)))
   }
 
+  test("prefix recall: decoy wins the prefix, truth wins the full dims") {
+    // query q=[1,0,0,0]; neighbor 1 is the true full-dim top-1, neighbor
+    // 2 is a PREFIX DECOY (better first-2-dim cosine, far in full space)
+    // so recall@1 = 0 at prefix 2 and 1 at the full 4 dims
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0.1f, 0f, 0f)),
+      (2L, Array(1f, 0.05f, 9f, 0f)),
+      (3L, Array(0.1f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.prefixRecall(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", k = 1, prefixes = Seq(2, 4))
+      .select("prefix_dims", "query_id", "n_overlap", "recall")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toList
+    assert(got === List((2L, 0L, 0L, 0.0), (4L, 0L, 1L, 1.0)))
+  }
+
   test("trigram CV surprisal: every backoff level fires with its penalty") {
     import graft.functions.{Sampling, TermStats}
     // learn the hash split first, then CRAFT texts per membership:
