@@ -652,6 +652,34 @@ object TextQueries {
           "doc_id", col("quality"))
         .select("doc_id", "lang_pred", "quality", "n_pii", "clean_fp")
     }),
+    // the FULL training-manifest pipeline — the other half of
+    // curate_corpus_full's story: dedup canonical → per-source
+    // temperature reweighting → deterministic epoch copies → global
+    // packed token offsets (two-phase cumsum) → shuffle-shard
+    // assignment. One declarative plan from raw corpus to the packed
+    // manifest a trainer consumes; every stage reuses an
+    // individually-gated operator
+    "train_manifest_full" -> ((s, dir) => {
+      val base = dupCorpus(docs(s, dir)).select(col("doc_id"), col("source"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Dedup.contentHash(col("text")).as("__h"))
+      // referenced twice (weights + join back) — materialize once
+      val canon = Dedup.keepCanonicalByKey(base, "doc_id", "__h")
+        .select("doc_id", "source", "n_tokens").localCheckpoint()
+      val wts = Sampling.temperatureWeights(canon, "source", col("n_tokens"))
+        .select(col("source"), col("weight"))
+      // strata table is per-source — data-dependent, so no forced
+      // broadcast; AQE promotes it at runtime
+      val mixed = Sampling.materializeMixture(
+          canon.join(wts, Seq("source")), "doc_id", col("weight"))
+        .withColumn("mid", col("doc_id") * 1000L + col("copy"))
+      graft.functions.Packing.concatOffsetsGlobal(mixed, "mid",
+          col("n_tokens"), chunkSize = 64000L, seqLen = 2048L)
+        .withColumn("shard", pmod(Sampling.keyHash60(concat_ws(":",
+          lit("shuffle"), col("mid").cast("string"))), lit(8)).cast("int"))
+        .select("doc_id", "copy", "source", "n_tokens",
+          "start_offset", "end_offset", "first_seq", "last_seq", "shard")
+    }),
     // multimodal plumbing: binary blobs → batched stub decode
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
@@ -1385,6 +1413,62 @@ object TextQueries {
            |  CAST(SUM(tf * sup) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE)
            |    AS mean_surprisal
            |FROM d JOIN s USING (term) GROUP BY doc_id""".stripMargin,
+      // mirrors train_manifest_full: canonical dedup → temperature
+      // weights (the mix_temperature arithmetic) → epoch copies (the
+      // mix_epochs arithmetic) → global offsets → shard hash
+      "train_manifest_full" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |base AS (
+           |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
+           |         md5(lower(trim(text))) AS h
+           |  FROM corpus),
+           |canon AS (
+           |  SELECT doc_id, source, n_tokens FROM (
+           |    SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS c FROM base)
+           |  WHERE doc_id = c),
+           |agg AS (
+           |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s_tok
+           |  FROM canon GROUP BY source),
+           |tf AS (
+           |  SELECT source, CAST(s_tok AS DOUBLE) /
+           |    CAST(CAST(SUM(s_tok) OVER () AS BIGINT) AS DOUBLE) AS token_frac
+           |  FROM agg),
+           |ts AS (SELECT *, sqrt(token_frac) AS temp_score FROM tf),
+           |wts AS (
+           |  SELECT source,
+           |    CASE WHEN token_frac > 0
+           |         THEN (temp_score /
+           |           CAST(SUM(CAST(temp_score AS DECIMAL(20,18))) OVER ()
+           |                AS DOUBLE)) / token_frac
+           |         ELSE 0.0 END AS w
+           |  FROM ts),
+           |wd AS (SELECT c.doc_id, c.source, c.n_tokens, w
+           |       FROM canon c JOIN wts USING (source)),
+           |cnt AS (
+           |  SELECT *, CAST(floor(w) AS BIGINT) +
+           |    CASE WHEN CAST(${Sampling.keyHash60Sql("doc_id")}
+           |                   % ${Sampling.DefaultDen} AS DOUBLE)
+           |              < (w - floor(w)) * ${Sampling.DefaultDen}
+           |         THEN 1 ELSE 0 END AS n
+           |  FROM wd),
+           |mx AS (
+           |  SELECT doc_id, source, n_tokens, t.copy,
+           |         doc_id * 1000 + t.copy AS mid
+           |  FROM cnt, UNNEST(range(1, n + 1)) AS t(copy)
+           |  WHERE n >= 1),
+           |offs AS (
+           |  SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY mid
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+           |  FROM mx)
+           |SELECT doc_id, copy, source, n_tokens,
+           |  end_offset - n_tokens AS start_offset, end_offset,
+           |  (end_offset - n_tokens) // 2048 AS first_seq,
+           |  CASE WHEN end_offset > end_offset - n_tokens
+           |       THEN (end_offset - 1) // 2048
+           |       ELSE (end_offset - n_tokens) // 2048 END AS last_seq,
+           |  CAST(${Sampling.shuffleHashSql("shuffle", "CAST(mid AS VARCHAR)")}
+           |       % 8 AS INT) AS shard
+           |FROM offs""".stripMargin,
       "mix_epochs" ->
         s"""WITH d AS (
            |  SELECT doc_id, (${TA.qualityScoreSql(toks)}) * 3.0 AS w

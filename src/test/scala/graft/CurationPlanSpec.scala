@@ -50,6 +50,25 @@ class CurationPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("train_manifest_full: contiguous gap-free offsets, no nested loops") {
+    val df = TextQueries.queries("train_manifest_full")(spark, Sf)
+    val rows = df.select("n_tokens", "start_offset", "end_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(rows.nonEmpty)
+    // every row spans exactly its token count, the stream starts at 0,
+    // and consecutive rows are gap-free (a packed manifest's contract)
+    assert(rows.forall { case (n, s, e) => e - s == n })
+    assert(rows.head._2 === 0L)
+    rows.sliding(2).foreach {
+      case Array((_, _, e1), (_, s2, _)) => assert(e1 === s2)
+      case _ =>
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("curate_corpus_full survives with AQE disabled (static-plan fallback)") {
     // the unforced joins lean on AQE's runtime size check; with AQE off
     // the static planner must still produce a correct (if less optimal)
