@@ -168,7 +168,8 @@ object DiffEngine {
     * `__src_c`/`__tgt_c`/`__match_c` per regular column c.
     */
   def rowLevel(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
-      reverseOccurrence: Boolean = false): DataFrame = {
+      reverseOccurrence: Boolean = false,
+      tolerances: Map[String, Double] = Map.empty): DataFrame = {
     val spec = spec0.bind(src)
     spec.validateSides(src, tgt)
     val keys = spec.primaryKey :+ Occ
@@ -182,7 +183,19 @@ object DiffEngine {
       .withColumn(InSrc, coalesce(col(InSrc), lit(false)))
       .withColumn(InTgt, coalesce(col(InTgt), lit(false)))
     spec.regular.foldLeft(joined) { (df, c) =>
-      df.withColumn(matchCol(c), col(srcCol(c)) <=> col(tgtCol(c)))
+      // tolerance match: |src − tgt| <= eps counts as matched (the
+      // replica-drift mode the exact reference lacks — TTL'd floats,
+      // lossy codecs). NULL semantics unchanged: null<=>null matched,
+      // one-sided null mismatched. No tolerance → exact null-safe eq.
+      val m = tolerances.get(c) match {
+        case Some(eps) =>
+          (col(srcCol(c)).isNull && col(tgtCol(c)).isNull) ||
+            (col(srcCol(c)).isNotNull && col(tgtCol(c)).isNotNull &&
+              abs(col(srcCol(c)).cast("double") -
+                col(tgtCol(c)).cast("double")) <= lit(eps))
+        case None => col(srcCol(c)) <=> col(tgtCol(c))
+      }
+      df.withColumn(matchCol(c), m)
     }
   }
 
@@ -230,9 +243,10 @@ object DiffEngine {
     */
   def partitionStats(src: DataFrame, tgt: DataFrame, spec0: TableSpec,
       token: Seq[Column] => Column = defaultToken,
-      reverseOccurrence: Boolean = false): DataFrame = {
+      reverseOccurrence: Boolean = false,
+      tolerances: Map[String, Double] = Map.empty): DataFrame = {
     val spec = spec0.bind(src)
-    val rl = rowLevel(src, tgt, spec, reverseOccurrence)
+    val rl = rowLevel(src, tgt, spec, reverseOccurrence, tolerances)
     val bothHere = col(InSrc) && col(InTgt)
     val one = (c: Column) => sum(when(c, 1L).otherwise(0L))
     val valueMatches =
@@ -362,10 +376,11 @@ object DiffEngine {
     */
   def rangeStats(src: DataFrame, tgt: DataFrame, spec: TableSpec,
       opts: DiffOptions = DiffOptions(),
-      token: Seq[Column] => Column = defaultToken): DataFrame = {
+      token: Seq[Column] => Column = defaultToken,
+      tolerances: Map[String, Double] = Map.empty): DataFrame = {
     val fs = applyTokenFilters(src, spec, opts, token)
     val ft = applyTokenFilters(tgt, spec, opts, token)
-    val ps = partitionStats(fs, ft, spec, token)
+    val ps = partitionStats(fs, ft, spec, token, tolerances = tolerances)
     val noFilters = opts.disallowedTokens.isEmpty && !opts.samplingEnabled &&
       opts.specificTokens.isEmpty
     val skipped =

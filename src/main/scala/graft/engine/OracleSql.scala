@@ -19,12 +19,22 @@ object OracleSql {
     * Emits CTEs `src`, `tgt`, `rl` — callers append their own final select.
     */
   def rowLevelCtes(spec: TableSpec, srcSql: String, tgtSql: String,
-      prefix: String = "", reverseOcc: Boolean = false): String = {
+      prefix: String = "", reverseOcc: Boolean = false,
+      tolerances: Map[String, Double] = Map.empty): String = {
     val keys = spec.primaryKey
     val on = (keys.map(k => s"s.$k = t.$k") :+ "s.__occ = t.__occ").mkString(" AND ")
     val keySel = keys.map(k => s"COALESCE(s.$k, t.$k) AS $k").mkString(", ")
-    val matches = spec.regular
-      .map(c => s"(s.$c IS NOT DISTINCT FROM t.$c) AS match_$c")
+    // tolerance columns mirror DiffEngine.rowLevel: |s − t| <= eps
+    // matched, null semantics unchanged
+    val matches = spec.regular.map { c =>
+      tolerances.get(c) match {
+        case Some(eps) =>
+          s"((s.$c IS NULL AND t.$c IS NULL) OR (s.$c IS NOT NULL " +
+            s"AND t.$c IS NOT NULL AND abs(CAST(s.$c AS DOUBLE) - " +
+            s"CAST(t.$c AS DOUBLE)) <= $eps)) AS match_$c"
+        case None => s"(s.$c IS NOT DISTINCT FROM t.$c) AS match_$c"
+      }
+    }
     val srcVals = spec.regular.map(c => s"s.$c AS src_$c")
     val tgtVals = spec.regular.map(c => s"t.$c AS tgt_$c")
     val cols = (Seq(keySel, "(s.__one IS NOT NULL) AS in_src",
@@ -52,7 +62,8 @@ object OracleSql {
     * (reference O7: PartitionStats.java:22-28).
     */
   def partitionCtes(spec: TableSpec, srcSql: String, tgtSql: String,
-      prefix: String = "", reverseOcc: Boolean = false): String = {
+      prefix: String = "", reverseOcc: Boolean = false,
+      tolerances: Map[String, Double] = Map.empty): String = {
     val pk = spec.pk.mkString(", ")
     val matchedVals =
       if (spec.regular.isEmpty) "0"
@@ -60,7 +71,7 @@ object OracleSql {
     val mismatchedVals =
       if (spec.regular.isEmpty) "0"
       else spec.regular.map(c => s"CASE WHEN match_$c THEN 0 ELSE 1 END").mkString(" + ")
-    s"""${rowLevelCtes(spec, srcSql, tgtSql, prefix, reverseOcc)},
+    s"""${rowLevelCtes(spec, srcSql, tgtSql, prefix, reverseOcc, tolerances)},
        |${prefix}ps AS (
        |  SELECT $pk,
        |         bool_or(in_src) AS in_src, bool_or(in_tgt) AS in_tgt,
@@ -87,8 +98,9 @@ object OracleSql {
     * to 0 when no token filters are active).
     */
   def rangeStats(spec: TableSpec, srcSql: String, tgtSql: String,
-      skippedSql: String = "SELECT CAST(0 AS BIGINT) AS skipped_partitions"): String = {
-    s"""WITH ${partitionCtes(spec, srcSql, tgtSql)}
+      skippedSql: String = "SELECT CAST(0 AS BIGINT) AS skipped_partitions",
+      tolerances: Map[String, Double] = Map.empty): String = {
+    s"""WITH ${partitionCtes(spec, srcSql, tgtSql, tolerances = tolerances)}
        |SELECT
        |  CAST(COALESCE(SUM(CASE WHEN classification = 'MATCHED' THEN 1 ELSE 0 END), 0) AS BIGINT) AS matched_partitions,
        |  CAST(COALESCE(SUM(CASE WHEN classification = 'PARTITION_MISMATCH' THEN 1 ELSE 0 END), 0) AS BIGINT) AS mismatched_partitions,

@@ -88,6 +88,29 @@ object Perturb {
 
   val lineitemSrcSql: String = "SELECT * FROM lineitem"
 
+  /** Float-drift target for the TOLERANCE diff: identical to the source
+    * except `l_extendedprice` nudged by +0.005 (inside a 0.01 tolerance)
+    * on `% 10 = 3` partitions and by +1.0 (outside it) on `% 10 = 4` —
+    * so a toleranced diff counts exactly the big nudges mismatched and
+    * an exact diff counts both.
+    */
+  val JitterSmall = 0.005
+  val JitterBig = 1.0
+
+  def lineitemTargetJitter(li: DataFrame): DataFrame =
+    li.withColumn("l_extendedprice",
+      when(col("l_orderkey") % 10 === 3, col("l_extendedprice") + JitterSmall)
+        .when(col("l_orderkey") % 10 === 4, col("l_extendedprice") + JitterBig)
+        .otherwise(col("l_extendedprice")))
+
+  /** SQL mirror of [[lineitemTargetJitter]] (DuckDB `* REPLACE`). */
+  val lineitemTargetJitterSql: String =
+    s"""SELECT * REPLACE (
+       |  CASE WHEN l_orderkey % 10 = 3 THEN l_extendedprice + $JitterSmall
+       |       WHEN l_orderkey % 10 = 4 THEN l_extendedprice + $JitterBig
+       |       ELSE l_extendedprice END AS l_extendedprice)
+       |FROM lineitem""".stripMargin
+
   val lineitemSpec: TableSpec = TableSpec(
     table = "lineitem",
     pk = Seq("l_orderkey"),

@@ -23,6 +23,14 @@ object DiffQueries {
     "diff_range_stats" -> ((s, dir) =>
       DiffEngine.rangeStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
         lineitemSpec, DiffOptions(), idTok)),
+    // TOLERANCE diff: |src − tgt| <= 0.01 on l_extendedprice counts as
+    // matched — the replica-float-drift mode; small jitters (+0.005)
+    // vanish, big ones (+1.0) stay mismatched
+    "diff_range_stats_tolerance" -> ((s, dir) =>
+      DiffEngine.rangeStats(li(s, dir),
+        Perturb.lineitemTargetJitter(li(s, dir)),
+        lineitemSpec, DiffOptions(), idTok,
+        tolerances = Map("l_extendedprice" -> 0.01))),
     // same over the narrow shape (no clustering — reference narrow1)
     "diff_range_stats_narrow" -> ((s, dir) =>
       DiffEngine.rangeStats(ord(s, dir), Perturb.ordersTarget(ord(s, dir)),
@@ -180,6 +188,9 @@ object DiffQueries {
         |ORDER BY n_rows DESC, l_orderkey LIMIT 10""".stripMargin,
     "diff_range_stats" -> OracleSql.rangeStats(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
+    "diff_range_stats_tolerance" -> OracleSql.rangeStats(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetJitterSql,
+      tolerances = Map("l_extendedprice" -> 0.01)),
     "diff_range_stats_narrow" -> OracleSql.rangeStats(ordersSpec,
       Perturb.ordersSrcSql, Perturb.ordersTargetSql),
     "diff_partition_stats" -> OracleSql.partitionStats(lineitemSpec,

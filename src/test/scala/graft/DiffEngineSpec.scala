@@ -526,4 +526,30 @@ class DiffEngineSpec extends SparkSpec {
     val ch = Repair.reconcileChangeset(src, tgt, lineitemSpec)
     assert(ch.count() < src.count())
   }
+
+  test("tolerance diff: eps boundary inclusive, nulls keep exact semantics") {
+    // binary-exact values so the boundary case is REALLY the boundary:
+    // 1/128 = 0.0078125 is exact in doubles (|1.01 − 1.0| is NOT 0.01)
+    val eps = 0.0078125
+    val spec = TableSpec("t", Seq("pk"), Nil, Seq("v"), uniqueKey = true)
+    val src = Seq((1L, jd(1.0)), (2L, jd(1.0)), (3L, null.asInstanceOf[java.lang.Double]),
+      (4L, jd(1.0))).toDF("pk", "v")
+    val tgt = Seq((1L, jd(1.0 + eps)), (2L, jd(1.015625)), (3L, null.asInstanceOf[java.lang.Double]),
+      (4L, null.asInstanceOf[java.lang.Double])).toDF("pk", "v")
+    val rl = DiffEngine.rowLevel(src, tgt, spec,
+        tolerances = Map("v" -> eps))
+      .select(col("pk"), col("__match_v")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(rl(1L)) // |diff| == eps → matched (inclusive)
+    assert(!rl(2L)) // just past eps → mismatched
+    assert(rl(3L)) // null <=> null still matched
+    assert(!rl(4L)) // one-sided null still mismatched
+    // no tolerance → the small drift is a mismatch again
+    val exact = DiffEngine.rowLevel(src, tgt, spec)
+      .select(col("pk"), col("__match_v")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(!exact(1L))
+  }
+
+  private def jd(d: Double): java.lang.Double = java.lang.Double.valueOf(d)
 }
