@@ -45,7 +45,15 @@ final case class DiffJobConfig(
     // (INSERT/UPDATE/DELETE treating the source as truth) alongside the
     // mismatch rows, served by ResultsApi.jobRepair. Costs one extra
     // row-level join per table when enabled.
-    repair: Boolean = false)
+    repair: Boolean = false,
+    // per-table per-column ε tolerance: |src − tgt| <= ε counts matched
+    // (float replica drift). Incompatible with digestFirst — digests
+    // hash exact values, so a within-tolerance bucket would still read
+    // dirty AND its diff rows would disagree with the digest verdict.
+    tolerances: Map[String, Map[String, Double]] = Map.empty) {
+  require(tolerances.isEmpty || !digestFirst,
+    "tolerances are incompatible with digestFirst (digests hash exact values)")
+}
 
 final class DiffRunner(
     source: SourceProvider,
@@ -306,7 +314,9 @@ final class DiffRunner(
         // ONE diff computation per table: persist the per-partition stats
         // and derive progress, mismatches and totals from it (without the
         // persist, each journal sink would re-run the join+agg)
-        val ps = DiffEngine.partitionStats(src, tgt, spec, token).persist()
+        val ps = DiffEngine.partitionStats(src, tgt, spec, token,
+          tolerances = config.tolerances.getOrElse(spec.table, Map.empty))
+          .persist()
         try {
           val runTs = System.currentTimeMillis()
           // checkpoint ordering mirrors the reference (mismatches recorded

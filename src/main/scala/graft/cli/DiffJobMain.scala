@@ -60,7 +60,9 @@ object DiffJobMain {
         partitioner = config.partitioner,
         retry = config.retryPolicy,
         digestFirst = config.digestFirst,
-        repair = config.generateRepair))
+        repair = config.generateRepair,
+        tolerances = config.tolerances.map { case (t, m) =>
+          t.split('.').last -> m }))
       .run()
 
     // the reference's end-of-job summary line (DiffJob.java:190)

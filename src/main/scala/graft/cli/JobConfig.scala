@@ -61,7 +61,12 @@ final case class JobConfig(
     clusterConfig: Map[String, Map[String, String]],
     retryPolicy: graft.journal.RetryPolicy = graft.journal.RetryPolicy.NoRetry,
     digestFirst: Boolean = false,
-    generateRepair: Boolean = false) {
+    generateRepair: Boolean = false,
+    // engine extension: per-table per-column ε tolerance for float
+    // replica drift (`tolerances: {ks.table: {col: 0.01}}`); exact
+    // comparison when absent. Incompatible with digest_first (digests
+    // hash exact values — DiffRunner rejects the combination).
+    tolerances: Map[String, Map[String, Double]] = Map.empty) {
 
   /** Sampling probability → deterministic per-key modulus (O10): keep a
     * partition iff pmod(token, den) < num with num/den ≈ p.
@@ -138,6 +143,18 @@ object JobConfig {
         else graft.journal.RetryPolicy.NoRetry
       case _ => graft.journal.RetryPolicy.NoRetry
     }
+    val tolerances = m.get("tolerances") match {
+      case Some(tm: JMap[_, _]) =>
+        tm.asScala.map { case (tbl, v) =>
+          tbl.toString -> (v match {
+            case vm: JMap[_, _] =>
+              vm.asScala.map { case (c, e) =>
+                c.toString -> e.toString.trim.toDouble }.toMap
+            case _ => Map.empty[String, Double]
+          })
+        }.toMap
+      case _ => Map.empty[String, Map[String, Double]]
+    }
     val clusters = m.get("cluster_config") match {
       case Some(cc: JMap[_, _]) =>
         cc.asScala.map { case (k, v) =>
@@ -170,7 +187,8 @@ object JobConfig {
       clusterConfig = clusters,
       retryPolicy = retryPolicy,
       digestFirst = m.get("digest_first").exists(_.toString.trim.toBoolean),
-      generateRepair = m.get("generate_repair").exists(_.toString.trim.toBoolean))
+      generateRepair = m.get("generate_repair").exists(_.toString.trim.toBoolean),
+      tolerances = tolerances)
   }
 
   /** "ks.tbl" → TableSpec with roles from the role registry or inferred

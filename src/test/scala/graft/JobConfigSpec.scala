@@ -143,6 +143,23 @@ class JobConfigSpec extends SparkSpec {
     assert(!e.digestFirst && !e.generateRepair)
   }
 
+  test("tolerances parse per table/column; digestFirst combination rejected") {
+    val c = JobConfig.loadString(
+      """tolerances:
+        |  ks.lineitem:
+        |    l_extendedprice: 0.01
+        |    l_tax: 1e-6
+        |""".stripMargin)
+    assert(c.tolerances === Map(
+      "ks.lineitem" -> Map("l_extendedprice" -> 0.01, "l_tax" -> 1e-6)))
+    assert(JobConfig.loadString("buckets: 5\n").tolerances.isEmpty)
+    // digests hash exact values — the runner config must refuse the combo
+    intercept[IllegalArgumentException] {
+      graft.api.DiffJobConfig("j", Nil, digestFirst = true,
+        tolerances = Map("t" -> Map("v" -> 0.1)))
+    }
+  }
+
   test("table specs resolve roles from the corpus registry") {
     val li = JobConfig.tableSpec("keyspace1.lineitem")
     assert(li.pk === Seq("l_orderkey") && li.clustering === Seq("l_linenumber"))
