@@ -105,6 +105,25 @@ object AnalyticsQueries {
           year(col("l_shipdate")).as("l_year"))
         .agg(sum(revenue).cast("double").as("revenue"))
     }),
+    // TPC-H Q17 (small-quantity revenue, adapted to the corpus's part
+    // columns): the correlated-scalar-subquery shape — per-part 0.2·avg
+    // quantity threshold — DECORRELATED as a partkey window over the
+    // brand-restricted join (group sizes are bounded per part, so the
+    // window never concentrates; one shuffle total)
+    "q17_small_quantity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#12")
+        .select("p_partkey")
+      val w = Window.partitionBy(col("l_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .withColumn("__thr", lit(0.2) *
+          (sum(dec("l_quantity")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")))
+        .filter(col("l_quantity") < col("__thr"))
+        .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0))
+          .as("avg_yearly"))
+    }),
     // join-key skew profile: the 10 heaviest customer keys with share,
     // skew ratio, and the integer salt factor that levels each onto the
     // mean — the measurement that decides plain vs salted joins
@@ -509,6 +528,19 @@ object AnalyticsQueries {
          |  AND o_orderdate >= TIMESTAMP '1995-01-01'
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name""".stripMargin,
+    // mirrors q17_small_quantity: identical decimal window arithmetic
+    "q17_small_quantity" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / 7.0 AS avg_yearly
+        |FROM (
+        |  SELECT l_extendedprice, l_quantity,
+        |    CAST(0.2 AS DOUBLE) *
+        |      (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY l_partkey) AS DOUBLE)
+        |       / CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS DOUBLE)) AS thr
+        |  FROM lineitem JOIN part
+        |    ON p_partkey = l_partkey AND p_brand = 'Brand#12')
+        |WHERE l_quantity < thr""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
          |  CAST(SUM(volume) AS DOUBLE) AS revenue
