@@ -252,6 +252,53 @@ object Embeddings {
       .select("label", "n_a", "n_b", "centroid_cos")
   }
 
+  /** Embedding isotropy / anisotropy profile per label.
+    *
+    * Measures how directionally concentrated each label's embedding
+    * cloud is: the mean pairwise dot product over all ordered pairs
+    * i ≠ j — derived WITHOUT a pair join from the Gram identity
+    * `Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖²` — and the anisotropy ratio
+    * (mean pair dot over mean self dot): ~0 for an isotropic cloud,
+    * → 1 as vectors collapse onto one shared direction (the common
+    * embedding-degeneration diagnostic, computed exactly instead of by
+    * sampled cosine pairs).
+    *
+    * Exactness: ×64 integer grid. `s(label,pos) = Σ grid` and
+    * `e(label,pos) = Σ grid²` are exact longs (|s| ≤ 127·n,
+    * Σ s² ≤ 64·127²·n² — inside a long to n ≈ 10⁸ per label); the two
+    * final statistics are a pinned sequence of IEEE double ops over
+    * those longs, so they hash-match any engine mirroring the same
+    * expression order.
+    *
+    * Scale shape: one partial-aggregating (label, pos) groupBy —
+    * |labels|×dims rows out — then a |labels|-row agg. No pair join, no
+    * vector shuffle: the 100 TB cost is the scan, which is why the Gram
+    * identity beats the O(n²) definition it replaces.
+    *
+    * Output: (label, n, gram, self_energy, mean_pair_dot, anisotropy).
+    */
+  def isotropyStats(df: DataFrame, vecCol: String, labelCol: String,
+      dims: Int = 64): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(array((0 until dims).map(i =>
+          q64(col(vecCol), i).cast("long")): _*)).as(Seq("pos", "g")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("g")).as("s"),
+        sum(col("g") * col("g")).as("e"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n"),
+        sum(col("s") * col("s")).as("gram"),
+        sum(col("e")).as("self_energy"))
+      .withColumn("mean_pair_dot",
+        (col("gram") - col("self_energy")).cast("double") /
+          (col("n") * (col("n") - lit(1L))).cast("double"))
+      .withColumn("anisotropy",
+        col("mean_pair_dot") /
+          (col("self_energy").cast("double") / col("n").cast("double")))
+      .select("label", "n", "gram", "self_energy", "mean_pair_dot",
+        "anisotropy")
+
   /** The DuckDB mirror of [[randomProjection]]'s dim-`d` sum over a
     * quantized-vector SQL array expression `cv` (1-indexed).
     */

@@ -124,6 +124,23 @@ object AnalyticsQueries {
         .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0))
           .as("avg_yearly"))
     }),
+    // TPC-H Q13 order-count distribution: the LEFT OUTER join whose
+    // predicate belongs to the JOIN (not a post-join WHERE — customers
+    // whose only orders are urgent must still land in the zero bucket),
+    // then a double aggregation over the per-customer counts. The
+    // filter references only the orders side, so it pushes to that scan
+    // before the join; both aggs partial-aggregate map-side.
+    "q13_order_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(!col("o_orderpriority").like("%URGENT%"))
+        .select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
     // join-key skew profile: the 10 heaviest customer keys with share,
     // skew ratio, and the integer salt factor that levels each onto the
     // mean — the measurement that decides plain vs salted joins
@@ -541,6 +558,15 @@ object AnalyticsQueries {
         |  FROM lineitem JOIN part
         |    ON p_partkey = l_partkey AND p_brand = 'Brand#12')
         |WHERE l_quantity < thr""".stripMargin,
+    // mirrors q13_order_distribution: join-side predicate + double agg
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
          |  CAST(SUM(volume) AS DOUBLE) AS revenue

@@ -340,6 +340,14 @@ object TextQueries {
       graft.functions.Embeddings.centroidDrift(e, b, "vec_id",
         "embedding", "label")
     }),
+    // embedding isotropy: exact mean pairwise dot + anisotropy ratio
+    // per label via the Gram identity ‖Σv‖² − Σ‖v‖² — no pair join,
+    // one (label, pos) agg; the embedding-collapse diagnostic at scan
+    // cost
+    "embed_isotropy" -> ((s, dir) => {
+      val e = graft.engine.Tables.load(s, dir, "embeddings")
+      graft.functions.Embeddings.isotropyStats(e, "embedding", "label")
+    }),
     // MERGE/upsert: apply a deterministic changeset (updates on
     // id%10=0, deletes on id%17=0 taking precedence, 50 inserted docs)
     // to the documents snapshot — the Delta-style MERGE INTO semantics
@@ -1775,6 +1783,31 @@ object TextQueries {
           |SELECT label, n_a, n_b,
           |  CAST(dt AS DOUBLE) / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))
           |    AS centroid_cos
+          |FROM d""".stripMargin,
+      // mirrors Embeddings.isotropyStats: identical grid sums and the
+      // same double-op sequence for the two final ratios
+      "embed_isotropy" ->
+        """WITH gp AS (
+          |  SELECT label, i AS pos,
+          |    CAST(SUM(CAST(LEAST(GREATEST(FLOOR(embedding[i + 1] * 64 + 0.5),
+          |      -127), 127) AS BIGINT)) AS BIGINT) AS s,
+          |    CAST(SUM(CAST(LEAST(GREATEST(FLOOR(embedding[i + 1] * 64 + 0.5),
+          |      -127), 127) AS BIGINT)
+          |      * CAST(LEAST(GREATEST(FLOOR(embedding[i + 1] * 64 + 0.5),
+          |      -127), 127) AS BIGINT)) AS BIGINT) AS e,
+          |    CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) g
+          |  GROUP BY label, i),
+          |d AS (
+          |  SELECT label, MAX(n) AS n,
+          |    CAST(SUM(s * s) AS BIGINT) AS gram,
+          |    CAST(SUM(e) AS BIGINT) AS self_energy
+          |  FROM gp GROUP BY label)
+          |SELECT label, n, gram, self_energy,
+          |  CAST(gram - self_energy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+          |    AS mean_pair_dot,
+          |  (CAST(gram - self_energy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+          |    / (CAST(self_energy AS DOUBLE) / CAST(n AS DOUBLE)) AS anisotropy
           |FROM d""".stripMargin,
       // mirrors Merge.applyChangeset over the derived changeset:
       // updates id%10 (unless deleted), deletes id%17, inserts id<50

@@ -1786,6 +1786,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(flip + 1.0) < 1e-12)
   }
 
+  test("isotropy: collapsed cloud ratio 1.0, balanced +/- axes cancel the Gram") {
+    import graft.functions.Embeddings
+    val dup = Seq((1L, Array(0.5f, 0.25f), "x"), (2L, Array(0.5f, 0.25f), "x"),
+      (3L, Array(0.5f, 0.25f), "x")).toDF("vec_id", "embedding", "label")
+    val c = Embeddings.isotropyStats(dup, "embedding", "label", dims = 2)
+      .select("n", "gram", "self_energy", "mean_pair_dot", "anisotropy")
+      .as[(Long, Long, Long, Double, Double)].head()
+    // grid (32, 16): self = 3·1280, gram = 96² + 48² = 9·1280,
+    // mean pair dot = (11520 − 3840)/6 = 1280 = the shared ‖g‖²,
+    // anisotropy exactly 1 for a fully collapsed cloud
+    assert(c === ((3L, 11520L, 3840L, 1280.0, 1.0)))
+    val axes = Seq((1L, Array(1.0f, 0.0f), "y"), (2L, Array(-1.0f, 0.0f), "y"),
+      (3L, Array(0.0f, 1.0f), "y"), (4L, Array(0.0f, -1.0f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val i = Embeddings.isotropyStats(axes, "embedding", "label", dims = 2)
+      .select("gram", "self_energy", "mean_pair_dot", "anisotropy")
+      .as[(Long, Long, Double, Double)].head()
+    // ± axes sum to zero → gram 0; grids are ±64 so self = 4·64²;
+    // mean pair dot = −16384/12, ratio −1/3
+    assert(i._1 === 0L && i._2 === 4 * 64L * 64L)
+    assert(math.abs(i._3 - (-16384.0 / 12)) < 1e-12)
+    assert(math.abs(i._4 + 1.0 / 3) < 1e-12)
+  }
+
   test("merge changeset: upsert replaces, insert adds, delete drops, null-out works") {
     import graft.functions.Merge
     val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
