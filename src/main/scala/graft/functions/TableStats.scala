@@ -11,34 +11,56 @@ import org.apache.spark.sql.functions._
   */
 object TableStats {
 
-  /** Per-column stats for `cols`, computed in ONE aggregation pass over
-    * the table (Spark plans the multiple DISTINCT aggregates via a
-    * single Expand — table read once), then unpivoted with `stack` into
-    * one row per column.
+  /** Per-column stats for `cols`, in two passes over the (column-pruned)
+    * scan:
+    *
+    *   1. typed min/max + null counts + row count — plain aggregates,
+    *      one partial-aggregating pass, one row out. min/max run on the
+    *      ORIGINAL type (then render to string), so `l_orderkey`'s max
+    *      is numeric, not lexicographic.
+    *   2. exact NDV via unpivot: `stack` each row into (col_name,
+    *      value-string) pairs, distinct-count per col_name as TWO
+    *      partial-aggregating groupBys — (name, value) then (name).
+    *
+    * The earlier one-pass form used N `countDistinct` aggregates in one
+    * `agg`, which Catalyst plans as an Expand producing N+1 copies of
+    * every row into a single global aggregate keyed on ALL N columns at
+    * once — measured 5× slower than this shape at sf0.1. Here each stage
+    * map-side combines: stage-2's first agg emits at most NDV rows per
+    * partition per column, and the scan is read twice but pruned to
+    * exactly `cols` (IO is the cheap part; the distinct is the cost).
     *
     * NDV is EXACT (count distinct), deliberately: the result is
     * oracle-checkable, and at 100 TB the same shape runs with
     * `approx_count_distinct` swapped in (one-line change, HLL partial
     * aggregation — the `q_approx_distinct` family already covers that
-    * path). Min/max cast to string so heterogeneous column types share
-    * one output schema — the ANALYZE convention. Avoid timestamp
+    * path). Casts to string are canonical for the integer/string columns
+    * this profiles (no two distinct values collide), matching the
+    * ANALYZE convention of a heterogeneous stats row. Avoid timestamp
     * columns here: engines disagree on second-fraction rendering.
     *
     * Output: (col_name, n_rows, n_nulls, n_distinct, min_val, max_val).
     */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    val pruned = df.select(cols.map(col): _*)
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
       min(col(c)).cast("string").as(s"__mn_$c"),
       max(col(c)).cast("string").as(s"__mx_$c")))
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
-    row.selectExpr("__n",
-        s"stack(${cols.length}, $stackArgs) AS " +
-          "(col_name, n_nulls, n_distinct, min_val, max_val)")
+      s"'$c', `__nn_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    val basics = pruned.agg(count(lit(1)).as("__n"), aggs: _*)
+      .selectExpr("__n",
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, min_val, max_val)")
+    val unpivot = cols.map(c =>
+      s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    val ndv = pruned
+      .selectExpr(s"stack(${cols.length}, $unpivot) AS (col_name, __v)")
+      .groupBy(col("col_name"), col("__v")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("col_name"))
+      .agg(sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+    basics.join(ndv, Seq("col_name"))
       .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }

@@ -141,6 +141,138 @@ object AnalyticsQueries {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
     }),
+    // TPC-H Q4-shaped EXISTS: orders in a quarter with at least one
+    // returned line, counted per priority — the LEFT SEMI join shape
+    // (probe side never duplicates, the build side deduplicates inside
+    // the join instead of a distinct-before-join)
+    "q4_priority_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    // TPC-H Q18 large-volume orders: the HAVING-subquery IN shape — a
+    // grouped filter on the fact table drives a semi-join back onto the
+    // same fact table plus its dimensions. The big-order key set is the
+    // output of an aggregation (small by construction: > 300 total
+    // quantity is the top ~1% of orders), so AQE broadcasts the semi
+    // side; no distinct needed — groupBy already emits unique keys
+    "q18_large_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(dec("l_quantity")).as("__sq"))
+        .filter(col("__sq") > 300).select(col("l_orderkey").as("__bigkey"))
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      l.join(big, l("l_orderkey") === col("__bigkey"), "left_semi")
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    // TPC-H Q22-shaped anti-join + uncorrelated scalar subquery:
+    // dormant customers (no order since 2000) holding above-average
+    // balances, per segment. The average is an exact decimal-sum /
+    // count division attached as a 1-row broadcast (the bounded-
+    // crossJoin convention); the NOT EXISTS is a LEFT ANTI join whose
+    // date predicate pushes to the orders scan, so the anti side
+    // shuffles only the filtered key column
+    "q22_idle_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg((sum(dec("c_acctbal")).cast("double") / count(lit(1)))
+          .as("__avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec("c_acctbal")).cast("double").as("totacctbal"))
+    }),
+    // per-user event-type Markov transition matrix: consecutive-event
+    // pairs via lead() (one shuffle on user), then a count per (from,
+    // to) edge and a row-normalized probability. The normalizing window
+    // runs over the AGGREGATED edge frame — at most #types² rows — so
+    // the only data-sized exchanges are the sessionization shuffle and
+    // the partial-aggregating edge groupBy
+    "events_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = Tables.events(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy(col("from_type"))
+      edges.withColumn("__nf", sum(col("n")).over(wf))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("__nf").cast("double")).as("prob"))
+    }),
+    // winsorization profile: per-type discrete p05/p95 bounds + clipped
+    // accounting — outlier trimming before any value-weighted sampling.
+    // The quantile is EXACT but computed on the VALUE HISTOGRAM, not the
+    // raw rows: groupBy(type, value) partial-aggregates map-side, and
+    // the per-type ordered cumsum window sees only distinct values (the
+    // two-phase exact-quantile shape that survives 100 TB, unlike a
+    // row-level sort per type). Rank k = ceil(q·n) in pure integer
+    // arithmetic; the bound is the smallest value whose cumulative
+    // count reaches k — identical on both engines
+    "events_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_type", "value")
+      val hist = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("__c"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      val bounds = hist
+        .withColumn("__cum", sum(col("__c")).over(wc))
+        .withColumn("__n", sum(col("__c")).over(wt))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("__cum") >= expr("(__n * 5 + 99) DIV 100"),
+            col("value"))).as("p05"),
+          min(when(col("__cum") >= expr("(__n * 95 + 99) DIV 100"),
+            col("value"))).as("p95"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy(col("event_type"), col("p05"), col("p95"))
+        .agg(sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+            .as("n_high"),
+          sum(least(greatest(col("value"), col("p05")), col("p95"))
+            .cast("decimal(18,4)")).cast("double").as("sum_winsorized"))
+    }),
+    // incremental view maintenance: merge a pre-aggregated base state
+    // with a delta batch's partial aggregate — count/sum states add, so
+    // the merged frame equals a full recompute without rescanning the
+    // base (the oracle IS the full recompute). The 100 TB pattern for
+    // daily-refresh aggregates: only the delta is scanned, the join is
+    // keyed on the group key both sides already shuffled on
+    "agg_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      def state(df: DataFrame, nc: String, sc: String) =
+        df.groupBy(col("user_id")).agg(count(lit(1)).as(nc),
+          sum(col("value").cast("decimal(18,4)")).as(sc))
+      val base = state(ev.filter(col("ts") < cutoff), "__nb", "__sb")
+      val delta = state(ev.filter(col("ts") >= cutoff), "__nd", "__sd")
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("__nb"), lit(0L)) + coalesce(col("__nd"), lit(0L)))
+            .as("n_events"),
+          (coalesce(col("__sb"), lit(0).cast("decimal(28,4)")) +
+            coalesce(col("__sd"), lit(0).cast("decimal(28,4)")))
+            .cast("double").as("total_value"))
+    }),
     // join-key skew profile: the 10 heaviest customer keys with share,
     // skew ratio, and the integer salt factor that levels each onto the
     // mean — the measurement that decides plain vs salted joins
@@ -567,6 +699,86 @@ object AnalyticsQueries {
         |    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
         |  GROUP BY c_custkey) cc
         |GROUP BY c_count""".stripMargin,
+    // mirrors q4_priority_semi: EXISTS as a semi-join
+    "q4_priority_semi" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    // mirrors q18_large_orders: grouped-HAVING key set as IN subquery
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    // mirrors q22_idle_customers: exact decimal-sum/count average,
+    // NOT EXISTS anti-join
+    "q22_idle_customers" ->
+      """WITH a AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer CROSS JOIN a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+    // mirrors events_markov: lead() pairs, row-normalized counts
+    "events_markov" ->
+      """WITH e AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        |FROM c""".stripMargin,
+    // mirrors events_winsorize: histogram cumsum discrete quantile,
+    // integer rank arithmetic
+    "events_winsorize" ->
+      """WITH hist AS (
+        |  SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, value, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n
+        |  FROM hist),
+        |b AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cm >= (n * 5 + 99) // 100 THEN value END) AS p05,
+        |    MIN(CASE WHEN cm >= (n * 95 + 99) // 100 THEN value END) AS p95
+        |  FROM cum GROUP BY event_type)
+        |SELECT e.event_type, p05, p95,
+        |  CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS sum_winsorized
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type, p05, p95""".stripMargin,
+    // mirrors agg_incremental: the merged state must equal this full
+    // recompute — that equality IS the incremental-maintenance claim
+    "agg_incremental" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
          |  CAST(SUM(volume) AS DOUBLE) AS revenue
