@@ -760,4 +760,58 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Sorted-neighborhood near-dup detection (Hernández–Stolfo SNM):
+    * sort the corpus by SimHash and compare each document only with its
+    * `window` successors in that order — O(n·w) comparisons instead of
+    * a pair join, the standard alternative to LSH banding when a single
+    * corpus-wide pass is preferred. Near-identical documents have
+    * near-identical SimHashes, so they sort adjacent; `hamming ≤
+    * maxHamming` verifies each candidate.
+    *
+    * The global sort position is computed WITHOUT a single-partition
+    * window ([[Packing.concatOffsetsGlobal]]'s two-phase shape): the
+    * top `bucketBits` of the SimHash range-partition the sort — within
+    * a bucket, signed and unsigned long order coincide (the sign bit is
+    * part of the bucket for any bucketBits ≥ 1), so a per-bucket
+    * row_number plus a cumulative per-bucket base (ONE ROW PER BUCKET
+    * through the no-partition window) yields the exact unsigned-order
+    * global rank. Candidate pairs are then `rank → rank+i` equi-joins:
+    * each row fans out `window` probe tuples of (rank, id, simhash) —
+    * 24 bytes each, the text never shuffles.
+    *
+    * Output: (id_a, id_b, rank_dist, hamming) with id_a < id_b, one row
+    * per surviving pair (a fixed pair has exactly one rank distance —
+    * no distinct needed).
+    */
+  def sortedNeighborDups(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, maxHamming: Int = 3, bucketBits: Int = 8,
+      useMd5: Boolean = false): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(bucketBits >= 1 && bucketBits <= 32, "bucketBits in [1,32]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = withSimHash(df, idCol, textCol, useMd5)
+      .withColumn("__b", shiftrightunsigned(col("simhash"), 64 - bucketBits))
+    val wLoc = Window.partitionBy(col("__b"))
+      .orderBy(col("simhash"), col("id"))
+    val local = sh.withColumn("__lrn", row_number().over(wLoc).cast("long"))
+    // per-bucket counts cumsum to each bucket's global base — the
+    // no-partition window sees one row per non-empty bucket only
+    val wBase = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sh.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wBase), lit(0L)))
+      .select(col("__b"), col("__base"))
+    val ranked = local.join(broadcast(bases), Seq("__b"))
+      .select(col("id"), col("simhash"), (col("__base") + col("__lrn")).as("rn"))
+    val probes = ranked.select(col("id").as("__ida"),
+        col("simhash").as("__sa"), col("rn"),
+        explode(array((1 to window).map(lit): _*)).as("rank_dist"))
+      .withColumn("rn", col("rn") + col("rank_dist"))
+    probes.join(ranked, Seq("rn"))
+      .select(least(col("__ida"), col("id")).as("id_a"),
+        greatest(col("__ida"), col("id")).as("id_b"), col("rank_dist"),
+        bit_count(col("__sa").bitwiseXOR(col("simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

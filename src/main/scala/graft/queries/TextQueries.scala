@@ -216,6 +216,13 @@ object TextQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashNearDups(dupCorpus(docs(s, dir)), "doc_id", "text",
         useMd5 = true)),
+    // sorted-neighborhood near-dups: global SimHash sort order (two-
+    // phase bucketed rank — no single-partition window over data rows),
+    // each doc compared with its 4 successors, hamming verify. The
+    // O(n·w) single-pass alternative to LSH banding
+    "dedup_sorted_neighbors" -> ((s, dir) =>
+      Dedup.sortedNeighborDups(dupCorpus(docs(s, dir)), "doc_id", "text",
+        window = 4, maxHamming = 3, useMd5 = true)),
     // CCNet-style span-level dedup: drop every 8-token span already seen
     // earlier in the dup-injected corpus (global (id, pos) first-occurrence
     // order) and reassemble — exact-dup docs collapse to empty clean_text,
@@ -576,6 +583,47 @@ object TextQueries {
             .as("n_short"))
         .withColumn("short_frac",
           col("n_short").cast("double") / col("n_docs").cast("double"))),
+    // source-concentration profile: per-source size, descending rank,
+    // cumulative top-p coverage, and the corpus Gini coefficient — the
+    // "is this corpus dominated by a few domains" report every mixture
+    // decision starts from. All windows run on the AGGREGATED per-source
+    // frame (one row per source — sources are a bounded dimension), the
+    // corpus itself sees one partial-aggregating groupBy; every ratio is
+    // a single division of exact longs
+    "corpus_concentration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val wRank = Window.orderBy(col("n_chars").desc, col("source"))
+      val ranked = per
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .withColumn("cum_chars", sum(col("n_chars")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // Gini from the descending rank: G = (n+1)/n - 2·Σ(rnk·x)/(n·Σx)
+      val tot = ranked.agg(sum(col("n_chars")).as("__s"),
+        count(lit(1)).as("__n"),
+        sum(col("rnk") * col("n_chars")).as("__t"))
+      ranked.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_chars"), col("rnk"),
+          (col("n_chars").cast("double") / col("__s").cast("double"))
+            .as("share"),
+          (col("cum_chars").cast("double") / col("__s").cast("double"))
+            .as("cum_share"),
+          ((col("__n") + 1).cast("double") / col("__n").cast("double") -
+            (col("__t") * 2).cast("double") /
+              (col("__n") * col("__s")).cast("double")).as("gini"))
+    }),
+    // per-language tokenizer fertility: subword tokens per word — the
+    // standard multilingual-tokenizer equity metric (high fertility =
+    // the tokenizer fragments that language). One partial-aggregating
+    // groupBy over scan-local expressions; the ratio is one division
+    "text_fertility" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text")).cast("long")).as("n_words"),
+          sum(TA.bpeTokenEstimate(col("text"))).as("n_bpe"))
+        .withColumn("fertility",
+          col("n_bpe").cast("double") / col("n_words").cast("double"))),
     // windowed co-occurrence + integer-exact PMI: top-40 collocations
     // (window 2, pair count >= 5) — the SGNS/collocation statistic;
     // pairs form map-side, the unigram table joins back broadcast
@@ -868,12 +916,11 @@ object TextQueries {
        |FROM cand c JOIN mh a ON c.id_a = a.id JOIN mh b ON c.id_b = b.id""".stripMargin
   }
 
-  /** SimHash oracle: per-token md5-derived 64-bit hashes, ±1 bit
-    * counters, 4×16-bit chunk LSH join, hamming ≤ 3 verify — all plain
-    * SQL over UBIGINT bit ops.
+  /** Shared SimHash signature CTEs: per-token md5-derived 64-bit
+    * hashes, ±1 bit counters → per-doc UBIGINT signature `sig(id, s)`.
     */
-  private def simHashOracleSql: String =
-    s"""WITH corpus AS ($dupCorpusSql),
+  private def simHashSigCtesSql: String =
+    s"""corpus AS ($dupCorpusSql),
        |tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS t FROM corpus),
        |th AS (SELECT id, ${md5Hash64Sql("t")} AS h FROM tok),
        |bits AS (
@@ -885,7 +932,13 @@ object TextQueries {
        |  SELECT id, COALESCE(bit_or(CASE WHEN c > 0 THEN CAST(1 AS UBIGINT) << i END),
        |                      CAST(0 AS UBIGINT)) AS s
        |  FROM bits GROUP BY id
-       |),
+       |)""".stripMargin
+
+  /** SimHash oracle: signature CTEs + 4×16-bit chunk LSH join,
+    * hamming ≤ 3 verify — all plain SQL over UBIGINT bit ops.
+    */
+  private def simHashOracleSql: String =
+    s"""WITH $simHashSigCtesSql,
        |chunks AS (
        |  SELECT id, s, b AS chunk, (s >> (b * 16)) & 65535 AS key
        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) g
@@ -897,6 +950,24 @@ object TextQueries {
        |)
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
+  /** Sorted-neighborhood oracle: global unsigned-order rank over the
+    * SimHash signatures, pairs at rank distance 1..w, hamming verify —
+    * mirrors [[graft.functions.Dedup.sortedNeighborDups]]'s two-phase
+    * rank exactly (UBIGINT ORDER BY = the Spark side's bucketed
+    * unsigned order).
+    */
+  private def sortedNeighborOracleSql: String =
+    s"""WITH $simHashSigCtesSql,
+       |ranked AS (
+       |  SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn FROM sig
+       |)
+       |SELECT LEAST(x.id, y.id) AS id_a, GREATEST(x.id, y.id) AS id_b,
+       |  CAST(y.rn - x.rn AS INT) AS rank_dist,
+       |  CAST(bit_count(xor(x.s, y.s)) AS INT) AS hamming
+       |FROM ranked x JOIN ranked y
+       |  ON y.rn > x.rn AND y.rn <= x.rn + 4
+       |WHERE bit_count(xor(x.s, y.s)) <= 3""".stripMargin
 
   /** Thresholds for the oracle-checked quality-rule query: the published
     * Gopher defaults tightened (word count 30–90, mean word length
@@ -1653,6 +1724,42 @@ object TextQueries {
            |  CAST(SUM(CASE WHEN len($toks) < 20 THEN 1 ELSE 0 END) AS DOUBLE)
            |    / CAST(COUNT(*) AS DOUBLE) AS short_frac
            |FROM documents""".stripMargin,
+      "dedup_sorted_neighbors" -> sortedNeighborOracleSql,
+      // mirrors corpus_concentration: same rank order, same exact-long
+      // Gini arithmetic
+      "corpus_concentration" ->
+        """WITH per AS (
+          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+          |  FROM documents GROUP BY source),
+          |ranked AS (
+          |  SELECT source, n_docs, n_chars,
+          |    CAST(row_number() OVER (ORDER BY n_chars DESC, source)
+          |      AS BIGINT) AS rnk,
+          |    CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, source
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_chars
+          |  FROM per),
+          |tot AS (
+          |  SELECT CAST(SUM(n_chars) AS BIGINT) AS s,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(rnk * n_chars) AS BIGINT) AS t
+          |  FROM ranked)
+          |SELECT source, n_docs, n_chars, rnk,
+          |  CAST(n_chars AS DOUBLE) / CAST(s AS DOUBLE) AS share,
+          |  CAST(cum_chars AS DOUBLE) / CAST(s AS DOUBLE) AS cum_share,
+          |  CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+          |    - CAST(t * 2 AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+          |FROM ranked CROSS JOIN tot""".stripMargin,
+      // mirrors text_fertility
+      "text_fertility" ->
+        s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_words,
+           |  CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+           |    AS n_bpe,
+           |  CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS DOUBLE)
+           |    / CAST(SUM(CAST(len($toks) AS BIGINT)) AS DOUBLE) AS fertility
+           |FROM documents GROUP BY lang""".stripMargin,
       "text_oov" ->
         s"""WITH tok AS (
            |  SELECT doc_id, unnest($toks) AS term FROM documents

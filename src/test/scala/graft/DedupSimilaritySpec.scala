@@ -1856,7 +1856,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(z === Map(0L -> false, 1L -> true, 2L -> false))
   }
 
-  test("table stats: one-pass nulls/NDV/min-max, hand-checked") {
+  test("table stats: nulls/NDV/min-max hand-checked, no Expand in plan") {
     import graft.functions.TableStats
     val df = Seq(
       (Some(3L), Some("b")), (Some(1L), None),
@@ -1867,10 +1867,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(got("k") === (("k", 4L, 1L, 2L, Some("1"), Some("3"))))
     assert(got("v") === (("v", 4L, 1L, 2L, Some("a"), Some("b"))))
-    // one pass: exactly one scan of the source in the plan
+    // two pruned scans (typed min/max pass + unpivoted NDV pass), and
+    // no Expand: the N-countDistinct shape this replaced pushed N+1
+    // copies of every row through one global aggregate
     val plan = TableStats.columnStats(df, Seq("k", "v"))
       .queryExecution.executedPlan.toString
-    assert(plan.split("LocalTableScan").length - 1 <= 1, plan.take(2000))
+    assert(plan.split("LocalTableScan").length - 1 <= 2, plan.take(2000))
+    assert(!plan.contains("Expand"), plan.take(2000))
   }
 
   test("holdout sample: growth-stable per-stratum membership") {
@@ -2050,6 +2053,30 @@ class DedupSimilaritySpec extends SparkSpec {
     val got = Dedup.dedupSavings(corpus, "doc_id", col("toks"), pairs)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
     assert(got === List((1L, 1L, 0L, 0L), (3L, 1L, 2L, 5L)))
+  }
+
+  test("sorted neighbors: exact dups adjacent in rank, pairs verified") {
+    val got = Dedup.sortedNeighborDups(corpus, "doc_id", "text",
+      window = 4, maxHamming = 3, useMd5 = true)
+    // every exact-dup pair has hamming 0 and rank distance 1 (identical
+    // simhash, ids sort adjacent) — all injected %10 copies must surface
+    val exact = got.filter(col("hamming") === 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val injected = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id")).as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    assert(injected.subsetOf(exact),
+      s"missing exact pairs: ${injected.diff(exact).take(5)}")
+    // two-phase bucketed rank == a plain global unsigned-order rank:
+    // same pair set as a 1-bucket run (single bucket = one partition
+    // holds the whole order, the naive reference shape)
+    val ref = Dedup.sortedNeighborDups(corpus, "doc_id", "text",
+        window = 4, maxHamming = 3, bucketBits = 1, useMd5 = true)
+      .select("id_a", "id_b", "rank_dist", "hamming")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val fine = got.select("id_a", "id_b", "rank_dist", "hamming")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(fine === ref)
   }
 
   test("mixture weights: zero-token stratum weighs 0, never NaN/Inf") {
