@@ -175,6 +175,48 @@ object VectorQueries {
     "ann_ivf_fixed" -> ((s, dir) =>
       Similarity.ivfTopKWith(emb(s, dir), "vec_id", "embedding", k = 5,
         FixedCentroids, nprobe = 4)),
+    // k-means clustering-quality report over the same fixed coarse
+    // quantizer: per-cluster population, inertia (Σ squared euclidean
+    // distance to the assigned centroid), and the assignment margin
+    // (distance gap to the second-nearest centroid — the k-means++
+    // stability signal). INTEGER-exact end to end: embeddings quantize
+    // to the ×64 grid, centroids are the integer IvfPqGrid, so every
+    // distance is a sum of squared longs — no float order-dependence
+    // anywhere. One scan, per-row expressions, one 16-key groupBy
+    "ann_kmeans_quality" -> ((s, dir) => {
+      import graft.functions.Embeddings
+      val e = emb(s, dir)
+      val gridArr = array((0 until 64).map(i =>
+        Embeddings.grid64(col("embedding"), i)): _*)
+      // one distance column per centroid in its own projection (the
+      // ann_pq_fixed codegen-limit lesson: never inline the grid into
+      // all 1024 terms at once)
+      def d2C(cv: Column, c: Int): Column =
+        (0 until 64).map { i =>
+          val d = element_at(cv, i + 1) - lit(IvfPqGrid(c)(i).toLong)
+          d * d
+        }.reduce(_ + _)
+      e.select(col("vec_id"), gridArr.as("cv"))
+        .select(Seq(col("vec_id")) ++
+          (0 until 16).map(c => d2C(col("cv"), c).as(s"__d$c")): _*)
+        .withColumn("__ds", array((0 until 16).map(c => col(s"__d$c")): _*))
+        .withColumn("__sorted", array_sort(col("__ds")))
+        .select(
+          array_position(col("__ds"), element_at(col("__sorted"), 1))
+            .cast("long").as("cid"),
+          element_at(col("__sorted"), 1).as("__d2"),
+          (element_at(col("__sorted"), 2) - element_at(col("__sorted"), 1))
+            .as("__margin"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("__d2")).as("inertia"),
+          sum(col("__margin")).as("margin_sum"))
+        .select(col("cid"), col("n_vectors"), col("inertia"),
+          (col("inertia").cast("double") / col("n_vectors").cast("double"))
+            .as("mean_d2"),
+          (col("margin_sum").cast("double") / col("n_vectors").cast("double"))
+            .as("mean_margin"))
+    }),
     // PQ MECHANICS value-checked: fixed-grid integer quantization,
     // nearest-codeword encoding (first index on ties), reconstruction
     // distance — integers end to end, hash-matched; the probe join ships
@@ -422,6 +464,40 @@ object VectorQueries {
   }
 
   /** IVF+PQ oracle, generated from the same codebook + grid constants. */
+  /** k-means quality oracle: same ×64 grid, same integer IvfPqGrid
+    * centroids, first-min tie-break (ROW_NUMBER by d2 then cid = the
+    * Spark side's array_position-of-min), exact long sums.
+    */
+  private def kmeansQualityOracleSql: String = {
+    val gridRows = IvfPqGrid.zipWithIndex.map { case (g, c) =>
+      s"(${c + 1}, ${g.mkString("[", ", ", "]")})"
+    }.mkString(",\n    ")
+    s"""WITH g AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(LEAST(GREATEST(FLOOR(x * 64 + 0.5), -127), 127) AS BIGINT)) AS cv
+       |  FROM embeddings),
+       |grid(cid, gv) AS (VALUES
+       |    $gridRows),
+       |scored AS (
+       |  SELECT g.vec_id, grid.cid,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (g.cv[i] - grid.gv[i]) * (g.cv[i] - grid.gv[i]))) AS BIGINT) AS d2
+       |  FROM g, grid),
+       |assign AS (
+       |  SELECT vec_id, cid, d2, d2b FROM (
+       |    SELECT vec_id, cid, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn,
+       |      LEAD(d2, 1) OVER (PARTITION BY vec_id ORDER BY d2, cid) AS d2b
+       |    FROM scored)
+       |  WHERE rn = 1)
+       |SELECT CAST(cid AS BIGINT) AS cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       |  CAST(SUM(d2) AS BIGINT) AS inertia,
+       |  CAST(SUM(d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_d2,
+       |  CAST(SUM(d2b - d2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_margin
+       |FROM assign GROUP BY cid""".stripMargin
+  }
+
   private def ivfPqOracleSql: String = {
     import graft.functions.Embeddings.{pqCodebook, PqM, PqKsub, PqDsub}
     val cb = pqCodebook
@@ -719,6 +795,7 @@ object VectorQueries {
         |       TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 64""".stripMargin,
     "ann_ivf_fixed" -> ivfFixedOracleSql,
+    "ann_kmeans_quality" -> kmeansQualityOracleSql,
     "embed_dedup_canonical" ->
       s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($neardupOracleSql)),
          |e AS (
