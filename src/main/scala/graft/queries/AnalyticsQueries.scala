@@ -199,6 +199,72 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("numcust"),
           sum(dec("c_acctbal")).cast("double").as("totacctbal"))
     }),
+    // TPC-H Q16-shaped supplier variety: distinct-count per group AFTER
+    // an anti-join exclusion — the countDistinct lands on the grouped
+    // keys post-join, the exclusion list (synthetic "complaints" set)
+    // never touches the wide columns
+    "q16_supplier_variety" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#45")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excl = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 7 === 0).select(col("s_suppkey"))
+      t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+        .limit(20)
+    }),
+    // TPC-H Q21-shaped blame analysis: orders shipped by >= 2 suppliers
+    // where EXACTLY ONE supplier returned lines — that supplier is
+    // "blamed". The correlated EXISTS + NOT-EXISTS pair DECORRELATES to
+    // two window counts over the per-(order, supplier) frame: n_supp>=2
+    // is the EXISTS, n_r=1 ∧ has_r the NOT-EXISTS — one extra shuffle
+    // instead of two correlated scans (the oracle keeps the EXISTS form
+    // as an independent formulation)
+    "q21_blame_supplier" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0))
+          .as("has_r"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      per
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_r", sum(col("has_r")).over(w))
+        .filter(col("has_r") === 1 && col("n_supp") >= 2 && col("n_r") === 1)
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+    // column-stats drift between replicas: ANALYZE both sides of the
+    // perturbed-snapshot pair and report which columns' profiles moved —
+    // the data-validation report a diff job emits BEFORE row-level work
+    // (a drifted NDV/null profile localizes the damage to a column).
+    // Reuses TableStats on each side; the join is 4 rows
+    "table_drift" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag",
+        "l_linestatus")
+      val src = graft.functions.TableStats
+        .columnStats(t(s, dir, "lineitem"), cols)
+      val tgt = graft.functions.TableStats
+        .columnStats(graft.engine.Perturb.lineitemTarget(
+          t(s, dir, "lineitem")), cols)
+        .select(col("col_name"), col("n_rows").as("n_rows_tgt"),
+          col("n_nulls").as("n_nulls_tgt"),
+          col("n_distinct").as("n_distinct_tgt"),
+          col("min_val").as("min_val_tgt"), col("max_val").as("max_val_tgt"))
+      src.join(tgt, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_rows_tgt"),
+          col("n_nulls"), col("n_nulls_tgt"),
+          col("n_distinct"), col("n_distinct_tgt"),
+          (col("n_distinct") =!= col("n_distinct_tgt")).as("ndv_drift"),
+          (col("min_val") =!= col("min_val_tgt") ||
+            col("max_val") =!= col("max_val_tgt")).as("range_drift"))
+    }),
     // per-user event-type Markov transition matrix: consecutive-event
     // pairs via lead() (one shuffle on user), then a count per (from,
     // to) edge and a row-normalized probability. The normalizing window
@@ -735,6 +801,58 @@ object AnalyticsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    // mirrors q16_supplier_variety
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
+    // q21_blame_supplier oracle kept in the CORRELATED form (the Spark
+    // side decorrelates to window counts — an independent formulation
+    // of the same semantics)
+    "q21_blame_supplier" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM per p JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE has_r = 1
+        |  AND EXISTS (SELECT 1 FROM per p2
+        |    WHERE p2.l_orderkey = p.l_orderkey
+        |      AND p2.l_suppkey <> p.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM per p3
+        |    WHERE p3.l_orderkey = p.l_orderkey
+        |      AND p3.l_suppkey <> p.l_suppkey AND p3.has_r = 1)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+    // mirrors table_drift: per-column ANALYZE both sides of the
+    // perturbed pair
+    "table_drift" -> {
+      val cols = Seq("l_orderkey", "l_quantity", "l_returnflag",
+        "l_linestatus")
+      def statsSql(table: String) = cols.map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val,
+           |  CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM $table""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH src AS (${statsSql("lineitem")}),
+         |tgt AS (${statsSql(s"(${graft.engine.Perturb.lineitemTargetSql})")})
+         |SELECT src.col_name, src.n_rows, tgt.n_rows AS n_rows_tgt,
+         |  src.n_nulls, tgt.n_nulls AS n_nulls_tgt,
+         |  src.n_distinct, tgt.n_distinct AS n_distinct_tgt,
+         |  src.n_distinct <> tgt.n_distinct AS ndv_drift,
+         |  (src.min_val <> tgt.min_val OR src.max_val <> tgt.max_val)
+         |    AS range_drift
+         |FROM src JOIN tgt ON src.col_name = tgt.col_name""".stripMargin
+    },
     // mirrors events_markov: lead() pairs, row-normalized counts
     "events_markov" ->
       """WITH e AS (
