@@ -62,4 +62,57 @@ object Diagnostics {
     */
   def zonePrune(zones: DataFrame, lo: Column, hi: Column): DataFrame =
     zones.withColumn("scan", !(col("max_v") < lo || col("min_v") > hi))
+
+  /** Shard-rebalancing move plan: given a shard key, compute the exact
+    * minimal-volume set of (from, to, n_moved) transfers that levels
+    * every shard onto its integer target — the compaction/rebalance
+    * planner a 100 TB table layout runs after skewed growth.
+    *
+    * Targets: `total DIV n` rows each, +1 for the first `total MOD n`
+    * shards in shard order — Σ excess = Σ deficit exactly. The pairing
+    * is the classic cumulative-interval match: donors' excess units and
+    * receivers' deficit units each line up on one axis (cumsum in shard
+    * order); every overlap of a donor interval with a receiver interval
+    * is one move of the overlap's width. That greedy plan is optimal in
+    * total volume (every unit moves once) and deterministic.
+    *
+    * Scale shape: the per-shard size table is one partial-aggregating
+    * groupBy (the only data-sized exchange); everything after runs on
+    * the #shards-row frame — the cumsum windows and the interval join
+    * see one row per shard, and the 1-row totals frame broadcasts. For
+    * layouts with millions of shards the interval join would bin on
+    * `unit DIV binSize` ([[Joins]]' interval pattern); at any plausible
+    * shard count the plain range join on the tiny frame is the right
+    * plan.
+    *
+    * Output: (from_shard, to_shard, n_moved), n_moved > 0.
+    */
+  def shardRebalance(df: DataFrame, shard: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = df.groupBy(shard.as("shard")).agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(sum(col("sz")).as("__tot"),
+      count(lit(1)).as("__n"))
+    val wOrd = Window.orderBy(col("shard")) // #shards rows only
+    val planned = sizes.crossJoin(broadcast(tot))
+      .withColumn("__rnk", row_number().over(wOrd).cast("long"))
+      .withColumn("target", expr("__tot DIV __n") +
+        when(col("__rnk") <= expr("__tot % __n"), 1L).otherwise(0L))
+      .withColumn("excess", greatest(col("sz") - col("target"), lit(0L)))
+      .withColumn("deficit", greatest(col("target") - col("sz"), lit(0L)))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val donors = planned.filter(col("excess") > 0)
+      .withColumn("d_hi", sum(col("excess")).over(wCum))
+      .select(col("shard").as("from_shard"),
+        (col("d_hi") - col("excess")).as("d_lo"), col("d_hi"))
+    val receivers = planned.filter(col("deficit") > 0)
+      .withColumn("r_hi", sum(col("deficit")).over(wCum))
+      .select(col("shard").as("to_shard"),
+        (col("r_hi") - col("deficit")).as("r_lo"), col("r_hi"))
+    donors.join(receivers,
+        col("d_lo") < col("r_hi") && col("r_lo") < col("d_hi"))
+      .select(col("from_shard"), col("to_shard"),
+        (least(col("d_hi"), col("r_hi")) -
+          greatest(col("d_lo"), col("r_lo"))).as("n_moved"))
+      .filter(col("n_moved") > 0)
+  }
 }

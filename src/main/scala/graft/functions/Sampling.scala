@@ -350,4 +350,64 @@ object Sampling {
     }
     df.filter(pmod(keyHash60(col(keyCol)), lit(den)) < threshold)
   }
+
+  /** Water-filling token-budget allocation: give every stratum an equal
+    * "level" of the budget, capped at what it actually has — the
+    * max-min-fair split a mixture planner uses to stop one giant source
+    * from absorbing the whole budget (small sources keep everything;
+    * big sources are clipped to a common level). Budget =
+    * `total · budgetNum DIV budgetDen` tokens.
+    *
+    * INTEGER-exact: strata sort ascending by capacity; a stratum is
+    * fully satisfiable iff `S_{i-1} + c_i·(n-i+1) ≤ B` (monotone in i,
+    * so the satisfied set is a prefix); the rest share the remaining
+    * budget as `level = (B - S_k) DIV (n-k)` with the `MOD` remainder
+    * going one token each to the LARGEST-capacity unsatisfied strata
+    * (largest-first keeps allocation monotone in capacity — a bigger
+    * source never receives less). Σ allocated = min(B, total) exactly.
+    *
+    * Scale shape: one partial-aggregating groupBy over the corpus; the
+    * sort/cumsum windows and the satisfied-prefix aggregate all run on
+    * the per-stratum frame (one row per stratum), totals attach as
+    * 1-row broadcasts.
+    *
+    * Output: (stratum, capacity, allocated, truncated, share) ascending
+    * in capacity; `share` = allocated/B, one exact-long division.
+    */
+  def waterfillAllocate(df: DataFrame, stratumCol: String, size: Column,
+      budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0, "budget must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val caps = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(size.cast("long")).as("cap"))
+    val tot = caps.agg(sum(col("cap")).as("__tot"), count(lit(1)).as("__n"))
+      .withColumn("__b", expr(s"__tot * $budgetNum DIV $budgetDen"))
+    val wOrd = Window.orderBy(col("cap"), col("stratum")) // per-stratum rows
+    val flagged = caps.crossJoin(broadcast(tot))
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__s",
+        sum(col("cap")).over(wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__full",
+        col("__s") - col("cap") + col("cap") * (col("__n") - col("__i") + 1)
+          <= col("__b"))
+    val prefix = flagged.agg(
+      sum(when(col("__full"), 1L).otherwise(0L)).as("__k"),
+      sum(when(col("__full"), col("cap")).otherwise(0L)).as("__sk"))
+    flagged.crossJoin(broadcast(prefix))
+      .withColumn("__lvl",
+        when(col("__n") === col("__k"), lit(0L)) // all satisfied
+          .otherwise(expr("(__b - __sk) DIV (__n - __k)")))
+      .withColumn("__rem",
+        when(col("__n") === col("__k"), lit(0L))
+          .otherwise(expr("(__b - __sk) % (__n - __k)")))
+      .withColumn("allocated",
+        when(col("__full"), col("cap")).otherwise(
+          col("__lvl") +
+            when(col("__n") - col("__i") < col("__rem"), 1L).otherwise(0L)))
+      .select(col("stratum"), col("cap").as("capacity"), col("allocated"),
+        (!col("__full")).as("truncated"),
+        (col("allocated").cast("double") / col("__b").cast("double"))
+          .as("share"))
+  }
 }

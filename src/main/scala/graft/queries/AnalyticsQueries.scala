@@ -345,6 +345,13 @@ object AnalyticsQueries {
     "skew_profile" -> ((s, dir) =>
       graft.functions.Diagnostics.skewProfile(t(s, dir, "orders"),
         "o_custkey", topK = 10)),
+    // shard-rebalancing move plan: minimal-volume (from, to, n_moved)
+    // transfers leveling every shard onto its integer target, paired by
+    // cumulative-interval overlap — the layout-maintenance planner; all
+    // post-agg work runs on the #shards-row frame
+    "shard_rebalance" -> ((s, dir) =>
+      graft.functions.Diagnostics.shardRebalance(Tables.events(s, dir),
+        pmod(col("user_id"), lit(64)))),
     // zone-map pruning: per-bucket (event_id DIV 256) min/max of ts +
     // the scan/skip decision for a one-week predicate — event ids are
     // time-correlated, so most buckets skip (the skip ratio measures
@@ -915,6 +922,44 @@ object AnalyticsQueries {
          |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
          |)
          |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    // mirrors shard_rebalance: same integer targets, same cumulative-
+    // interval pairing
+    "shard_rebalance" ->
+      """WITH sz AS (
+        |  SELECT user_id % 64 AS shard, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(sz) AS BIGINT) AS tot,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM sz),
+        |p AS (
+        |  SELECT shard, sz, tot, n,
+        |    CAST(row_number() OVER (ORDER BY shard) AS BIGINT) AS rnk
+        |  FROM sz CROSS JOIN t),
+        |p2 AS (
+        |  SELECT shard, sz,
+        |    (tot // n) + CASE WHEN rnk <= tot % n THEN 1 ELSE 0 END AS target
+        |  FROM p),
+        |p3 AS (
+        |  SELECT shard, GREATEST(sz - target, 0) AS excess,
+        |    GREATEST(target - sz, 0) AS deficit
+        |  FROM p2),
+        |d AS (
+        |  SELECT shard AS from_shard,
+        |    SUM(excess) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - excess AS d_lo,
+        |    SUM(excess) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS d_hi
+        |  FROM p3 WHERE excess > 0),
+        |r AS (
+        |  SELECT shard AS to_shard,
+        |    SUM(deficit) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - deficit AS r_lo,
+        |    SUM(deficit) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS r_hi
+        |  FROM p3 WHERE deficit > 0)
+        |SELECT from_shard, to_shard,
+        |  CAST(LEAST(d_hi, r_hi) - GREATEST(d_lo, r_lo) AS BIGINT) AS n_moved
+        |FROM d JOIN r ON d_lo < r_hi AND r_lo < d_hi
+        |WHERE LEAST(d_hi, r_hi) - GREATEST(d_lo, r_lo) > 0""".stripMargin,
     "skew_profile" ->
       """WITH c AS (
         |  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt

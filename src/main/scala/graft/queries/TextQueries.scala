@@ -423,6 +423,15 @@ object TextQueries {
           TA.tokenCount(col("text")), alpha = 0.5)
         .select("source", "n_docs", "n_tokens", "token_frac",
           "temp_score", "temp_frac", "weight", "keep_prob")),
+    // water-filling budget allocation: max-min-fair split of a half-
+    // corpus character budget across sources — small sources keep all
+    // their tokens, large ones clip to a common integer level (the
+    // anti-domination rule a mixture planner applies before weighting).
+    // Integer-exact satisfied-prefix + level arithmetic, windows only on
+    // the per-source frame
+    "mix_waterfill" -> ((s, dir) =>
+      Sampling.waterfillAllocate(docs(s, dir), "source", col("n_chars"),
+        budgetNum = 1, budgetDen = 2)),
     // length-bucketed batching audit: pow-2 length buckets capped at 512,
     // per-bucket padding tokens + fill fraction — the padding-waste
     // accounting for example-aligned (pad-to-bucket) training
@@ -1294,6 +1303,40 @@ object TextQueries {
            |        CAST(1.0 AS DOUBLE)) AS keep_prob
            |FROM w""".stripMargin
       },
+      // mirrors mix_waterfill: same ascending capacity order, same
+      // integer satisfied-prefix test and remainder distribution
+      "mix_waterfill" ->
+        """WITH caps AS (
+          |  SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS cap
+          |  FROM documents GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(SUM(cap) AS BIGINT) AS tot,
+          |    CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(cap) * 1 // 2 AS BIGINT) AS b
+          |  FROM caps),
+          |f AS (
+          |  SELECT stratum, cap, n, b,
+          |    CAST(row_number() OVER (ORDER BY cap, stratum) AS BIGINT) AS i,
+          |    CAST(SUM(cap) OVER (ORDER BY cap, stratum ROWS BETWEEN
+          |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+          |  FROM caps CROSS JOIN t),
+          |f2 AS (
+          |  SELECT *, (s - cap + cap * (n - i + 1)) <= b AS is_full FROM f),
+          |k AS (
+          |  SELECT CAST(SUM(CASE WHEN is_full THEN 1 ELSE 0 END) AS BIGINT) AS k,
+          |    CAST(COALESCE(SUM(CASE WHEN is_full THEN cap END), 0) AS BIGINT) AS sk
+          |  FROM f2),
+          |alloc AS (
+          |  SELECT stratum, cap, b, is_full,
+          |    CASE WHEN is_full THEN cap
+          |         ELSE ((b - sk) // (n - k)) +
+          |           CASE WHEN n - i < ((b - sk) % (n - k)) THEN 1 ELSE 0 END
+          |    END AS allocated
+          |  FROM f2 CROSS JOIN k)
+          |SELECT stratum, cap AS capacity, CAST(allocated AS BIGINT) AS allocated,
+          |  NOT is_full AS truncated,
+          |  CAST(allocated AS DOUBLE) / CAST(b AS DOUBLE) AS share
+          |FROM alloc""".stripMargin,
       // mirrors temperatureWeights(.., alpha = 0.5): sqrt is IEEE
       // correctly-rounded on both engines; the score sum goes through
       // DECIMAL(20,18) casts so addition is exact and order-free
