@@ -686,6 +686,55 @@ object AnalyticsQueries {
           (abs(col("est") - col("n_exact")) <=
             col("n_exact").cast("double") * 0.05).as("within_5pct"))
     }),
+    // truncated EWMA smoothing per user: α = 1/2 over the last 8 events
+    // — every weight is a DYADIC literal (1/2^j), so each term is an
+    // exact double scale and the 8-term left-to-right sum is bit-
+    // identical cross-engine (the float-discipline trick that makes a
+    // smoothing operator oracle-checkable). One shuffle on user; the
+    // lag frame is 8 rows deep
+    "events_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ewma = (1 to 7).foldLeft(col("value") * lit(0.5)) { (acc, j) =>
+        acc + coalesce(lag(col("value"), j).over(w), lit(0.0)) *
+          lit(1.0 / (1L << (j + 1)))
+      }
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), ewma.as("ewma"))
+    }),
+    // co-visitation matrix: item pairs sharing a user, with the lift
+    // statistic (n_ab·n_users / n_a·n_b) — the recsys/co-occurrence
+    // join. The self-join is keyed on user_id over the DISTINCT (user,
+    // item) frame, so per-user fan-out is m(m-1)/2 on the user's
+    // distinct items (at scale a per-user quota — topKPerKey — bounds
+    // m before this join; the corpus here has ~10 events/user). Item
+    // marginals join back unhinted (AQE sizes them); the user total is
+    // a 1-row broadcast. Lift divides exact longs once
+    "events_covisitation" -> ((s, dir) => {
+      val items = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      val marg = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
+      val users = items.agg(countDistinct(col("user_id")).as("n_users"))
+      items.as("x").join(items.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(marg.select(col("item").as("item_a"), col("n").as("n_a")),
+          Seq("item_a"))
+        .join(marg.select(col("item").as("item_b"), col("n").as("n_b")),
+          Seq("item_b"))
+        .crossJoin(broadcast(users))
+        .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          ((col("n_ab") * col("n_users")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
     // JSON scalar functions over the events props column: extraction,
     // cast, aggregation — pure codegen'd expressions
     "json_extract" -> ((s, dir) =>
@@ -1281,6 +1330,43 @@ object AnalyticsQueries {
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |    / CAST(SUM(n_users) OVER () AS DOUBLE) AS reach_frac
         |FROM d""".stripMargin,
+    // mirrors events_ewma: identical dyadic weights, identical
+    // left-to-right term order
+    "events_ewma" -> {
+      val terms = "value * 0.5" +: (1 to 7).map { j =>
+        val wgt = 1.0 / (1L << (j + 1))
+        s"COALESCE(LAG(value, $j) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) * $wgt"
+      }
+      s"""SELECT user_id, event_id,
+         |  ${terms.mkString("(", "\n     + ", ")")} AS ewma
+         |FROM events""".stripMargin
+    },
+    // mirrors events_covisitation
+    "events_covisitation" ->
+      """WITH items AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |marg AS (
+        |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1),
+        |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |      FROM items),
+        |pairs AS (
+        |  SELECT x.item AS item_a, y.item AS item_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM items x JOIN items y
+        |    ON x.user_id = y.user_id AND x.item < y.item
+        |  GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, a.n AS n_a, b.n AS n_b,
+        |  CAST(n_ab * n_users AS DOUBLE)
+        |    / CAST(a.n * b.n AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN marg a ON item_a = a.item
+        |JOIN marg b ON item_b = b.item
+        |CROSS JOIN u
+        |ORDER BY n_ab DESC, item_a, item_b
+        |LIMIT 20""".stripMargin,
     "json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
