@@ -410,6 +410,50 @@ object AnalyticsQueries {
           count(lit(1)).as("n"),
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+    // exact MODE and discrete MEDIAN per group — the two aggregates
+    // Spark lacks as exact builtins, both from the same value histogram
+    // (groupBy(key, value) partial-aggregates map-side; the windows see
+    // distinct values per key only — the events_winsorize shape). Mode
+    // tie-breaks to the smallest value; median is the lower discrete
+    // median (rank ceil(n/2) in integer arithmetic)
+    "q_mode_median" -> ((s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("__c"))
+      val wMode = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("__c").desc, col("l_quantity"))
+      val wCum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      hist
+        .withColumn("__rm", row_number().over(wMode))
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("__rm") === 1, col("l_quantity"))).as("mode_qty"),
+          min(when(col("__cum") >= expr("(__n + 1) DIV 2"),
+            col("l_quantity"))).as("median_qty"),
+          max(col("__n")).as("n"))
+    }),
+    // k-anonymity risk report: group sizes over a quasi-identifier
+    // (event_type × hour-of-day), flag groups below k=50 and account
+    // the rows at re-identification risk — the governance scan a
+    // release pipeline runs before publishing. One partial-aggregating
+    // groupBy; the rollup runs on the ≤ |types|·24-row group frame
+    "privacy_k_anon" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hh"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("__c") < 50, 1L).otherwise(0L)).as("risky_groups"),
+          sum(when(col("__c") < 50, col("__c")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("__c")).as("n_rows"))
+        .withColumn("risk_share",
+          col("rows_at_risk").cast("double") / col("n_rows").cast("double"))),
     // distinct aggregation + min/max/avg (avg via exact decimal sum/count)
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1330,6 +1374,38 @@ object AnalyticsQueries {
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |    / CAST(SUM(n_users) OVER () AS DOUBLE) AS reach_frac
         |FROM d""".stripMargin,
+    // mirrors q_mode_median: same histogram, same tie-breaks
+    "q_mode_median" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, l_quantity, c,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, l_quantity) AS rm,
+        |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN rm = 1 THEN l_quantity END) AS mode_qty,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN l_quantity END) AS median_qty,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM w GROUP BY l_returnflag""".stripMargin,
+    // mirrors privacy_k_anon
+    "privacy_k_anon" ->
+      """WITH g AS (
+        |  SELECT event_type, hour(ts) AS hh, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN c < 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_groups,
+        |  CAST(SUM(CASE WHEN c < 50 THEN c ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN c < 50 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(c) AS DOUBLE) AS risk_share
+        |FROM g GROUP BY event_type""".stripMargin,
     // mirrors events_ewma: identical dyadic weights, identical
     // left-to-right term order
     "events_ewma" -> {
