@@ -222,6 +222,52 @@ object OracleSql {
        |LEFT JOIN dirty d ON COALESCE(sc.bucket, tc.bucket) = d.bucket""".stripMargin
   }
 
+  /** Two-level digest-tree oracle: every verdict — super and bucket —
+    * recomputed from first-principles multiset comparison (a super is
+    * clean iff ALL its buckets' multisets match); bucket rows emitted
+    * only under first-principles-dirty supers. A digest collision at
+    * either level in the engine would hash-mismatch here.
+    */
+  def digestTree(spec: TableSpec, srcSql: String, tgtSql: String,
+      buckets: Int, fanout: Int): String = {
+    val all = spec.primaryKey ++ spec.regular
+    val cols = all.mkString(", ")
+    val on = (Seq("s.bucket = t.bucket") ++
+      all.map(c => s"s.$c IS NOT DISTINCT FROM t.$c")).mkString(" AND ")
+    s"""WITH src AS ($srcSql), tgt AS ($tgtSql),
+       |sm AS (SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket, $cols, COUNT(*) AS c
+       |       FROM src GROUP BY ALL),
+       |tm AS (SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket, $cols, COUNT(*) AS c
+       |       FROM tgt GROUP BY ALL),
+       |dirty AS (
+       |  SELECT DISTINCT COALESCE(s.bucket, t.bucket) AS bucket
+       |  FROM sm s FULL OUTER JOIN tm t ON $on
+       |  WHERE s.c IS DISTINCT FROM t.c
+       |),
+       |sc AS (SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket,
+       |              CAST(COUNT(*) AS BIGINT) AS src_rows FROM src GROUP BY 1),
+       |tc AS (SELECT CAST(${spec.pk.head} % $buckets AS BIGINT) AS bucket,
+       |              CAST(COUNT(*) AS BIGINT) AS tgt_rows FROM tgt GROUP BY 1),
+       |b AS (
+       |  SELECT COALESCE(sc.bucket, tc.bucket) AS bucket,
+       |         COALESCE(src_rows, 0) AS src_rows,
+       |         COALESCE(tgt_rows, 0) AS tgt_rows,
+       |         (d.bucket IS NULL) AS digest_match
+       |  FROM sc FULL OUTER JOIN tc ON sc.bucket = tc.bucket
+       |  LEFT JOIN dirty d ON COALESCE(sc.bucket, tc.bucket) = d.bucket),
+       |l0 AS (
+       |  SELECT 0 AS level, bucket // $fanout AS node,
+       |         CAST(SUM(src_rows) AS BIGINT) AS src_rows,
+       |         CAST(SUM(tgt_rows) AS BIGINT) AS tgt_rows,
+       |         bool_and(digest_match) AS digest_match
+       |  FROM b GROUP BY 2)
+       |SELECT level, node, src_rows, tgt_rows, digest_match FROM l0
+       |UNION ALL
+       |SELECT 1 AS level, bucket AS node, src_rows, tgt_rows, digest_match
+       |FROM b
+       |WHERE bucket // $fanout IN (SELECT node FROM l0 WHERE NOT digest_match)""".stripMargin
+  }
+
   /** Mismatch-sink oracle (O14). */
   def mismatches(spec: TableSpec, srcSql: String, tgtSql: String, buckets: Int): String =
     s"""WITH ${partitionCtes(spec, srcSql, tgtSql)}

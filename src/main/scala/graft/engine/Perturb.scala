@@ -88,6 +88,25 @@ object Perturb {
 
   val lineitemSrcSql: String = "SELECT * FROM lineitem"
 
+  /** LOCALIZED corruption target for the digest-tree query: damage
+    * confined to keys ≡ 0..7 (mod 512) — under a 64-bucket digest these
+    * land in buckets 0-7 exactly, i.e. ONE super-node of an 8-fanout
+    * tree. The realistic anti-entropy shape (one bad compaction / one
+    * corrupted SSTable range) where a Merkle tree actually prunes:
+    * 7 of 8 supers verify clean in one row each.
+    */
+  def lineitemTargetLocalized(li: DataFrame): DataFrame =
+    li.withColumn("l_quantity",
+      when(col("l_orderkey") % 512 < 8, col("l_quantity") + 1)
+        .otherwise(col("l_quantity")))
+
+  /** SQL mirror of [[lineitemTargetLocalized]]. */
+  val lineitemTargetLocalizedSql: String =
+    """SELECT * REPLACE (
+      |  CASE WHEN l_orderkey % 512 < 8 THEN l_quantity + 1
+      |       ELSE l_quantity END AS l_quantity)
+      |FROM lineitem""".stripMargin
+
   /** Float-drift target for the TOLERANCE diff: identical to the source
     * except `l_extendedprice` nudged by +0.005 (inside a 0.01 tolerance)
     * on `% 10 = 3` partitions and by +1.0 (outside it) on `% 10 = 4` —

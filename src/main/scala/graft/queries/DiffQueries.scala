@@ -55,6 +55,18 @@ object DiffQueries {
     "diff_digest_buckets" -> ((s, dir) =>
       DiffEngine.digestCompare(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
         lineitemSpec, buckets = 64, idTok)),
+    // two-level Merkle tree over the bucket digests: super-node verdicts
+    // first, bucket verdicts only under dirty supers — a clean super
+    // prunes `fanout` bucket comparisons in one row. Runs against the
+    // LOCALIZED corruption target (damage in one super only — the
+    // one-bad-SSTable shape), so 7 of 8 supers prune and the output is
+    // 8 super rows + the 8 bucket rows under the dirty super. The
+    // oracle recomputes EVERY verdict (both levels) from
+    // first-principles multiset comparison
+    "diff_digest_tree" -> ((s, dir) =>
+      DiffEngine.digestTree(li(s, dir),
+        Perturb.lineitemTargetLocalized(li(s, dir)),
+        lineitemSpec, buckets = 64, fanout = 8, idTok)),
     // both phases end-to-end: digests narrow to dirty buckets, the full
     // mismatch diff runs over those only — and must find EXACTLY the
     // same mismatch set as the unfiltered diff (same oracle as
@@ -199,6 +211,9 @@ object DiffQueries {
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
     "diff_digest_buckets" -> OracleSql.digestBuckets(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 64),
+    "diff_digest_tree" -> OracleSql.digestTree(lineitemSpec,
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetLocalizedSql,
+      buckets = 64, fanout = 8),
     "diff_digest_mismatches" -> OracleSql.mismatches(lineitemSpec,
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql, buckets = 100),
     "diff_digest_range_stats" -> OracleSql.rangeStats(lineitemSpec,

@@ -527,6 +527,38 @@ class DiffEngineSpec extends SparkSpec {
     assert(ch.count() < src.count())
   }
 
+  test("digest tree: clean supers prune, dirty descent matches flat digests") {
+    import graft.engine.{Perturb, Tables}
+    val li = Tables.load(spark, Sf, "lineitem")
+    val tgt = Perturb.lineitemTargetLocalized(li)
+    val spec = Perturb.lineitemSpec
+    val idTok = DiffEngine.identityToken _
+    val tree = DiffEngine.digestTree(li, tgt, spec, buckets = 64,
+        fanout = 8, token = idTok)
+      .as[(Int, Long, Long, Long, Boolean)].collect()
+    val supers = tree.filter(_._1 == 0)
+    val leaves = tree.filter(_._1 == 1)
+    assert(supers.length === 8)
+    // localized damage (keys 0..7 mod 512 -> buckets 0-7) dirties super
+    // 0 only; every other super verifies clean in ONE row
+    assert(supers.count(!_._5) === 1 && !supers.find(_._2 == 0L).get._5)
+    // level 1 descends ONLY under dirty supers
+    val dirtySupers = supers.filter(!_._5).map(_._2).toSet
+    assert(leaves.nonEmpty && leaves.forall(l => dirtySupers(l._2 / 8)))
+    // the descent's verdicts equal the flat per-bucket comparison
+    val flat = DiffEngine.digestCompare(li, tgt, spec, 64, idTok)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    leaves.foreach(l => assert(flat(l._2) === l._5, s"bucket ${l._2}"))
+    // super row counts roll up exactly
+    val flatRows = DiffEngine.digestCompare(li, tgt, spec, 64, idTok)
+      .as[(Long, Long, Long, Boolean)].collect()
+    supers.foreach { s =>
+      val kids = flatRows.filter(_._1 / 8 == s._2)
+      assert(s._3 === kids.map(_._2).sum && s._4 === kids.map(_._3).sum)
+    }
+  }
+
   test("tolerance diff: eps boundary inclusive, nulls keep exact semantics") {
     // binary-exact values so the boundary case is REALLY the boundary:
     // 1/128 = 0.0078125 is exact in doubles (|1.01 − 1.0| is NOT 0.01)
