@@ -730,6 +730,50 @@ object AnalyticsQueries {
           (abs(col("est") - col("n_exact")) <=
             col("n_exact").cast("double") * 0.05).as("within_5pct"))
     }),
+    // ntile + percent_rank window breadth: within-(type, day) quartile
+    // assignment and rank fraction — the feature-binning transform.
+    // Partitioning includes the day, so group sizes stay bounded as the
+    // corpus grows (the per-type-only window would concentrate); the
+    // (value, event_id) order is total, so rank == row_number and both
+    // engines agree bit-for-bit
+    "events_ntile" -> ((s, dir) => {
+      val day = to_date(col("ts"))
+      val w = Window.partitionBy(col("event_type"), day)
+        .orderBy(col("value"), col("event_id"))
+      // the day stays in the PARTITION spec only: DATE materializes
+      // differently across engines in the compare harness
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          col("value"), ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"))
+    }),
+    // Bloom-pre-filtered join: build the deterministic key Bloom from
+    // the filtered customer segment (one dense bit row, broadcast),
+    // shed non-matching orders BEFORE the shuffle, then run the exact
+    // join — false positives die in the join, false negatives cannot
+    // exist, so the result EQUALS the plain join (the oracle is the
+    // plain join, no bloom — an independent formulation). This is the
+    // runtime-filter/semi-join-reduction pattern spelled out as an
+    // explicit operator: at 100 TB the bloom row is ~KBs while the
+    // orders scan drops ~4/5 of its rows pre-exchange
+    "q_bloom_join" -> ((s, dir) => {
+      import graft.functions.Decontaminate
+      val mBits = 1 << 16
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val keys = cust.select(col("c_custkey").cast("string").as("text"))
+      val bloom = Decontaminate.bloomFilterRow(keys, "text", n = 1,
+        mBits = mBits, k = 3)
+      t(s, dir, "orders")
+        .crossJoin(broadcast(bloom))
+        .filter(Decontaminate.bloomHit(col("o_custkey").cast("string"),
+          mBits, k = 3))
+        .drop("__bloom")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("o_totalprice")).cast("double").as("sum_price"))
+    }),
     // truncated EWMA smoothing per user: α = 1/2 over the last 8 events
     // — every weight is a DYADIC literal (1/2^j), so each term is an
     // exact double scale and the 8-term left-to-right sum is bit-
@@ -1406,6 +1450,23 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN c < 50 THEN c ELSE 0 END) AS DOUBLE)
         |    / CAST(SUM(c) AS DOUBLE) AS risk_share
         |FROM g GROUP BY event_type""".stripMargin,
+    // mirrors events_ntile
+    "events_ntile" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(ntile(4) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |    ORDER BY value, event_id) AS INT) AS quartile,
+        |  percent_rank() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |    ORDER BY value, event_id) AS pct_rank
+        |FROM events""".stripMargin,
+    // q_bloom_join oracle: the PLAIN join — the bloom prefilter must be
+    // invisible in the result
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority""".stripMargin,
     // mirrors events_ewma: identical dyadic weights, identical
     // left-to-right term order
     "events_ewma" -> {
