@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -423,6 +423,35 @@ object TextQueries {
           TA.tokenCount(col("text")), alpha = 0.5)
         .select("source", "n_docs", "n_tokens", "token_frac",
           "temp_score", "temp_frac", "weight", "keep_prob")),
+    // Zipf-law fit over the top-1000 terms: least-squares slope of
+    // ilog2(freq) vs ilog2(rank) — the distributional-health check for
+    // a corpus (a natural-language corpus fits slope ≈ -1; synthetic or
+    // templated text drifts). INTEGER least squares: x/y are floor-log2
+    // longs, all five sums are exact, slope and intercept are single
+    // divisions of exact longs (the closed-form rational). Top-1000 is
+    // a TakeOrderedAndProject heap; the rank window runs on that
+    // 1000-row frame
+    "vocab_zipf_slope" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def ilog2(x: Column) = (length(bin(x)) - 1).cast("long")
+      val tf = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(1000)
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      tf.withColumn("rnk", row_number().over(w).cast("long"))
+        .select(ilog2(col("rnk")).as("x"), ilog2(col("cnt")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("zipf_slope"),
+          ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("intercept"))
+    }),
     // water-filling budget allocation: max-min-fair split of a half-
     // corpus character budget across sources — small sources keep all
     // their tokens, large ones clip to a common integer level (the
@@ -1303,6 +1332,32 @@ object TextQueries {
            |        CAST(1.0 AS DOUBLE)) AS keep_prob
            |FROM w""".stripMargin
       },
+      // mirrors vocab_zipf_slope: identical integer least squares
+      "vocab_zipf_slope" ->
+        s"""WITH tf AS (
+           |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM (SELECT unnest($toks) AS term FROM documents)
+           |  GROUP BY term ORDER BY cnt DESC, term LIMIT 1000),
+           |r AS (
+           |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term)
+           |    AS BIGINT) AS rnk
+           |  FROM tf),
+           |p AS (
+           |  SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+           |         CAST(length(bin(cnt)) - 1 AS BIGINT) AS y
+           |  FROM r),
+           |a AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |    CAST(SUM(x * x) AS BIGINT) AS sxx
+           |  FROM p)
+           |SELECT n,
+           |  CAST(n * sxy - sx * sy AS DOUBLE)
+           |    / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+           |  CAST(sy * sxx - sx * sxy AS DOUBLE)
+           |    / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+           |FROM a""".stripMargin,
       // mirrors mix_waterfill: same ascending capacity order, same
       // integer satisfied-prefix test and remainder distribution
       "mix_waterfill" ->
