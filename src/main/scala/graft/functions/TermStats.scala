@@ -263,6 +263,89 @@ object TermStats {
         col("total_tokens").cast("double"))
   }
 
+  /** Per-source chi-square drift against the corpus-wide unigram
+    * distribution — the distributional-shift test a mixture pipeline
+    * runs before trusting a new crawl snapshot (a source whose term
+    * distribution diverges from the pool gets eyeballed before it is
+    * mixed in). For source s with term shares p_t and pooled shares
+    * q_t: `chi2 = Σ_t (p_t − q_t)² / q_t` over ALL pooled terms; terms
+    * absent from the source contribute q_t, folded in WITHOUT a second
+    * join via the complement `Σ_{t∉s} q_t = 1 − Σ_{t∈s} q_t`.
+    *
+    * Determinism: p_t and q_t are single IEEE divisions of exact longs
+    * (correctly rounded — bit-identical cross-engine), each per-term
+    * summand is a fixed dag of IEEE ops on those, and both sums run in
+    * FIXED-POINT: `floor(x * 2^40)` as a long (scaling by a power of
+    * two is exact, floor is unambiguous — unlike a decimal(38,18)
+    * cast, where Spark rounds the double's SHORTEST string repr and
+    * DuckDB its exact binary expansion, disagreeing in the 18th digit
+    * over a large term sum). Long addition is exact and
+    * order-independent; one final division by 2^40 produces the
+    * double. Granularity 2^-40 ≈ 9e-13 per term; per-term magnitude
+    * must stay below 2^23 (8.4M) to avoid overflow at 10^9 terms —
+    *  chi-square summands are bounded by p_max²/q_min over the POOLED
+    * vocabulary, far below that for any real corpus. No libm anywhere.
+    *
+    * Scale shape: one (source, term) count groupBy (the only
+    * corpus-sized exchange — ids and longs, never text), one term-level
+    * pooled count groupBy over the same pre-aggregated frame, a join on
+    * the term key (AQE-sized; pass `broadcastPool = false` at web-scale
+    * vocabularies), and a |sources|-row final aggregate.
+    */
+  def chiSquareDrift(docs: DataFrame, sourceCol: String, textCol: String,
+      broadcastPool: Boolean = true): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("a"))
+      .localCheckpoint()
+    val pool = st.groupBy(col("term")).agg(sum(col("a")).as("c"))
+    val poolTot = pool.agg(sum(col("c")).as("ct"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("at"))
+    val mb = if (broadcastPool) broadcast(pool) else pool
+    val p = col("a").cast("double") / col("at").cast("double")
+    val q = col("c").cast("double") / col("ct").cast("double")
+    val scale = math.pow(2, 40)
+    st.join(mb, Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(poolTot))
+      .select(col("source"),
+        floor(((p - q) * (p - q)) / q * lit(scale)).as("chi"),
+        floor(q * lit(scale)).as("qd"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        ((sum(col("chi")).cast("double") +
+          (lit(scale) - sum(col("qd")).cast("double"))) / lit(scale))
+          .as("chi2"))
+  }
+
+  /** DuckDB mirror of [[chiSquareDrift]] — same exact-division terms,
+    * same 2^40 fixed-point sums, same missing-mass complement.
+    */
+  def chiSquareDriftSql(sourceCol: String, toksExpr: String): String =
+    s"""WITH st AS (
+       |  SELECT $sourceCol AS source, term, CAST(COUNT(*) AS BIGINT) AS a
+       |  FROM (SELECT $sourceCol, unnest($toksExpr) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |pool AS (SELECT term, CAST(SUM(a) AS BIGINT) AS c FROM st GROUP BY term),
+       |pt AS (SELECT CAST(SUM(c) AS BIGINT) AS ct FROM pool),
+       |srct AS (SELECT source, CAST(SUM(a) AS BIGINT) AS at FROM st GROUP BY source),
+       |terms AS (
+       |  SELECT sp.source,
+       |    CAST(FLOOR((p - q) * (p - q) / q * 1099511627776.0) AS BIGINT) AS chi,
+       |    CAST(FLOOR(q * 1099511627776.0) AS BIGINT) AS qd
+       |  FROM (SELECT st.source, st.term,
+       |          CAST(st.a AS DOUBLE) / CAST(srct.at AS DOUBLE) AS p
+       |        FROM st JOIN srct ON st.source = srct.source) sp
+       |  JOIN (SELECT term, CAST(c AS DOUBLE) / CAST(ct AS DOUBLE) AS q
+       |        FROM pool CROSS JOIN pt) pq
+       |    ON sp.term = pq.term)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  (CAST(CAST(SUM(chi) AS BIGINT) AS DOUBLE) +
+       |    (1099511627776.0 - CAST(CAST(SUM(qd) AS BIGINT) AS DOUBLE)))
+       |    / 1099511627776.0 AS chi2
+       |FROM terms GROUP BY source""".stripMargin
+
   /** Vocabulary GROWTH curve (Heaps' law): distinct terms and total
     * tokens in the corpus prefix `id < cutoff`, for each cutoff — the
     * "how fast does my vocabulary grow as I add data" tokenizer- and

@@ -846,6 +846,147 @@ object AnalyticsQueries {
           "session_start", "session_end")
         .select("user_id", "event_id", "session_id")
     }),
+    // PageRank over the item co-visitation graph (3 damped power
+    // iterations): which items sit at the center of the browsing graph
+    // — the graph-analytics capability class. Edges are the DISTINCT
+    // symmetric item pairs sharing a user (simple graph, dangling-free
+    // by construction); each iteration is one edge-join + one
+    // decimal-summed dst aggregate, bit-reproducible vs the unrolled
+    // DuckDB CTE mirror (IEEE divisions + exact decimal sums only)
+    "events_pagerank" -> ((s, dir) => {
+      val items = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.item") =!= col("y.item"))
+        .select(col("x.item").as("src"), col("y.item").as("dst"))
+        .distinct()
+      graft.functions.Graphs.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    }),
+    // TPC-H Q6 forecast-revenue: the pure filter+aggregate whose value
+    // is the SCAN — every predicate (date range, discount band,
+    // quantity cap) pushes to the parquet reader, the plan is one
+    // WholeStageCodegen over the pruned 4-column read. At 100 TB this
+    // is the shape where pushdown is the whole game
+    "q6_band_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((dec("l_extendedprice") * dec("l_discount"))
+            .cast("decimal(28,6)")).cast("double").as("revenue"))),
+    // TPC-H Q8 market share: the 7-way join with CONDITIONAL aggregation
+    // — one nation's share of regional volume per year, computed as two
+    // exact decimal sums in a single pass (no second scan, no self-join)
+    // then one double division. Dims broadcast; the three fact joins
+    // shuffle on their natural keys
+    "q8_market_share" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val r = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", revenue)
+            .otherwise(lit(0).cast("decimal(28,6)"))).as("__nat"),
+          sum(revenue).as("__tot"))
+        .select(col("o_year"),
+          (col("__nat").cast("double") / col("__tot").cast("double"))
+            .as("mkt_share"))
+    }),
+    // TPC-H Q10 returned-item ranking: fact join + grouped revenue +
+    // top-20 (TakeOrderedAndProject — the heap replaces a global sort).
+    // Grouping carries the customer attributes THROUGH the aggregate
+    // (they're functionally dependent on c_custkey) instead of
+    // re-joining customer after the agg
+    "q10_returned_items" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(revenue).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q14 promo revenue: conditional share in one aggregation
+    // pass — numerator and denominator as exact decimal sums over the
+    // same joined frame, division once as doubles
+    "q14_promo_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(28,6)"))).as("__promo"),
+          sum(revenue).as("__tot"))
+        .select((lit(100.0) * col("__promo").cast("double") /
+          col("__tot").cast("double")).as("promo_revenue"))),
+    // TPC-H Q15 top supplier: the scalar-subquery-over-aggregate shape
+    // — per-supplier quarterly revenue, then suppliers matching the
+    // global max. The max is a 1-row broadcast joined on EXACT decimal
+    // equality (a double round-trip could drop the winner); supplier
+    // attaches after the argmax filter, so only winner rows join
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue).as("__rev"))
+      val mx = rev.agg(max(col("__rev")).as("__mx"))
+      rev.join(broadcast(mx), col("__rev") === col("__mx"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("__rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // TPC-H Q19 disjunctive-predicate join: three (brand, size band,
+    // quantity band) arms OR'd inside the join condition. The common
+    // partkey equality extracts as the join key; per-arm part
+    // predicates (brand, size) push into the part scan via
+    // CNF-conversion, quantity bounds into lineitem — the
+    // predicate-normalization test q5/q8 don't exercise
+    "q19_disjunctive" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      val arm = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      l.join(p, col("l_partkey") === col("p_partkey") &&
+          (arm("Brand#12", 1, 5, 1, 11) ||
+            arm("Brand#13", 1, 10, 10, 20) ||
+            arm("Brand#14", 1, 15, 20, 30)))
+        .agg(sum(revenue).cast("double").as("revenue"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1520,5 +1661,95 @@ object AnalyticsQueries {
         |SELECT p.user_id, p.event_id, s.session_id
         |FROM p JOIN s ON p.user_id = s.user_id
         |  AND p.ts >= s.session_start AND p.ts <= s.session_end""".stripMargin,
+    // mirrors events_pagerank: identical unrolled iterations
+    "events_pagerank" -> {
+      val edgesSql =
+        """SELECT DISTINCT x.item AS src, y.item AS dst
+          |  FROM (SELECT DISTINCT user_id,
+          |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |        FROM events
+          |        WHERE json_extract_string(props, '$.k') IS NOT NULL) x
+          |  JOIN (SELECT DISTINCT user_id,
+          |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |        FROM events
+          |        WHERE json_extract_string(props, '$.k') IS NOT NULL) y
+          |    ON x.user_id = y.user_id AND x.item <> y.item""".stripMargin
+      s"""SELECT node, rank FROM (
+         |${graft.functions.Graphs.pageRankSql(edgesSql, iters = 3)}
+         |) pr ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+    // mirrors q6_band_revenue: identical decimal product/sum
+    "q6_band_revenue" ->
+      """SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    // mirrors q8_market_share: same single-pass conditional decimal sums
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN $revenueSql
+         |           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+         |    / CAST(SUM($revenueSql) AS DOUBLE) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY year(o_orderdate)""".stripMargin,
+    // mirrors q10_returned_items
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-10-01'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+    // mirrors q14_promo_revenue
+    "q14_promo_revenue" ->
+      s"""SELECT 100.0 *
+         |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $revenueSql
+         |           ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+         |  / CAST(SUM($revenueSql) AS DOUBLE) AS promo_revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+         |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+    // mirrors q15_top_supplier: exact-decimal max equality
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, SUM($revenueSql) AS r
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE r = (SELECT MAX(r) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    // mirrors q19_disjunctive
+    "q19_disjunctive" ->
+      s"""SELECT CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |        AND l_quantity >= 1 AND l_quantity <= 11)
+         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+         |        AND l_quantity >= 10 AND l_quantity <= 20)
+         |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
   )
 }

@@ -452,6 +452,12 @@ object TextQueries {
             (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
             .as("intercept"))
     }),
+    // per-source chi-square drift vs the pooled unigram distribution:
+    // the distributional-shift gate for new crawl snapshots. All terms
+    // are exact-long divisions + a fixed IEEE dag, summed as
+    // decimal(38,18) — bit-reproducible cross-engine, no libm
+    "vocab_chi2_drift" -> ((s, dir) =>
+      graft.functions.TermStats.chiSquareDrift(docs(s, dir), "source", "text")),
     // water-filling budget allocation: max-min-fair split of a half-
     // corpus character budget across sources — small sources keep all
     // their tokens, large ones clip to a common integer level (the
@@ -1020,6 +1026,9 @@ object TextQueries {
   def oracles: Map[String, String] = {
     val toks = "string_split(text, ' ')"
     Map(
+      // mirrors chiSquareDrift: same exact divisions + decimal sums
+      "vocab_chi2_drift" ->
+        graft.functions.TermStats.chiSquareDriftSql("source", toks),
       "dedup_minhash" -> minHashOracleSql,
       "dedup_minhash_jaccard" -> minHashJaccardOracleSql,
       "dedup_simhash" -> simHashOracleSql,
