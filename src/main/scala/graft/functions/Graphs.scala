@@ -83,6 +83,104 @@ object Graphs {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** Exact triangle count + global clustering coefficient over an
+    * edge list (direction and duplicates ignored — the graph is
+    * id-canonicalized to simple undirected edges first).
+    *
+    * Scale shape: the classic degree-ordered orientation — each
+    * undirected edge is directed from its lower-(degree, id) endpoint
+    * to the higher, so every node's OUT-degree is O(√m) on any graph
+    * (a node with out-degree d has d neighbors of degree ≥ its own,
+    * which needs d² ≤ 2m edges). The wedge self-join on the oriented
+    * src key therefore fans out quadratically only in that bounded
+    * out-degree, never in the raw degree — the hub that breaks the
+    * naive neighbor join ("every pair of the celebrity's followers")
+    * contributes nothing, because hub edges orient INTO it. Each
+    * triangle is generated exactly once, at its minimum-rank vertex.
+    * The closing-edge check is an id-canonical equi-join against the
+    * edge set; wedge totals Σ C(deg,2) are exact longs.
+    *
+    * Output: one row — n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering (= 3·T / W, a single IEEE division of exact longs).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val e = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("a"),
+        when(uFirst, col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint()
+    val closed = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(least(col("x.b"), col("y.b")).as("u"),
+        greatest(col("x.b"), col("y.b")).as("v"))
+      .join(und, Seq("u", "v"), "left_semi")
+    // left_semi is safe as a COUNT input here (not in general): wedge
+    // pairs are distinct by construction — distinct oriented edges,
+    // one pair per (a, {b,c}) — so the semi-join dedups nothing
+    val tri = closed.agg(count(lit(1)).as("n_triangles"))
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+    val wed = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = und.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(ne).crossJoin(wed).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          (lit(3) * col("n_triangles")).cast("double") /
+            col("n_wedges").cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** DuckDB mirror of [[triangleStats]] — same orientation, same
+    * single-generation wedge join. `edgesSql` must alias `src`, `dst`.
+    */
+  def triangleStatsSql(edgesSql: String): String =
+    s"""WITH raw AS ($edgesSql),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM raw WHERE src <> dst),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY node),
+       |o AS (
+       |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS a,
+       |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS b
+       |  FROM und
+       |  JOIN (SELECT node, deg AS du FROM deg) d1 ON u = d1.node
+       |  JOIN (SELECT node, deg AS dv FROM deg) d2 ON v = d2.node),
+       |tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT least(x.b, y.b) AS u, greatest(x.b, y.b) AS v
+       |        FROM o x JOIN o y ON x.a = y.a AND x.b < y.b) w
+       |  WHERE EXISTS (SELECT 1 FROM und
+       |                WHERE und.u = w.u AND und.v = w.v)),
+       |wed AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |        FROM deg),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+       |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges > 0
+       |    THEN CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+       |    ELSE 0.0 END AS clustering
+       |FROM nn CROSS JOIN ne CROSS JOIN wed CROSS JOIN tri""".stripMargin
+
   /** DuckDB mirror of [[pageRank]]: the same iterations unrolled as
     * CTEs — same decimal(38,18) contribution sums, same damping dag.
     * `edgesSql` must select columns aliased `src` and `dst`.

@@ -868,6 +868,24 @@ object AnalyticsQueries {
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     }),
+    // exact triangle census of the co-visitation graph: triangle count
+    // + global clustering coefficient via the degree-ordered
+    // orientation (out-degree bounded by O(√m), so the wedge self-join
+    // survives hubs — the scale-critical property). All counts exact
+    // longs; the coefficient is one IEEE division
+    "events_triangles" -> ((s, dir) => {
+      val items = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      val edges = items.as("x").join(items.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.item") < col("y.item"))
+        .select(col("x.item").as("src"), col("y.item").as("dst"))
+        .distinct()
+      graft.functions.Graphs.triangleStats(edges, "src", "dst")
+    }),
     // TPC-H Q6 forecast-revenue: the pure filter+aggregate whose value
     // is the SCAN — every predicate (date range, discount band,
     // quantity cap) pushes to the parquet reader, the plan is one
@@ -1677,6 +1695,21 @@ object AnalyticsQueries {
       s"""SELECT node, rank FROM (
          |${graft.functions.Graphs.pageRankSql(edgesSql, iters = 3)}
          |) pr ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+    // mirrors events_triangles: same orientation + wedge join
+    "events_triangles" -> {
+      val edgesSql =
+        """SELECT DISTINCT x.item AS src, y.item AS dst
+          |  FROM (SELECT DISTINCT user_id,
+          |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |        FROM events
+          |        WHERE json_extract_string(props, '$.k') IS NOT NULL) x
+          |  JOIN (SELECT DISTINCT user_id,
+          |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |        FROM events
+          |        WHERE json_extract_string(props, '$.k') IS NOT NULL) y
+          |    ON x.user_id = y.user_id AND x.item < y.item""".stripMargin
+      graft.functions.Graphs.triangleStatsSql(edgesSql)
     },
     // mirrors q6_band_revenue: identical decimal product/sum
     "q6_band_revenue" ->

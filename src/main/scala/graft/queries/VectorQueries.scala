@@ -389,6 +389,32 @@ object VectorQueries {
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 16), e,
         "vec_id", "embedding", k = 5)
     }),
+    // reciprocal-rank fusion of the lexical (BM25) and semantic (cosine
+    // top-k for the doc-0 embedding) rankings — the standard
+    // score-free hybrid-retrieval combiner (rrf = Σ 1/(60 + rank)).
+    // Both legs are 20-row frames after their own top-k, so the fusion
+    // join, window and re-rank are driver-trivial; determinism comes
+    // free (ranks are ints, 1/(60+r) is one IEEE division each)
+    "search_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = graft.functions.TermStats
+        .bm25TopK(Tables.load(s, dir, "documents"), "doc_id", "text",
+          TextQueries.Bm25Query, k = 20)
+        .select(col("doc_id"),
+          row_number().over(
+            Window.orderBy(col("score_fp").desc, col("doc_id"))).as("r_lex"))
+      val e = emb(s, dir)
+      val ann = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") === 0), e, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("r_sem"))
+      def leg(r: Column) =
+        coalesce(lit(1.0) / (lit(60) + r).cast("double"), lit(0.0))
+      bm.join(ann, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_lex"), col("r_sem"),
+          (leg(col("r_lex")) + leg(col("r_sem"))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
   )
 
 
@@ -646,6 +672,37 @@ object VectorQueries {
 
   def oracles: Map[String, String] = Map(
     "ann_hamming" -> hammingOracleSql,
+    // mirrors search_rrf: same two legs, same 1/(60+r) fusion
+    "search_rrf" -> {
+      val bmSql = graft.functions.TermStats.bm25TopKSql(
+        "doc_id", "string_split(text, ' ')", TextQueries.Bm25Query, k = 20)
+      s"""WITH bm_raw AS ($bmSql),
+         |bm AS (
+         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY score_fp DESC, doc_id) AS INT) AS r_lex
+         |  FROM bm_raw),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |         list_dot_product(qv, cv) /
+         |           (sqrt(list_dot_product(qv, qv)) *
+         |            sqrt(list_dot_product(cv, cv))) AS sim
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |ann AS (
+         |  SELECT neighbor_id AS doc_id, CAST(rank AS INT) AS r_sem
+         |  FROM (SELECT neighbor_id, ROW_NUMBER() OVER (
+         |          ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |  WHERE rank <= 20)
+         |SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id, r_lex, r_sem,
+         |  COALESCE(CAST(1 AS DOUBLE) / CAST(60 + r_lex AS DOUBLE), 0.0) +
+         |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + r_sem AS DOUBLE), 0.0)
+         |    AS rrf
+         |FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
     "hybrid_search" -> {
       val toks = "string_split(text, ' ')"
       s"""WITH keep AS (

@@ -37,6 +37,29 @@ class GraphsSpec extends SparkSpec {
     pr.foreach(r => assert(math.abs(r - 0.25) < 1e-9))
   }
 
+  test("triangleStats: counts the one triangle; hub wedges stay open") {
+    // triangle 1-2-3 + pendant 3-4 (input deliberately messy: one
+    // duplicate edge, one reversed, one self-loop — all canonicalized)
+    val messy = edges
+      .union(Seq((2L, 1L), (4L, 3L), (5L, 5L)).toDF("src", "dst"))
+    val r = Graphs.triangleStats(messy, "src", "dst").collect()(0)
+    assert(r.getLong(0) === 4) // nodes (self-loop-only node 5 dropped)
+    assert(r.getLong(1) === 4) // edges
+    // wedges: deg(1)=2, deg(2)=2, deg(3)=3, deg(4)=1 -> 1+1+3+0 = 5
+    assert(r.getLong(2) === 5)
+    assert(r.getLong(3) === 1) // the single triangle
+    assert(math.abs(r.getDouble(4) - 3.0 / 5.0) < 1e-15)
+  }
+
+  test("triangleStats: complete graph K4 has C(4,3) triangles, coeff 1") {
+    val k4 = (for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val r = Graphs.triangleStats(k4, "src", "dst").collect()(0)
+    assert(r.getLong(3) === 4)
+    assert(r.getDouble(4) === 1.0)
+  }
+
   test("pageRank: matches a driver-side reference power iteration") {
     // tiny directed-but-dangling-free graph: 1->2, 2->3, 3->1, 3->2
     val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L)).toDF("src", "dst")
