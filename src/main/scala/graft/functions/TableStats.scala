@@ -64,4 +64,38 @@ object TableStats {
       .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))
   }
+
+  /** Referential-integrity audit over a set of foreign-key edges — the
+    * cross-table validation a pipeline runs before trusting a snapshot
+    * (a non-zero orphan count means a parent purge, a partial load, or
+    * an out-of-order ingest). One row per edge: child rows, NULL
+    * foreign keys (excluded from the orphan check — SQL FK semantics),
+    * orphans (non-null keys with no parent), and the orphan rate.
+    *
+    * Scale shape: per edge, one aggregate over the child's pruned key
+    * column plus one LEFT ANTI join of the child key against the
+    * DISTINCT parent key — the anti-join shuffles on the key (AQE
+    * broadcasts genuinely small parents), and the distinct
+    * partial-aggregates, so a hot parent key never concentrates. The
+    * per-edge 1-row frames cross-join and union driver-trivially.
+    */
+  def fkOrphans(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "need at least one FK edge")
+    edges.map { case (label, child, childKey, parent, parentKey) =>
+      val tot = child.agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col(childKey).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      val orph = child.select(col(childKey))
+        .filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      tot.crossJoin(orph).select(
+        lit(label).as("fk_edge"), col("n_child"), col("n_null_fk"),
+        col("n_orphans"),
+        (col("n_orphans").cast("double") / col("n_child").cast("double"))
+          .as("orphan_rate"))
+    }.reduce(_ unionByName _)
+  }
 }

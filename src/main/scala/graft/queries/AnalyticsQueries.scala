@@ -868,6 +868,47 @@ object AnalyticsQueries {
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
     }),
+    // referential-integrity audit across the star schema's FK edges:
+    // child rows / null FKs / orphans / orphan rate per edge — the
+    // cross-table validation gate (all-zero orphans on consistent
+    // snapshots; any non-zero flags a partial load). Anti-joins on the
+    // key; AQE broadcasts the small parents
+    "dq_fk_orphans" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      graft.functions.TableStats.fkOrphans(Seq(
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        ("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        ("nation.n_regionkey->region", n, "n_regionkey",
+          t(s, dir, "region"), "r_regionkey")))
+    }),
+    // integer-exact CUSUM changepoint score over daily event counts:
+    // per type, deviations are scaled mean-zero integers
+    // (y = D·n_day − T, so no float mean), the CUSUM recursion
+    // S_k = max(0, S_{k−1} + y_k) evaluates in closed form as
+    // P_k − min(0, running-min P) over prefix sums — two windows on the
+    // tiny (type, day) frame, zero float ops. A sustained rate shift
+    // grows S linearly; the peak day locates the changepoint
+    "events_cusum" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val all = Window.partitionBy(col("event_type"))
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay
+        .withColumn("__y",
+          count(lit(1)).over(all) * col("n") - sum(col("n")).over(all))
+        .withColumn("__P", sum(col("__y")).over(ord))
+        .withColumn("cusum",
+          col("__P") - least(lit(0L), min(col("__P")).over(ord)))
+        .select(col("event_type"), col("day"), col("n"), col("cusum"))
+    }),
     // exact triangle census of the co-visitation graph: triangle count
     // + global clustering coefficient via the degree-ordered
     // orientation (out-degree bounded by O(√m), so the wedge self-join
@@ -1696,6 +1737,56 @@ object AnalyticsQueries {
          |${graft.functions.Graphs.pageRankSql(edgesSql, iters = 3)}
          |) pr ORDER BY rank DESC, node LIMIT 20""".stripMargin
     },
+    // mirrors dq_fk_orphans: NOT-EXISTS orphan counts per edge
+    "dq_fk_orphans" -> {
+      def edge(label: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$label' AS fk_edge,
+           |  CAST(COUNT(*) AS BIGINT) AS n_child,
+           |  CAST(SUM(CASE WHEN $ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null_fk,
+           |  CAST(SUM(CASE WHEN $ck IS NOT NULL AND NOT EXISTS
+           |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  CAST(SUM(CASE WHEN $ck IS NOT NULL AND NOT EXISTS
+           |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)
+           |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS orphan_rate
+           |FROM $child c""".stripMargin
+      Seq(
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey")).mkString("\nUNION ALL\n")
+    },
+    // mirrors events_cusum: same scaled-integer prefix-sum closed form
+    "events_cusum" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |y AS (
+        |  SELECT event_type, day, n,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * n -
+        |      CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS yy
+        |  FROM d),
+        |p AS (
+        |  SELECT event_type, day, n,
+        |    CAST(SUM(yy) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp
+        |  FROM y)
+        |SELECT event_type, day, n,
+        |  CAST(pp - least(0, MIN(pp) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum
+        |FROM p""".stripMargin,
     // mirrors events_triangles: same orientation + wedge join
     "events_triangles" -> {
       val edgesSql =
