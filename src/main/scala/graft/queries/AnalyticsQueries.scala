@@ -454,6 +454,61 @@ object AnalyticsQueries {
           sum(col("__c")).as("n_rows"))
         .withColumn("risk_share",
           col("rows_at_risk").cast("double") / col("n_rows").cast("double"))),
+    // l-diversity companion to the k-anonymity scan: per quasi-
+    // identifier group (event_type × hour) the number of DISTINCT
+    // sensitive values (the item interacted with) — a group can be
+    // large (k-anonymous) yet still leak if everyone in it shares one
+    // sensitive value. Same two-level aggregate shape as privacy_k_anon
+    "privacy_l_diversity" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), hour(col("ts")).as("hh"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .groupBy(col("event_type"), col("hh"))
+        .agg(count(lit(1)).as("__c"), countDistinct(col("item")).as("__l"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("__l")).as("min_l"),
+          sum(when(col("__l") < 5, 1L).otherwise(0L))
+            .as("low_diversity_groups"),
+          sum(when(col("__l") < 5, col("__c")).otherwise(0L))
+            .as("rows_at_risk"))),
+    // window-function breadth over per-user event sequences: first/
+    // last/nth value with EXPLICIT row frames (engine defaults differ;
+    // pinning the frame is the portability lesson), cume_dist on a
+    // unique total order, lag with default. Values pass through
+    // unchanged — no float arithmetic, so the frame hash-matches
+    "events_window_breadth" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          first(col("value")).over(run).as("first_v"),
+          last(col("value")).over(full).as("last_v"),
+          nth_value(col("value"), 2).over(run).as("second_v"),
+          cume_dist().over(ord).as("cd"),
+          lag(col("value"), 1, 0.0).over(ord).as("prev_v"))
+    }),
+    // feature-hash collision profile: every term routed to one of 64
+    // buckets by the engine-portable 60-bit md5 hash — the vectorizer
+    // audit (bucket load balance and collision pressure) run before
+    // committing to a hashed feature space. One term-level groupBy,
+    // then a 64-row rollup
+    "text_feature_hash" -> ((s, dir) => {
+      val terms = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n_tokens"))
+      terms
+        .withColumn("bucket",
+          pmod(graft.functions.Sampling.keyHash60(col("term")), lit(64L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("n_tokens")).as("n_tokens"),
+          max(col("n_tokens")).as("max_term_tokens"))
+    }),
     // distinct aggregation + min/max/avg (avg via exact decimal sum/count)
     "q_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1736,6 +1791,54 @@ object AnalyticsQueries {
       s"""SELECT node, rank FROM (
          |${graft.functions.Graphs.pageRankSql(edgesSql, iters = 3)}
          |) pr ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
+    // mirrors privacy_l_diversity
+    "privacy_l_diversity" ->
+      """WITH g AS (
+        |  SELECT event_type, hour(ts) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(COUNT(DISTINCT item) AS BIGINT) AS l
+        |  FROM (SELECT event_type, ts,
+        |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |        FROM events)
+        |  WHERE item IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MIN(l) AS BIGINT) AS min_l,
+        |  CAST(SUM(CASE WHEN l < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_diversity_groups,
+        |  CAST(SUM(CASE WHEN l < 5 THEN c ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk
+        |FROM g GROUP BY event_type""".stripMargin,
+    // mirrors events_window_breadth: identical explicit frames
+    "events_window_breadth" ->
+      """SELECT event_id, user_id, value,
+        |  first_value(value) OVER w_run AS first_v,
+        |  last_value(value) OVER w_full AS last_v,
+        |  nth_value(value, 2) OVER w_run AS second_v,
+        |  cume_dist() OVER w_ord AS cd,
+        |  lag(value, 1, 0.0) OVER w_ord AS prev_v
+        |FROM events
+        |WINDOW
+        |  w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND UNBOUNDED FOLLOWING)""".stripMargin,
+    // mirrors text_feature_hash: same md5-60-bit bucket route
+    "text_feature_hash" -> {
+      val h = graft.functions.Sampling.keyHash60Sql("term")
+      s"""WITH tf AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY term)
+         |SELECT CAST(($h) % 64 AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(MAX(n_tokens) AS BIGINT) AS max_term_tokens
+         |FROM tf GROUP BY 1""".stripMargin
     },
     // mirrors dq_fk_orphans: NOT-EXISTS orphan counts per edge
     "dq_fk_orphans" -> {
