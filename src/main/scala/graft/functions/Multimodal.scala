@@ -342,4 +342,110 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  /** 64-bit average-hash of REAL decoded images — the image-level
+    * near-dup fingerprint (pHash family). The image is reduced to an
+    * 8×8 grid by NEAREST-NEIGHBOR sampling at (x·w div 8, y·h div 8)
+    * (not box-average pooling — nearest keeps every step integer, so
+    * the whole hash is an exact integer function of the pixels and the
+    * DuckDB oracle can recompute it analytically for formula-generated
+    * images); bit (y·8+x) is set when `64·sample > Σ samples` (strict,
+    * integer — no float mean). The hash ships as two uint32 halves
+    * (`hash_hi` = bits 32..63, `hash_lo` = bits 0..31): building
+    * `1 << 63` would overflow signed 64-bit on the SQL side.
+    *
+    * Rows that do not decode are dropped (the corrupt-file filter).
+    * Scale shape: one batched partition pass, (id, 2×long) out.
+    */
+  final case class AHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
+  def aHash64(blobs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { b =>
+          ImageCodec.decode(b.data).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val s = Array.tabulate(64) { pos =>
+              val x = pos % 8; val y = pos / 8
+              ImageCodec.grayAt(img, x * w / 8, y * h / 8).toLong
+            }
+            val total = s.sum
+            var hi = 0L; var lo = 0L
+            var pos = 0
+            while (pos < 64) {
+              if (64L * s(pos) > total) {
+                if (pos < 32) lo |= 1L << pos else hi |= 1L << (pos - 32)
+              }
+              pos += 1
+            }
+            AHash(b.doc_id, hi, lo)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** Image near-dup pairs by Hamming distance over [[aHash64]] hashes,
+    * found via 16-bit band blocking: a pair within distance `maxDist`
+    * ≤ 3 differs in at most 3 of the 4 bands, so BY PIGEONHOLE it
+    * collides on at least one — the banding is exact, not approximate,
+    * and the result is fully oracle-checkable. Candidates from the
+    * band equi-join verify the true distance with `bit_count(xor)`.
+    *
+    * Scale shape: the only corpus-sized exchange carries (id, 2 longs,
+    * band key); candidate fan-out is bounded by band-bucket sizes (16
+    * bits → 65k buckets per band; skewed buckets mean near-identical
+    * images, which ARE the answer). No all-pairs join exists.
+    */
+  def aHashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "4-band pigeonhole blocking is exact only for maxDist <= 3")
+    val bands = hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        posexplode(array(
+          pmod(col("hash_lo"), lit(65536L)),
+          expr("hash_lo div 65536"),
+          pmod(col("hash_hi"), lit(65536L)),
+          expr("hash_hi div 65536"))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val dist = bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
+      bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        dist.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** DuckDB mirror of [[synthGrayPng]] → [[aHash64]]: the hash
+    * recomputed ANALYTICALLY from the pixel formula `(31·id + 7x +
+    * 13y) mod 256` — the engine must reproduce it through actual PNG
+    * encode→decode. `idsSql` selects one column `id`. Emitted as CTE
+    * clauses (callers append after their own WITH list).
+    */
+  def aHashCtesSql(idsSql: String): String =
+    s"""ah_ids AS ($idsSql),
+       |ah_px AS (
+       |  SELECT id, pos,
+       |    (31 * id + 7 * (((pos % 8) * (8 + id % 16)) // 8)
+       |       + 13 * (((pos // 8) * (8 + (id // 16) % 16)) // 8)) % 256 AS v
+       |  FROM ah_ids CROSS JOIN (SELECT unnest(range(0, 64)) AS pos)),
+       |ah_b AS (
+       |  SELECT id, pos,
+       |    CASE WHEN 64 * v > SUM(v) OVER (PARTITION BY id)
+       |      THEN 1 ELSE 0 END AS bit
+       |  FROM ah_px),
+       |ah AS (
+       |  SELECT id AS doc_id,
+       |    CAST(SUM(CASE WHEN pos >= 32
+       |      THEN bit * (CAST(1 AS BIGINT) << (pos - 32))
+       |      ELSE 0 END) AS BIGINT) AS hash_hi,
+       |    CAST(SUM(CASE WHEN pos < 32
+       |      THEN bit * (CAST(1 AS BIGINT) << pos)
+       |      ELSE 0 END) AS BIGINT) AS hash_lo
+       |  FROM ah_b GROUP BY id)""".stripMargin
 }

@@ -816,6 +816,27 @@ object TextQueries {
           Multimodal.synthGrayPng(docs(s, dir), "doc_id"), 8, 8))
         .select(col("doc_id"), col("width"), col("height"),
           col("n_pixels"), col("luma_sum"))),
+    // REAL image perceptual hash: synth PNG → decode → 8×8 nearest
+    // grid sample → 64-bit average hash (two uint32 halves; strict
+    // integer 64·v > Σv threshold) — the oracle re-derives every bit
+    // analytically from the pixel formula
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.aHash64(
+        Multimodal.synthGrayPng(docs(s, dir), "doc_id"))
+        .select(col("doc_id"), col("hash_hi"), col("hash_lo"))),
+    // image near-dup pairs over the perceptual hashes via 16-bit band
+    // blocking — pigeonhole-EXACT for hamming <= 3 (a pair differing in
+    // <= 3 bits shares at least one of 4 bands), so the banded result
+    // is the full answer, not an approximation. Restricted to a 512-id
+    // prefix: the synthetic generator repeats images at id mod 256, so
+    // the unrestricted pair set grows quadratically in corpus size
+    "multimodal_phash_neardup" -> ((s, dir) =>
+      Multimodal.aHashNearDup(
+        Multimodal.aHash64(
+          Multimodal.synthGrayPng(
+            docs(s, dir).filter(col("doc_id") < 512), "doc_id")),
+        maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))),
     // script/char-class profile per language: ASCII letters, digits,
     // spaces, punctuation vs OTHER (where non-Latin scripts and
     // encoding damage land) — translate-based, regex-dialect-free
@@ -2172,6 +2193,32 @@ object TextQueries {
           |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
           |  CAST(w * h AS BIGINT) AS n_pixels, CAST(ls AS BIGINT) AS luma_sum
           |FROM px""".stripMargin,
+      // mirrors aHash64 over synthGrayPng: every bit analytic
+      "multimodal_phash" ->
+        s"""WITH ${Multimodal.aHashCtesSql("SELECT doc_id AS id FROM documents")}
+           |SELECT doc_id, hash_hi, hash_lo FROM ah""".stripMargin,
+      // mirrors aHashNearDup: same 4×16-bit band blocking + bit_count
+      "multimodal_phash_neardup" ->
+        s"""WITH ${Multimodal.aHashCtesSql(
+              "SELECT doc_id AS id FROM documents WHERE doc_id < 512")},
+           |bands AS (
+           |  SELECT doc_id, hash_hi, hash_lo, 0 AS band_idx,
+           |         hash_lo % 65536 AS band_val FROM ah
+           |  UNION ALL
+           |  SELECT doc_id, hash_hi, hash_lo, 1, hash_lo // 65536 FROM ah
+           |  UNION ALL
+           |  SELECT doc_id, hash_hi, hash_lo, 2, hash_hi % 65536 FROM ah
+           |  UNION ALL
+           |  SELECT doc_id, hash_hi, hash_lo, 3, hash_hi // 65536 FROM ah)
+           |SELECT id_a, id_b, hamming FROM (
+           |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+           |    CAST(bit_count(xor(x.hash_hi, y.hash_hi)) +
+           |         bit_count(xor(x.hash_lo, y.hash_lo)) AS INT) AS hamming
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+           |   AND x.doc_id < y.doc_id)
+           |WHERE hamming <= 3
+           |ORDER BY id_a, id_b""".stripMargin,
       // mirrors scriptProfile(lang): translate-based char-class counts
       // (identical char-for-char semantics on both engines), summed per
       // language
