@@ -437,6 +437,40 @@ object AnalyticsQueries {
             col("l_quantity"))).as("median_qty"),
           max(col("__n")).as("n"))
     }),
+    // exact MEDIAN ABSOLUTE DEVIATION per group — the robust spread
+    // statistic (outlier-immune, unlike stddev): discrete median from
+    // the value histogram, then the same rank arithmetic again over the
+    // |x − median| deviation histogram. Both passes see distinct values
+    // per key only; deviations of integer-valued quantities are exact
+    // doubles, so the whole result hash-matches
+    "q_mad" -> ((s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("__c"))
+      val wCum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val med = hist
+        .withColumn("__cum", sum(col("__c")).over(wCum))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("__cum") >= expr("(__n + 1) DIV 2"),
+          col("l_quantity"))).as("median_qty"),
+          max(col("__n")).as("n"))
+      val wDevCum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("__dev"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.join(med, Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("median_qty"), col("n"),
+          abs(col("l_quantity") - col("median_qty")).as("__dev"))
+        .agg(sum(col("__c")).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(wDevCum))
+        .groupBy(col("l_returnflag"), col("median_qty"), col("n"))
+        .agg(min(when(col("__cum") >= expr("(n + 1) DIV 2"),
+          col("__dev"))).as("mad"))
+        .select(col("l_returnflag"), col("median_qty"), col("mad"), col("n"))
+    }),
     // k-anonymity risk report: group sizes over a quasi-identifier
     // (event_type × hour-of-day), flag groups below k=50 and account
     // the rows at re-identification risk — the governance scan a
@@ -1792,6 +1826,38 @@ object AnalyticsQueries {
          |${graft.functions.Graphs.pageRankSql(edgesSql, iters = 3)}
          |) pr ORDER BY rank DESC, node LIMIT 20""".stripMargin
     },
+    // mirrors q_mad: same two chained histograms + rank arithmetic
+    "q_mad" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, l_quantity, c,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM hist),
+        |med AS (
+        |  SELECT l_returnflag,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN l_quantity END)
+        |      AS median_qty,
+        |    CAST(MAX(n) AS BIGINT) AS n
+        |  FROM w GROUP BY l_returnflag),
+        |dev AS (
+        |  SELECT hist.l_returnflag, median_qty, n,
+        |    ABS(l_quantity - median_qty) AS d,
+        |    CAST(SUM(c) AS BIGINT) AS c
+        |  FROM hist JOIN med USING (l_returnflag)
+        |  GROUP BY 1, 2, 3, 4),
+        |dw AS (
+        |  SELECT l_returnflag, median_qty, n, d, c,
+        |    CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM dev)
+        |SELECT l_returnflag, median_qty,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM dw GROUP BY l_returnflag, median_qty""".stripMargin,
     // mirrors privacy_l_diversity
     "privacy_l_diversity" ->
       """WITH g AS (
