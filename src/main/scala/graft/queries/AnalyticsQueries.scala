@@ -339,6 +339,31 @@ object AnalyticsQueries {
             coalesce(col("__sd"), lit(0).cast("decimal(28,4)")))
             .cast("double").as("total_value"))
     }),
+    // incremental JOIN-view maintenance — the bilinear delta rule:
+    // Δ(O ⋈ L) = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL, so a refresh joins only
+    // delta-sized frames against the other side (never base×base
+    // again); merging the four partial states must equal the full
+    // recompute — the oracle IS that recompute. States are
+    // count + exact decimal sum, so the merge is associative
+    "join_incremental" -> ((s, dir) => {
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem")
+      val oOld = o.filter(col("o_orderdate") < cutoff)
+      val oNew = o.filter(col("o_orderdate") >= cutoff)
+      val lOld = l.filter(col("l_shipdate") < cutoff)
+      val lNew = l.filter(col("l_shipdate") >= cutoff)
+      def st(a: DataFrame, b: DataFrame) =
+        a.join(b, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("__n"), sum(revenue).as("__s"))
+      st(oOld, lOld).unionByName(st(oNew, lOld))
+        .unionByName(st(oOld, lNew)).unionByName(st(oNew, lNew))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("__n")).as("n_pairs"),
+          sum(col("__s")).cast("double").as("revenue"))
+    }),
     // join-key skew profile: the 10 heaviest customer keys with share,
     // skew ratio, and the integer salt factor that levels each onto the
     // mean — the measurement that decides plain vs salted joins
@@ -1324,6 +1349,14 @@ object AnalyticsQueries {
         |    AS DOUBLE) AS sum_winsorized
         |FROM events e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type, p05, p95""".stripMargin,
+    // mirrors join_incremental: the four merged delta states must
+    // equal this full join recompute — that equality IS the bilinear
+    // delta-rule claim
+    "join_incremental" ->
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM($revenueSql) AS DOUBLE) AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     // mirrors agg_incremental: the merged state must equal this full
     // recompute — that equality IS the incremental-maintenance claim
     "agg_incremental" ->

@@ -223,6 +223,32 @@ object TextQueries {
     "dedup_sorted_neighbors" -> ((s, dir) =>
       Dedup.sortedNeighborDups(dupCorpus(docs(s, dir)), "doc_id", "text",
         window = 4, maxHamming = 3, useMd5 = true)),
+    // edit-distance verification of near-dup candidates: sorted-
+    // neighborhood candidates (hamming <= 8, loose) re-scored with TRUE
+    // Levenshtein distance on 256-char prefixes — the precision stage a
+    // sketch-based dedup pipeline runs before destructive deletion
+    // (SimHash proximity is a proxy; edit distance is the claim).
+    // Both engines run their builtin codegen'd levenshtein; the prefix
+    // cap bounds the O(len²) cell table per pair
+    "dedup_edit_verify" -> ((s, dir) => {
+      val corpus = dupCorpus(docs(s, dir))
+      val cand = Dedup.sortedNeighborDups(corpus, "doc_id", "text",
+        window = 4, maxHamming = 8, useMd5 = true)
+      val txt = corpus.select(col("doc_id"),
+        substring(col("text"), 1, 256).as("__t"))
+      cand
+        .join(txt.select(col("doc_id").as("id_a"), col("__t").as("__ta")),
+          Seq("id_a"))
+        .join(txt.select(col("doc_id").as("id_b"), col("__t").as("__tb")),
+          Seq("id_b"))
+        .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+        .filter(col("edit_dist") <= 40)
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          col("edit_dist").cast("int").as("edit_dist"),
+          (lit(1.0) - col("edit_dist").cast("double") /
+            greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+            .as("edit_sim"))
+    }),
     // CCNet-style span-level dedup: drop every 8-token span already seen
     // earlier in the dup-injected corpus (global (id, pos) first-occurrence
     // order) and reassemble — exact-dup docs collapse to empty clean_text,
@@ -1853,6 +1879,28 @@ object TextQueries {
            |    / CAST(COUNT(*) AS DOUBLE) AS short_frac
            |FROM documents""".stripMargin,
       "dedup_sorted_neighbors" -> sortedNeighborOracleSql,
+      // mirrors dedup_edit_verify: same rank candidates, same builtin
+      // levenshtein on 256-char prefixes
+      "dedup_edit_verify" ->
+        s"""WITH $simHashSigCtesSql,
+           |ranked AS (
+           |  SELECT id, s, row_number() OVER (ORDER BY s, id) AS rn FROM sig
+           |),
+           |cand AS (
+           |  SELECT LEAST(x.id, y.id) AS id_a, GREATEST(x.id, y.id) AS id_b,
+           |    CAST(bit_count(xor(x.s, y.s)) AS INT) AS hamming
+           |  FROM ranked x JOIN ranked y
+           |    ON y.rn > x.rn AND y.rn <= x.rn + 4
+           |  WHERE bit_count(xor(x.s, y.s)) <= 8
+           |),
+           |txt AS (SELECT doc_id AS id, substr(text, 1, 256) AS t FROM corpus)
+           |SELECT id_a, id_b, hamming,
+           |  CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist,
+           |  1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+           |    / CAST(GREATEST(length(a.t), length(b.t)) AS DOUBLE) AS edit_sim
+           |FROM cand JOIN txt a ON cand.id_a = a.id
+           |          JOIN txt b ON cand.id_b = b.id
+           |WHERE levenshtein(a.t, b.t) <= 40""".stripMargin,
       // mirrors corpus_concentration: same rank order, same exact-long
       // Gini arithmetic
       "corpus_concentration" ->
