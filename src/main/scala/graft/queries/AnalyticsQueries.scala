@@ -199,6 +199,135 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("numcust"),
           sum(dec("c_acctbal")).cast("double").as("totacctbal"))
     }),
+    // TPC-H Q2-shaped min-cost supplier (no partsupp table in the test
+    // star schema, so lineitem plays the part-supplier relation with
+    // min(l_extendedprice) as the supply cost). The correlated MIN
+    // subquery DECORRELATES to a window min over the joined frame — one
+    // shuffle on p_partkey instead of a per-part rescan; region pruning
+    // (supplier→nation→region) broadcasts, and the (part, supplier) cost
+    // table is a partial-aggregated groupBy so only one row per pair
+    // reaches the join
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select("p_partkey", "p_brand")
+      val sn = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val cost = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(dec("l_extendedprice")).as("supplycost_dec"))
+      val w = Window.partitionBy(col("p_partkey"))
+      cost.join(p, col("l_partkey") === col("p_partkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("__min_cost", min(col("supplycost_dec")).over(w))
+        .filter(col("supplycost_dec") === col("__min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"),
+          col("supplycost_dec").cast("double").as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(20)
+    }),
+    // TPC-H Q9-shaped product-type profit: 4-way join with a LIKE
+    // pushdown on part, profit = revenue − cost where cost is an exact
+    // decimal p_retailprice·l_quantity·0.5 (narrow DECIMAL(12,2) casts
+    // keep the 3-factor product inside DuckDB's 38-digit cap). Grouped
+    // by supplier nation × order year; nation rides a broadcast, the
+    // only data-sized exchange is the final partial/final agg
+    "q9_product_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("decimal(12,2)").as("__rp"))
+      val sn = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val cost = (col("__rp") * col("l_quantity").cast("decimal(12,2)") *
+        lit(0.5).cast("decimal(3,2)")).cast("decimal(28,6)")
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum((revenue - cost).cast("decimal(28,6)")).cast("double")
+          .as("sum_profit"))
+    }),
+    // TPC-H Q11-shaped important stock: per-part value restricted to one
+    // nation's suppliers, kept when above a fraction of the GLOBAL total
+    // — the uncorrelated scalar subquery attaches as a 1-row broadcast
+    // crossJoin (never a shuffle), and the threshold compare stays in
+    // exact decimal on both engines
+    "q11_important_stock" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_7"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val base = t(s, dir, "lineitem")
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum((dec("l_extendedprice") *
+          col("l_quantity").cast("decimal(12,2)")).cast("decimal(28,4)"))
+          .as("value_dec"))
+      val total = base
+        .agg(sum(col("value_dec")).cast("decimal(28,4)").as("__total"))
+      base.crossJoin(broadcast(total))
+        .filter(col("value_dec") >
+          col("__total") * lit(0.001).cast("decimal(4,3)"))
+        .select(col("l_partkey"),
+          col("value_dec").cast("double").as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+        .limit(50)
+    }),
+    // TPC-H Q12-shaped shipping-lateness audit (no l_shipmode column, so
+    // the band is derived: >60 days from order to ship = SLOW). The
+    // CASE-sum pivot runs as one partial/final agg over the join; both
+    // engines see midnight-aligned timestamps so datediff/date_diff
+    // agree exactly
+    "q12_shipmode" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("ship_band",
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 60, "SLOW")
+            .otherwise("FAST"))
+        .groupBy(col("ship_band"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("ship_band"))
+    }),
+    // TPC-H Q20-shaped promotion candidates: suppliers holding a "heavy"
+    // share (>10%) of any bolt-part's shipped volume, restricted to one
+    // region. The correlated per-part total DECORRELATES to a window sum
+    // over the (supplier, part) aggregate — the window runs on the
+    // already-aggregated frame (≤ one row per pair), and the supplier
+    // probe is a LEFT SEMI join so supplier rows never duplicate
+    "q20_potential_promotion" -> ((s, dir) => {
+      val parts = t(s, dir, "part").filter(col("p_name").contains("bolt"))
+        .select(col("p_partkey"))
+      val shipped = t(s, dir, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("qty"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val heavy = shipped
+        .withColumn("__part_total",
+          sum(col("qty")).over(w).cast("decimal(28,2)"))
+        .filter(col("qty") > col("__part_total") * lit(0.1).cast("decimal(2,1)"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(t(s, dir, "nation").filter(col("n_regionkey") === 3),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
     // TPC-H Q16-shaped supplier variety: distinct-count per group AFTER
     // an anti-join exclusion — the countDistinct lands on the grouped
     // keys post-join, the exclusion list (synthetic "complaints" set)
@@ -1259,6 +1388,90 @@ object AnalyticsQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
+    // q2 oracle kept in the CORRELATED form (the Spark side decorrelates
+    // to a window min — an independent formulation of the same spec)
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost_dec
+        |  FROM lineitem GROUP BY 1, 2
+        |), eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  CAST(supplycost_dec AS DOUBLE) AS supplycost
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |JOIN eu ON l_suppkey = s_suppkey
+        |WHERE p_size = 15 AND p_type = 'STANDARD'
+        |  AND supplycost_dec = (
+        |    SELECT MIN(ps2.supplycost_dec) FROM ps ps2
+        |    JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+        |    WHERE ps2.l_partkey = ps.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 20""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  CAST(SUM(CAST($revenueSql -
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2)) *
+        |      CAST(0.5 AS DECIMAL(3,2)) AS DECIMAL(28,6))
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q11_important_stock" ->
+      """WITH base AS (
+        |  SELECT l_partkey,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(28,4)))
+        |      AS value_dec
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+        |FROM base
+        |WHERE value_dec > (SELECT CAST(SUM(value_dec) AS DECIMAL(28,4))
+        |                   FROM base) * CAST(0.001 AS DECIMAL(4,3))
+        |ORDER BY part_value DESC, l_partkey
+        |LIMIT 50""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT
+        |  CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 60
+        |       THEN 'SLOW' ELSE 'FAST' END AS ship_band,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q20 oracle kept in the nested-IN + HAVING-correlated form
+    "q20_potential_promotion" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 3 AND s_suppkey IN (
+        |  WITH shipped AS (
+        |    SELECT l_suppkey, l_partkey,
+        |      SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |    FROM lineitem
+        |    WHERE l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        |    GROUP BY 1, 2)
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, qty,
+        |      CAST(SUM(qty) OVER (PARTITION BY l_partkey)
+        |        AS DECIMAL(28,2)) AS part_total
+        |    FROM shipped)
+        |  WHERE qty > part_total * CAST(0.1 AS DECIMAL(2,1)))
+        |ORDER BY s_name""".stripMargin,
     // mirrors q16_supplier_variety
     "q16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
