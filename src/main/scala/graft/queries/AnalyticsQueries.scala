@@ -661,6 +661,106 @@ object AnalyticsQueries {
             .as("low_diversity_groups"),
           sum(when(col("__l") < 5, col("__c")).otherwise(0L))
             .as("rows_at_risk"))),
+    // t-closeness companion: per quasi-identifier group, the earth-
+    // mover's distance between the group's distribution of an ORDERED
+    // sensitive attribute (item id banded to 20 classes) and the global
+    // distribution. The textbook EMD for ordered classes is
+    // (1/(m-1))·Σ|cum(p)−cum(q)|; fractions are avoided by multiplying
+    // through — |N·cumC_g − n_g·cumD| is INTEGER-exact, with one final
+    // division to double (deterministic IEEE in both engines). Only the
+    // first groupBy touches data; the grid is (groups × 20 bands) built
+    // from aggregated frames, so the cross join is bounded by the
+    // attribute domain, never the corpus
+    "privacy_t_closeness" -> ((s, dir) => {
+      val m = 20
+      val banded = Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .withColumn("band", pmod(col("item"), lit(m.toLong)))
+      val cell = banded.groupBy(col("event_type"), col("band"))
+        .agg(count(lit(1)).as("__c"))
+      val bands = s.range(m).select(col("id").as("band"))
+      val groups = cell.groupBy(col("event_type")).agg(sum(col("__c")).as("n_g"))
+      val global = cell.groupBy(col("band")).agg(sum(col("__c")).as("__d"))
+      val grid = groups.crossJoin(broadcast(bands))
+        .join(cell, Seq("event_type", "band"), "left")
+        .na.fill(0L, Seq("__c"))
+        .join(broadcast(global.withColumnRenamed("__d", "__d0")
+          .select(col("band"), col("__d0"))), Seq("band"), "left")
+        .na.fill(0L, Seq("__d0"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = banded.count()
+      grid
+        .withColumn("__cum_c", sum(col("__c")).over(wCum))
+        .withColumn("__cum_d", sum(col("__d0")).over(wCum))
+        .groupBy(col("event_type"), col("n_g"))
+        .agg(sum(abs(lit(total) * col("__cum_c") - col("n_g") * col("__cum_d")))
+          .as("__num"))
+        .select(col("event_type"), col("n_g").as("n_rows"),
+          (col("__num").cast("double") /
+            (col("n_g").cast("double") * lit(total.toDouble) * lit((m - 1).toDouble)))
+            .as("t_emd"))
+        .withColumn("violates_t", col("t_emd") > 0.2)
+    }),
+    // 2-D skyline (Pareto front: minimize p_retailprice AND p_size) —
+    // the classic dominance operator Spark lacks. Instead of the
+    // quadratic NOT-EXISTS self-join, dominance DECORRELATES to two
+    // aggregates: (a) per-price minimum size (partial-aggregating
+    // groupBy — the only data-sized exchange), (b) a running min over
+    // the per-price frame ordered by price, ROWS 1 PRECEDING, giving
+    // the best size among all STRICTLY cheaper points. A part survives
+    // iff it achieves its price's min size and beats every cheaper
+    // price's best. The ordered window runs on the aggregated
+    // |distinct prices| frame, not the data
+    "q_skyline" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val perPrice = p.groupBy(col("p_retailprice").as("__price"))
+        .agg(min(col("p_size")).as("__min_size"))
+      val wLt = Window.orderBy(col("__price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = perPrice
+        .withColumn("__best_cheaper", min(col("__min_size")).over(wLt))
+      p.join(front, col("p_retailprice") === col("__price"))
+        .filter(col("p_size") === col("__min_size") &&
+          (col("__best_cheaper").isNull ||
+            col("__best_cheaper") > col("p_size")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_size"), col("p_partkey"))
+    }),
+    // lag-1 autocorrelation of each event type's hourly volume series —
+    // the seasonality screen a pipeline runs before alerting on volume
+    // anomalies. All moments are INTEGER-exact: with S = Σc and n terms,
+    // r = Σ(n·c_t−S)(n·c_{t−1}−S) / Σ(n·c_t−S)² multiplies the mean
+    // through (decimal(38,0) keeps n·c ~ 1e9 squares exact); the single
+    // final division is deterministic double. The series frame is the
+    // AGGREGATED types × hours grid, so the lag window and the moment
+    // sums never see row-level data
+    "events_autocorr" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hh"))
+        .agg(count(lit(1)).as("c"))
+      val tot = series.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("__s"), count(lit(1)).as("__n"))
+      val wLag = Window.partitionBy(col("event_type")).orderBy(col("hh"))
+      val d = col("__n") * col("c") - col("__s")
+      val dPrev = col("__n") * col("__c_prev") - col("__s")
+      series.join(tot, Seq("event_type"))
+        .withColumn("__c_prev", lag(col("c"), 1).over(wLag))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("__c_prev").isNotNull,
+            (d.cast("decimal(38,0)") * dPrev.cast("decimal(38,0)"))
+              .cast("decimal(38,0)")).otherwise(lit(0).cast("decimal(38,0)")))
+            .as("__num"),
+          sum((d.cast("decimal(38,0)") * d.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")).as("__den"),
+          max(col("__n")).as("n_hours"))
+        .select(col("event_type"), col("n_hours"),
+          (col("__num").cast("double") / col("__den").cast("double"))
+            .as("autocorr_lag1"))
+    }),
     // window-function breadth over per-user event sequences: first/
     // last/nth value with EXPLICIT row frames (engine defaults differ;
     // pinning the frame is the portability lesson), cume_dist on a
@@ -2122,6 +2222,75 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN l < 5 THEN c ELSE 0 END) AS BIGINT)
         |    AS rows_at_risk
         |FROM g GROUP BY event_type""".stripMargin,
+    // integer-exact ordered-EMD; items are non-negative so % == pmod
+    "privacy_t_closeness" ->
+      """WITH banded AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 20 AS band
+        |  FROM events
+        |  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
+        |cell AS (
+        |  SELECT event_type, band, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM banded GROUP BY 1, 2),
+        |groups AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_g FROM cell GROUP BY 1),
+        |gdist AS (
+        |  SELECT band, CAST(SUM(c) AS BIGINT) AS d0 FROM cell GROUP BY 1),
+        |grid AS (
+        |  SELECT g.event_type, g.n_g, b.band,
+        |    COALESCE(c.c, 0) AS c, COALESCE(gl.d0, 0) AS d0
+        |  FROM groups g CROSS JOIN (SELECT UNNEST(RANGE(20)) AS band) b
+        |  LEFT JOIN cell c ON c.event_type = g.event_type AND c.band = b.band
+        |  LEFT JOIN gdist gl ON gl.band = b.band),
+        |cum AS (
+        |  SELECT event_type, n_g,
+        |    SUM(c)  OVER (PARTITION BY event_type ORDER BY band) AS cum_c,
+        |    SUM(d0) OVER (PARTITION BY event_type ORDER BY band) AS cum_d
+        |  FROM grid),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM banded)
+        |SELECT event_type, CAST(n_g AS BIGINT) AS n_rows,
+        |  CAST(CAST(SUM(ABS(tot.n * cum_c - n_g * cum_d)) AS DOUBLE) /
+        |    (CAST(n_g AS DOUBLE) * CAST(tot.n AS DOUBLE) * 19.0)
+        |    AS DOUBLE) AS t_emd,
+        |  (CAST(CAST(SUM(ABS(tot.n * cum_c - n_g * cum_d)) AS DOUBLE) /
+        |    (CAST(n_g AS DOUBLE) * CAST(tot.n AS DOUBLE) * 19.0)
+        |    AS DOUBLE) > 0.2) AS violates_t
+        |FROM cum, tot GROUP BY event_type, n_g, tot.n""".stripMargin,
+    // the oracle keeps the quadratic NOT-EXISTS dominance form (the
+    // Spark side decorrelates to per-price min + running min — an
+    // independent formulation of the same spec)
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size <= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+        |ORDER BY p_retailprice, p_size, p_partkey""".stripMargin,
+    "events_autocorr" ->
+      """WITH series AS (
+        |  SELECT event_type, DATE_TRUNC('hour', ts) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM series GROUP BY 1),
+        |lagged AS (
+        |  SELECT se.event_type, t.n, t.s, se.c,
+        |    LAG(se.c) OVER (PARTITION BY se.event_type ORDER BY se.hh)
+        |      AS c_prev
+        |  FROM series se JOIN tot t ON se.event_type = t.event_type)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_hours,
+        |  CAST(CAST(SUM(CASE WHEN c_prev IS NOT NULL
+        |      THEN CAST(n*c - s AS DECIMAL(38,0)) *
+        |           CAST(n*c_prev - s AS DECIMAL(38,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(n*c - s AS DECIMAL(38,0)) *
+        |             CAST(n*c - s AS DECIMAL(38,0))) AS DOUBLE)
+        |    AS DOUBLE) AS autocorr_lag1
+        |FROM lagged GROUP BY event_type""".stripMargin,
     // mirrors events_window_breadth: identical explicit frames
     "events_window_breadth" ->
       """SELECT event_id, user_id, value,
