@@ -258,13 +258,15 @@ object AnalyticsQueries {
           .as("sum_profit"))
     }),
     // TPC-H Q11-shaped important stock: per-part value restricted to one
-    // nation's suppliers, kept when above a fraction of the GLOBAL total
-    // — the uncorrelated scalar subquery attaches as a 1-row broadcast
-    // crossJoin (never a shuffle), and the threshold compare stays in
-    // exact decimal on both engines
+    // REGION's suppliers, kept when above 1.5× the mean part value — a
+    // SCALE-FREE threshold (a fixed fraction of the total goes vacuous
+    // as the part count grows). The uncorrelated scalar subquery
+    // attaches as a 1-row broadcast crossJoin (never a shuffle), and the
+    // threshold compare stays in exact decimal on both engines (narrow
+    // casts keep value·n inside both engines' 38-digit cap)
     "q11_important_stock" -> ((s, dir) => {
       val supp = t(s, dir, "supplier")
-        .join(t(s, dir, "nation").filter(col("n_name") === "NATION_7"),
+        .join(t(s, dir, "nation").filter(col("n_regionkey") === 3),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"))
       val base = t(s, dir, "lineitem")
@@ -274,10 +276,11 @@ object AnalyticsQueries {
           col("l_quantity").cast("decimal(12,2)")).cast("decimal(28,4)"))
           .as("value_dec"))
       val total = base
-        .agg(sum(col("value_dec")).cast("decimal(28,4)").as("__total"))
+        .agg(sum(col("value_dec")).cast("decimal(28,4)").as("__total"),
+          count(lit(1)).cast("decimal(8,0)").as("__n_parts"))
       base.crossJoin(broadcast(total))
-        .filter(col("value_dec") >
-          col("__total") * lit(0.001).cast("decimal(4,3)"))
+        .filter(col("value_dec").cast("decimal(26,4)") * col("__n_parts") >
+          col("__total") * lit(1.5).cast("decimal(2,1)"))
         .select(col("l_partkey"),
           col("value_dec").cast("double").as("part_value"))
         .orderBy(col("part_value").desc, col("l_partkey"))
@@ -1535,12 +1538,14 @@ object AnalyticsQueries {
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_7'
+        |  WHERE n_regionkey = 3
         |  GROUP BY 1)
         |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
         |FROM base
-        |WHERE value_dec > (SELECT CAST(SUM(value_dec) AS DECIMAL(28,4))
-        |                   FROM base) * CAST(0.001 AS DECIMAL(4,3))
+        |WHERE CAST(value_dec AS DECIMAL(26,4)) *
+        |    (SELECT CAST(COUNT(*) AS DECIMAL(8,0)) FROM base) >
+        |  (SELECT CAST(SUM(value_dec) AS DECIMAL(28,4)) FROM base) *
+        |    CAST(1.5 AS DECIMAL(2,1))
         |ORDER BY part_value DESC, l_partkey
         |LIMIT 50""".stripMargin,
     "q12_shipmode" ->
