@@ -616,6 +616,13 @@ object TextQueries {
       TermStats.countMinEstimate(top, "term", sketch)
         .withColumn("no_underestimate", col("est_count") >= col("true_count"))
     }),
+    // Misra-Gries heavy hitters with exact recount: every term at
+    // >= 1/150 of the token total, found without shuffling the
+    // vocabulary (each map task ships <= k=200 counters) — the sketch
+    // only prunes, the counts are exact
+    "vocab_heavy_hitters" -> ((s, dir) =>
+      graft.functions.HeavyHitters.heavyTerms(docs(s, dir), "text",
+        suppNum = 1L, suppDen = 150L, k = 200)),
     // bigram conditional surprisal (integer-exact KenLM-style quality
     // proxy): per-doc mean floor(log2(c(a)/c(a,b))) over adjacent pairs
     // — distinguishes shuffled word salad from natural order where the
@@ -1735,6 +1742,18 @@ object TextQueries {
            |  COALESCE(tokens_v2, 0) AS tokens_v2,
            |  COALESCE(tokens_v2, 0) - COALESCE(tokens_v1, 0) AS tokens_delta
            |FROM v1 FULL OUTER JOIN v2 ON v1.source = v2.source""".stripMargin,
+      // mirrors heavyTerms(1/150, k=200): the MG sketch is recall-exact
+      // above the support threshold, so the recounted output equals the
+      // plain exact HAVING query
+      "vocab_heavy_hitters" ->
+        """WITH tok AS (
+          |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+          |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok)
+          |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt, n_tokens,
+          |  CAST(COUNT(*) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS frac
+          |FROM tok, tot
+          |GROUP BY term, n_tokens
+          |HAVING COUNT(*) * 150 >= n_tokens""".stripMargin,
       "vocab_count_min" -> {
         import graft.functions.TermStats.{cmBucketSql, CmRows}
         val bucketRows = (0 until CmRows).map(r =>
