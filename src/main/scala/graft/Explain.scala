@@ -20,9 +20,20 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    if (args.isEmpty) {
+      println("usage: runMain graft.Explain <query> [<query> ...]")
+      println(s"available queries (${SparkEntry.queries.size}):")
+      SparkEntry.queries.keys.toSeq.sorted.foreach(n => println(s"  $n"))
+    }
     args.foreach { n =>
-      println(s"===== $n =====")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+      SparkEntry.queries.get(n) match {
+        case Some(q) =>
+          println(s"===== $n =====")
+          q(spark, dir).explain("formatted")
+        case None =>
+          println(s"unknown query '$n' — run with no args to list all " +
+            s"${SparkEntry.queries.size} registered names")
+      }
     }
     spark.stop()
   }

@@ -182,7 +182,9 @@ object Graphs {
        |FROM nn CROSS JOIN ne CROSS JOIN wed CROSS JOIN tri""".stripMargin
 
   /** DuckDB mirror of [[pageRank]]: the same iterations unrolled as
-    * CTEs — same decimal(38,18) contribution sums, same damping dag.
+    * CTEs — same 2^44 fixed-point BIGINT contribution sums (floor of
+    * the scaled IEEE division; deliberately NOT a decimal cast, which
+    * the two engines round differently), same damping dag.
     * `edgesSql` must select columns aliased `src` and `dst`.
     */
   def pageRankSql(edgesSql: String, iters: Int = 3,
@@ -217,4 +219,37 @@ object Graphs {
        |$rounds
        |SELECT node, rank FROM r$iters""".stripMargin
   }
+
+  /** Drop keys whose group exceeds `maxDegree` rows — the fan-out
+    * hygiene every key-blocked self-join in this repo applies
+    * (`maxShingleDf`, `maxFpDf`, band-df caps), here for the
+    * (user, item) → item-pair edge build: pair fan-out is quadratic in
+    * a user's distinct-item count, so ONE bot user with 10^5 items
+    * emits 5·10^9 pairs from a single shuffle key. Whole groups are
+    * dropped (not sampled) so the surviving pairs carry no sampling
+    * noise; the bias is explicit — co-occurrence evidence from
+    * above-cap "users" (bots, crawlers, shared accounts) is discarded,
+    * the standard co-occurrence hygiene.
+    *
+    * Scale shape: a count window partitioned on `keyCol` — the same
+    * key the downstream self-join shuffles on, so the exchange is
+    * reused and the cap costs no extra shuffle.
+    */
+  def capKeyDegree(df: DataFrame, keyCol: String, maxDegree: Int): DataFrame = {
+    require(maxDegree >= 1, "maxDegree must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+    df.withColumn("__deg", count(lit(1)).over(w))
+      .filter(col("__deg") <= maxDegree)
+      .drop("__deg")
+  }
+
+  /** DuckDB mirror of [[capKeyDegree]] as a CTE body: selects every
+    * column of `srcSql`'s output, keeping only keys at or below the cap.
+    */
+  def capKeyDegreeSql(srcSql: String, keyCol: String, maxDegree: Int): String =
+    s"""SELECT * EXCLUDE (__deg) FROM (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY $keyCol) AS __deg
+       |  FROM ($srcSql))
+       |WHERE __deg <= $maxDegree""".stripMargin
 }

@@ -396,19 +396,28 @@ object Multimodal {
     * Scale shape: the only corpus-sized exchange carries (id, 2 longs,
     * band key); candidate fan-out is bounded by band-bucket sizes (16
     * bits → 65k buckets per band; skewed buckets mean near-identical
-    * images, which ARE the answer). No all-pairs join exists.
+    * images, which ARE the answer — up to a point: monochrome/flat
+    * images ALL share one aHash, so their bands go quadratic). Band
+    * values whose document frequency exceeds `maxBandDf` are dropped
+    * before the self-join (the maxShingleDf convention): pairs that
+    * collide ONLY on dropped bands are missed, so the ≤3-bit
+    * pigeonhole guarantee holds exactly for pairs with at least one
+    * surviving shared band — the documented trade on hot bands. The
+    * dropped bands are enumerable via [[aHashHotBands]]. The df window
+    * partitions on the join key, so the cap reuses the join's
+    * exchange. No all-pairs join exists.
     */
-  def aHashNearDup(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+  def aHashNearDup(hashes: DataFrame, maxDist: Int = 3,
+      maxBandDf: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "4-band pigeonhole blocking is exact only for maxDist <= 3")
-    val bands = hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-        posexplode(array(
-          pmod(col("hash_lo"), lit(65536L)),
-          expr("hash_lo div 65536"),
-          pmod(col("hash_hi"), lit(65536L)),
-          expr("hash_hi div 65536"))))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_val")
+    require(maxBandDf >= 2, "maxBandDf must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val wDf = Window.partitionBy(col("band_idx"), col("band_val"))
+    val bands = aHashBands(hashes)
+      .withColumn("__df", count(lit(1)).over(wDf))
+      .filter(col("__df") <= maxBandDf)
+      .drop("__df")
     val dist = bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
       bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))
     bands.as("x").join(bands.as("y"),
@@ -420,6 +429,31 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** The 4×16-bit band explode shared by [[aHashNearDup]] and
+    * [[aHashHotBands]]: one row per (doc, band position).
+    */
+  private def aHashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        posexplode(array(
+          pmod(col("hash_lo"), lit(65536L)),
+          expr("hash_lo div 65536"),
+          pmod(col("hash_hi"), lit(65536L)),
+          expr("hash_hi div 65536"))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+
+  /** The bands [[aHashNearDup]] would DROP at `maxBandDf` — the audit
+    * report for the hot-band cap: (band_idx, band_val, df), one row per
+    * dropped band, df descending. A monochrome-image cluster shows up
+    * here as four bands with df = cluster size.
+    */
+  def aHashHotBands(hashes: DataFrame, maxBandDf: Int = 4096): DataFrame =
+    aHashBands(hashes)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxBandDf)
+      .orderBy(col("df").desc, col("band_idx"), col("band_val"))
 
   /** DuckDB mirror of [[synthGrayPng]] → [[aHash64]]: the hash
     * recomputed ANALYTICALLY from the pixel formula `(31·id + 7x +

@@ -19,7 +19,7 @@ object TableStats {
     *      ORIGINAL type (then render to string), so `l_orderkey`'s max
     *      is numeric, not lexicographic.
     *   2. exact NDV via unpivot: `stack` each row into (col_name,
-    *      value-string) pairs, distinct-count per col_name as TWO
+    *      native value) pairs, distinct-count per col_name as TWO
     *      partial-aggregating groupBys — (name, value) then (name).
     *
     * The earlier one-pass form used N `countDistinct` aggregates in one
@@ -27,22 +27,37 @@ object TableStats {
     * every row into a single global aggregate keyed on ALL N columns at
     * once — measured 5× slower than this shape at sf0.1. Here each stage
     * map-side combines: stage-2's first agg emits at most NDV rows per
-    * partition per column, and the scan is read twice but pruned to
-    * exactly `cols` (IO is the cheap part; the distinct is the cost).
+    * partition per column, and the scan is read once per column TYPE
+    * GROUP (usually 2–3), each pruned to exactly that group's columns
+    * (IO is the cheap part; the distinct is the cost).
     *
     * NDV is EXACT (count distinct), deliberately: the result is
     * oracle-checkable, and at 100 TB the same shape runs with
     * `approx_count_distinct` swapped in (one-line change, HLL partial
     * aggregation — the `q_approx_distinct` family already covers that
-    * path). Casts to string are canonical for the integer/string columns
-    * this profiles (no two distinct values collide), matching the
-    * ANALYZE convention of a heterogeneous stats row. Avoid timestamp
-    * columns here: engines disagree on second-fraction rendering.
+    * path). NDV counts distinct NATIVE values — the stack-unpivot runs
+    * once per column TYPE GROUP (stack needs homogeneous value columns),
+    * so a double column counts -0.0/0.0 and shortest-repr collisions
+    * exactly as an engine counting native values would, never through a
+    * string canonicalization. Min/max DO render via a string cast (the
+    * ANALYZE convention of a heterogeneous stats row) — canonical for
+    * integer/string/date columns and for doubles whose values render
+    * identically across engines (integral doubles like quantities);
+    * timestamp columns are REJECTED outright, engines disagree on
+    * second-fraction rendering.
     *
     * Output: (col_name, n_rows, n_nulls, n_distinct, min_val, max_val).
     */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bad = cols.filter { c =>
+      byName.get(c).exists(t =>
+        t.typeName == "timestamp" || t.typeName == "timestamp_ntz")
+    }
+    require(bad.isEmpty,
+      s"columnStats cannot profile timestamp columns (min/max " +
+        s"second-fraction rendering is engine-specific): ${bad.mkString(", ")}")
     val pruned = df.select(cols.map(col): _*)
     val aggs = cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
@@ -53,13 +68,17 @@ object TableStats {
     val basics = pruned.agg(count(lit(1)).as("__n"), aggs: _*)
       .selectExpr("__n",
         s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, min_val, max_val)")
-    val unpivot = cols.map(c =>
-      s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    val ndv = pruned
-      .selectExpr(s"stack(${cols.length}, $unpivot) AS (col_name, __v)")
-      .groupBy(col("col_name"), col("__v")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("col_name"))
-      .agg(sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("n_distinct"))
+    // one unpivot per type group, NATIVE values (no canonicalizing cast)
+    val ndv = cols.groupBy(c => byName(c).typeName).values.toSeq
+      .map { gcols =>
+        val unpivot = gcols.map(c => s"'$c', `$c`").mkString(", ")
+        pruned.select(gcols.map(col): _*)
+          .selectExpr(s"stack(${gcols.length}, $unpivot) AS (col_name, __v)")
+          .groupBy(col("col_name"), col("__v")).agg(count(lit(1)).as("__c"))
+          .groupBy(col("col_name"))
+          .agg(sum(when(col("__v").isNotNull, 1L).otherwise(0L))
+            .as("n_distinct"))
+      }.reduce(_ unionByName _)
     basics.join(ndv, Seq("col_name"))
       .select(col("col_name"), col("__n").as("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_val"), col("max_val"))

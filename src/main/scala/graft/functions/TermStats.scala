@@ -283,8 +283,15 @@ object TermStats {
     * order-independent; one final division by 2^40 produces the
     * double. Granularity 2^-40 ≈ 9e-13 per term; per-term magnitude
     * must stay below 2^23 (8.4M) to avoid overflow at 10^9 terms —
-    *  chi-square summands are bounded by p_max²/q_min over the POOLED
-    * vocabulary, far below that for any real corpus. No libm anywhere.
+    * chi-square summands are bounded by p_max²/q_min over the POOLED
+    * vocabulary, far below that for any real corpus, and the bound is
+    * ENFORCED: each summand clamps at 2^23 − 1 (identical `least` on
+    * both sides) so a pathological corpus (a tiny source holding a
+    * pooled-rare term: p≈1, q≈1/ct gives a ct-sized summand) truncates
+    * identically in both engines instead of Spark saturating the long
+    * where DuckDB errors. A clamped term reads as "maximal drift" —
+    * the ranking, the statistic's only use, is preserved. No libm
+    * anywhere.
     *
     * Scale shape: one (source, term) count groupBy (the only
     * corpus-sized exchange — ids and longs, never text), one term-level
@@ -306,11 +313,13 @@ object TermStats {
     val p = col("a").cast("double") / col("at").cast("double")
     val q = col("c").cast("double") / col("ct").cast("double")
     val scale = math.pow(2, 40)
+    val maxSummand = (1L << 23).toDouble - 1
     st.join(mb, Seq("term"))
       .join(broadcast(srcTot), Seq("source"))
       .crossJoin(broadcast(poolTot))
       .select(col("source"),
-        floor(((p - q) * (p - q)) / q * lit(scale)).as("chi"),
+        floor(least(((p - q) * (p - q)) / q, lit(maxSummand)) * lit(scale))
+          .as("chi"),
         floor(q * lit(scale)).as("qd"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_terms"),
@@ -320,7 +329,8 @@ object TermStats {
   }
 
   /** DuckDB mirror of [[chiSquareDrift]] — same exact-division terms,
-    * same 2^40 fixed-point sums, same missing-mass complement.
+    * same 2^23−1 summand clamp, same 2^40 fixed-point sums, same
+    * missing-mass complement.
     */
   def chiSquareDriftSql(sourceCol: String, toksExpr: String): String =
     s"""WITH st AS (
@@ -332,7 +342,8 @@ object TermStats {
        |srct AS (SELECT source, CAST(SUM(a) AS BIGINT) AS at FROM st GROUP BY source),
        |terms AS (
        |  SELECT sp.source,
-       |    CAST(FLOOR((p - q) * (p - q) / q * 1099511627776.0) AS BIGINT) AS chi,
+       |    CAST(FLOOR(LEAST((p - q) * (p - q) / q, 8388607.0)
+       |      * 1099511627776.0) AS BIGINT) AS chi,
        |    CAST(FLOOR(q * 1099511627776.0) AS BIGINT) AS qd
        |  FROM (SELECT st.source, st.term,
        |          CAST(st.a AS DOUBLE) / CAST(srct.at AS DOUBLE) AS p

@@ -694,37 +694,71 @@ object AnalyticsQueries {
         .na.fill(0L, Seq("__d0"))
       val wCum = Window.partitionBy(col("event_type")).orderBy(col("band"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val total = banded.count()
+      // the corpus total is sum(n_g) over the aggregated groups frame,
+      // attached as a 1-row broadcast (NOT a driver-side count(), which
+      // would run a job at plan-construction time and scan events twice)
+      val total = groups.agg(sum(col("n_g")).as("__total"))
       grid
         .withColumn("__cum_c", sum(col("__c")).over(wCum))
         .withColumn("__cum_d", sum(col("__d0")).over(wCum))
+        .crossJoin(broadcast(total))
         .groupBy(col("event_type"), col("n_g"))
-        .agg(sum(abs(lit(total) * col("__cum_c") - col("n_g") * col("__cum_d")))
-          .as("__num"))
+        .agg(sum(abs(col("__total") * col("__cum_c") -
+            col("n_g") * col("__cum_d"))).as("__num"),
+          max(col("__total")).as("__tot"))
         .select(col("event_type"), col("n_g").as("n_rows"),
           (col("__num").cast("double") /
-            (col("n_g").cast("double") * lit(total.toDouble) * lit((m - 1).toDouble)))
+            (col("n_g").cast("double") * col("__tot").cast("double") *
+              lit((m - 1).toDouble)))
             .as("t_emd"))
         .withColumn("violates_t", col("t_emd") > 0.2)
     }),
     // 2-D skyline (Pareto front: minimize p_retailprice AND p_size) —
     // the classic dominance operator Spark lacks. Instead of the
-    // quadratic NOT-EXISTS self-join, dominance DECORRELATES to two
-    // aggregates: (a) per-price minimum size (partial-aggregating
-    // groupBy — the only data-sized exchange), (b) a running min over
-    // the per-price frame ordered by price, ROWS 1 PRECEDING, giving
-    // the best size among all STRICTLY cheaper points. A part survives
-    // iff it achieves its price's min size and beats every cheaper
-    // price's best. The ordered window runs on the aggregated
-    // |distinct prices| frame, not the data
+    // quadratic NOT-EXISTS self-join, dominance DECORRELATES to
+    // "best size among all strictly cheaper points": (a) per-price
+    // minimum size (partial-aggregating groupBy — the only data-sized
+    // exchange), (b) a running min over the per-price frame in price
+    // order. The running min is computed WITHOUT a single-partition
+    // window (the sortedNeighborDups two-phase shape,
+    // functions/Dedup.scala): prices bucket by value into <= 256
+    // monotone ranges (bounds from a 1-row broadcast; double rounding
+    // of the bucket expression is order-preserving, and the bucket id
+    // only shapes execution — the result is bucket-invariant), the
+    // strictly-preceding min runs PER BUCKET, and each bucket's
+    // carry-in is the cumulative min of whole-bucket minima — a
+    // <= 256-row frame through the one unpartitioned window —
+    // broadcast back on the bucket key. A part survives iff it
+    // achieves its price's min size and beats every cheaper price's
+    // best. No data-sized single-partition sort anywhere
     "q_skyline" -> ((s, dir) => {
+      val nB = 256
       val p = t(s, dir, "part")
       val perPrice = p.groupBy(col("p_retailprice").as("__price"))
         .agg(min(col("p_size")).as("__min_size"))
-      val wLt = Window.orderBy(col("__price"))
+      val bounds = perPrice.agg(
+        min(col("__price")).as("__lo"), max(col("__price")).as("__hi"))
+      val span = (col("__hi") - col("__lo")).cast("double")
+      val bucketed = perPrice.crossJoin(broadcast(bounds))
+        .withColumn("__b",
+          when(span > 0.0,
+            least(lit(nB - 1L), floor(
+              (col("__price") - col("__lo")).cast("double") * nB / span)))
+            .otherwise(lit(0L)))
+        .drop("__lo", "__hi")
+      val wLoc = Window.partitionBy(col("__b")).orderBy(col("__price"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val front = perPrice
-        .withColumn("__best_cheaper", min(col("__min_size")).over(wLt))
+      val local = bucketed
+        .withColumn("__best_local", min(col("__min_size")).over(wLoc))
+      val wCarry = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = bucketed.groupBy(col("__b"))
+        .agg(min(col("__min_size")).as("__bmin"))
+        .withColumn("__carry", min(col("__bmin")).over(wCarry))
+        .select(col("__b"), col("__carry"))
+      val front = local.join(broadcast(carry), Seq("__b"))
+        .withColumn("__best_cheaper",
+          least(col("__best_local"), col("__carry")))
       p.join(front, col("p_retailprice") === col("__price"))
         .filter(col("p_size") === col("__min_size") &&
           (col("__best_cheaper").isNull ||
@@ -1140,16 +1174,25 @@ object AnalyticsQueries {
     // statistic (n_ab·n_users / n_a·n_b) — the recsys/co-occurrence
     // join. The self-join is keyed on user_id over the DISTINCT (user,
     // item) frame, so per-user fan-out is m(m-1)/2 on the user's
-    // distinct items (at scale a per-user quota — topKPerKey — bounds
-    // m before this join; the corpus here has ~10 events/user). Item
-    // marginals join back unhinted (AQE sizes them); the user total is
-    // a 1-row broadcast. Lift divides exact longs once
+    // distinct items — quadratic in a bot user's degree, so users
+    // above maxUserDegree are DROPPED before the join
+    // (Graphs.capKeyDegree — the maxShingleDf convention applied to
+    // users; the cap window shares the join's user_id shuffle). 512 is
+    // a no-op on this corpus (~10 events/user) and the documented bias
+    // at scale: above-cap accounts contribute no co-occurrence
+    // evidence. Item marginals join back unhinted (AQE sizes them);
+    // the user total is a 1-row broadcast. Lift divides exact longs
+    // once. Marginals and n_users are computed on the CAPPED frame so
+    // lift stays consistent with the pairs it describes
     "events_covisitation" -> ((s, dir) => {
-      val items = Tables.events(s, dir)
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .filter(col("item").isNotNull)
-        .distinct()
+      val maxUserDegree = 512
+      val items = graft.functions.Graphs.capKeyDegree(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+          .distinct(),
+        "user_id", maxUserDegree)
       val marg = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
       val users = items.agg(countDistinct(col("user_id")).as("n_users"))
       items.as("x").join(items.as("y"),
@@ -1200,11 +1243,15 @@ object AnalyticsQueries {
     // decimal-summed dst aggregate, bit-reproducible vs the unrolled
     // DuckDB CTE mirror (IEEE divisions + exact decimal sums only)
     "events_pagerank" -> ((s, dir) => {
-      val items = Tables.events(s, dir)
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .filter(col("item").isNotNull)
-        .distinct()
+      // same quadratic-fan-out hygiene as events_covisitation: users
+      // above the degree cap contribute no edges (512 = no-op here)
+      val items = graft.functions.Graphs.capKeyDegree(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+          .distinct(),
+        "user_id", 512)
       val edges = items.as("x").join(items.as("y"),
           col("x.user_id") === col("y.user_id") &&
             col("x.item") =!= col("y.item"))
@@ -1260,12 +1307,17 @@ object AnalyticsQueries {
     // orientation (out-degree bounded by O(√m), so the wedge self-join
     // survives hubs — the scale-critical property). All counts exact
     // longs; the coefficient is one IEEE division
+    // Edge build drops users above maxUserDegree (Graphs.capKeyDegree)
+    // before the pair self-join — the quadratic-fan-out hygiene; see
+    // events_covisitation. 512 is a no-op on this corpus
     "events_triangles" -> ((s, dir) => {
-      val items = Tables.events(s, dir)
-        .select(col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .filter(col("item").isNotNull)
-        .distinct()
+      val items = graft.functions.Graphs.capKeyDegree(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+          .distinct(),
+        "user_id", 512)
       val edges = items.as("x").join(items.as("y"),
           col("x.user_id") === col("y.user_id") &&
             col("x.item") < col("y.item"))
@@ -2118,13 +2170,16 @@ object AnalyticsQueries {
          |  ${terms.mkString("(", "\n     + ", ")")} AS ewma
          |FROM events""".stripMargin
     },
-    // mirrors events_covisitation
+    // mirrors events_covisitation, incl. the 512 per-user degree cap
     "events_covisitation" ->
-      """WITH items AS (
+      s"""WITH items0 AS (
         |  SELECT DISTINCT user_id,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
         |  FROM events
-        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+        |items AS (
+        |${graft.functions.Graphs.capKeyDegreeSql(
+             "SELECT * FROM items0", "user_id", 512)}),
         |marg AS (
         |  SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1),
         |u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
@@ -2160,18 +2215,19 @@ object AnalyticsQueries {
         |SELECT p.user_id, p.event_id, s.session_id
         |FROM p JOIN s ON p.user_id = s.user_id
         |  AND p.ts >= s.session_start AND p.ts <= s.session_end""".stripMargin,
-    // mirrors events_pagerank: identical unrolled iterations
+    // mirrors events_pagerank: identical unrolled iterations, incl.
+    // the 512 per-user degree cap on the edge build
     "events_pagerank" -> {
+      val itemsSql = graft.functions.Graphs.capKeyDegreeSql(
+        """SELECT DISTINCT user_id,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |FROM events
+          |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+        "user_id", 512)
       val edgesSql =
-        """SELECT DISTINCT x.item AS src, y.item AS dst
-          |  FROM (SELECT DISTINCT user_id,
-          |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-          |        FROM events
-          |        WHERE json_extract_string(props, '$.k') IS NOT NULL) x
-          |  JOIN (SELECT DISTINCT user_id,
-          |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-          |        FROM events
-          |        WHERE json_extract_string(props, '$.k') IS NOT NULL) y
+        s"""SELECT DISTINCT x.item AS src, y.item AS dst
+          |  FROM ($itemsSql) x
+          |  JOIN ($itemsSql) y
           |    ON x.user_id = y.user_id AND x.item <> y.item""".stripMargin
       s"""SELECT node, rank FROM (
          |${graft.functions.Graphs.pageRankSql(edgesSql, iters = 3)}
@@ -2376,18 +2432,19 @@ object AnalyticsQueries {
         |  CAST(pp - least(0, MIN(pp) OVER (PARTITION BY event_type
         |    ORDER BY day ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum
         |FROM p""".stripMargin,
-    // mirrors events_triangles: same orientation + wedge join
+    // mirrors events_triangles: same orientation + wedge join, incl.
+    // the 512 per-user degree cap on the edge build
     "events_triangles" -> {
+      val itemsSql = graft.functions.Graphs.capKeyDegreeSql(
+        """SELECT DISTINCT user_id,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |FROM events
+          |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+        "user_id", 512)
       val edgesSql =
-        """SELECT DISTINCT x.item AS src, y.item AS dst
-          |  FROM (SELECT DISTINCT user_id,
-          |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-          |        FROM events
-          |        WHERE json_extract_string(props, '$.k') IS NOT NULL) x
-          |  JOIN (SELECT DISTINCT user_id,
-          |          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-          |        FROM events
-          |        WHERE json_extract_string(props, '$.k') IS NOT NULL) y
+        s"""SELECT DISTINCT x.item AS src, y.item AS dst
+          |  FROM ($itemsSql) x
+          |  JOIN ($itemsSql) y
           |    ON x.user_id = y.user_id AND x.item < y.item""".stripMargin
       graft.functions.Graphs.triangleStatsSql(edgesSql)
     },

@@ -480,8 +480,9 @@ object TextQueries {
     }),
     // per-source chi-square drift vs the pooled unigram distribution:
     // the distributional-shift gate for new crawl snapshots. All terms
-    // are exact-long divisions + a fixed IEEE dag, summed as
-    // decimal(38,18) — bit-reproducible cross-engine, no libm
+    // are exact-long divisions + a fixed IEEE dag (clamped at 2^23−1),
+    // summed in 2^40 fixed-point BIGINT — bit-reproducible
+    // cross-engine, no libm
     "vocab_chi2_drift" -> ((s, dir) =>
       graft.functions.TermStats.chiSquareDrift(docs(s, dir), "source", "text")),
     // water-filling budget allocation: max-min-fair split of a half-

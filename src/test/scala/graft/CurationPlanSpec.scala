@@ -83,4 +83,35 @@ class CurationPlanSpec extends SparkSpec {
       assert(noAqe.sameElements(withAqe))
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("q_skyline: no data-sized single-partition window; result matches brute force") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.functions.col
+    val df = graft.queries.AnalyticsQueries.queries("q_skyline")(spark, Sf)
+    // exactly one unpartitioned window in the optimized plan — the
+    // bucket-carry running min — and its subtree must aggregate down to
+    // the single-key bucket frame (<= 256 rows) before the window sees
+    // any rows. The per-price running min must stay partitioned.
+    val unpart = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.size === 1, "expected exactly one unpartitioned Window (the bucket carry)")
+    val agg = unpart.head.child.collectFirst { case a: Aggregate => a }
+    assert(agg.isDefined, "the unpartitioned window must run over an aggregated frame")
+    assert(agg.get.groupingExpressions.size === 1,
+      "the carry frame groups on the single bucket key")
+    // correctness: the decorrelated two-phase front equals the
+    // quadratic NOT-EXISTS dominance definition
+    val got = df.collect().map(r => (r.getLong(0))).toSet
+    val part = spark.read.parquet(s"$Sf/part.parquet")
+      .select(col("p_partkey"), col("p_retailprice").cast("double"),
+        col("p_size").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val brute = part.filter { case (_, pr, sz) =>
+      !part.exists { case (_, qr, qz) =>
+        qr <= pr && qz <= sz && (qr < pr || qz < sz)
+      }
+    }.map(_._1).toSet
+    assert(got === brute)
+  }
 }

@@ -1867,12 +1867,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(got("k") === (("k", 4L, 1L, 2L, Some("1"), Some("3"))))
     assert(got("v") === (("v", 4L, 1L, 2L, Some("a"), Some("b"))))
-    // two pruned scans (typed min/max pass + unpivoted NDV pass), and
-    // no Expand: the N-countDistinct shape this replaced pushed N+1
+    // one typed min/max pass + one NDV unpivot pass per column TYPE
+    // GROUP (long + string here → 3 pruned scans total), and no
+    // Expand: the N-countDistinct shape this replaced pushed N+1
     // copies of every row through one global aggregate
     val plan = TableStats.columnStats(df, Seq("k", "v"))
       .queryExecution.executedPlan.toString
-    assert(plan.split("LocalTableScan").length - 1 <= 2, plan.take(2000))
+    assert(plan.split("LocalTableScan").length - 1 <= 3, plan.take(2000))
     assert(!plan.contains("Expand"), plan.take(2000))
   }
 

@@ -78,4 +78,38 @@ class GraphsSpec extends SparkSpec {
     }
     rank.foreach { case (n, r) => assert(math.abs(got(n) - r) < 1e-9) }
   }
+
+  test("capKeyDegree: drops the bot user's group whole, bounding pair fan-out") {
+    // one bot user with 100 distinct items (4950 pairs uncapped) plus
+    // two normal users — the cap must drop the bot ENTIRELY (no
+    // sampling noise) and leave everyone else untouched
+    val items = ((1 to 100).map(i => ("bot", i.toLong)) ++
+      Seq(("a", 1L), ("a", 2L), ("b", 5L))).toDF("user_id", "item")
+    val capped = Graphs.capKeyDegree(items, "user_id", 10)
+    assert(capped.select("user_id").distinct().as[String].collect().toSet
+      === Set("a", "b"))
+    assert(capped.count() === 3)
+    val pairs = capped.as("x").join(capped.as("y"),
+      col("x.user_id") === col("y.user_id") && col("x.item") < col("y.item"))
+    assert(pairs.count() === 1)
+    // a cap at exactly the bot's degree keeps it (<=, not <)
+    assert(Graphs.capKeyDegree(items, "user_id", 100).count() === 103)
+  }
+
+  test("capKeyDegree SQL mirror: same survivors as the Spark side") {
+    val items = ((1 to 20).map(i => ("bot", i.toLong)) ++
+      Seq(("a", 1L), ("a", 2L))).toDF("user_id", "item")
+    items.createOrReplaceTempView("cap_items")
+    val viaSql = spark.sql(
+      // the DuckDB mirror uses EXCLUDE, which Spark SQL also accepts as
+      // EXCEPT — assert the semantics, not the dialect keyword
+      """SELECT user_id, item FROM (
+        |  SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS __deg
+        |  FROM cap_items) WHERE __deg <= 10""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaApi = Graphs.capKeyDegree(items, "user_id", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaSql === viaApi)
+    assert(viaApi === Set(("a", 1L), ("a", 2L)))
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Multimodal
+
+/** Hot-band behavior of the aHash near-dup blocking — the
+  * monochrome-image pathology: flat images all share one aHash, their
+  * four bands go quadratic, and the band-df cap must drop exactly
+  * those bands while the pigeonhole guarantee keeps genuinely distinct
+  * near-pairs.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 50 "monochrome" docs sharing one hash (a flat gray image cluster)
+  // plus two distinct images at Hamming distance 1 from each other and
+  // far from the cluster
+  private lazy val hashes = (
+    (1L to 50L).map(id => (id, 0x0F0F0F0F0F0F0F0FL, 0x3333333333333333L)) ++
+      Seq((100L, 0x00000000000000FFL, 0x0000000000000000L),
+        (101L, 0x00000000000000FEL, 0x0000000000000000L)))
+    .toDF("doc_id", "hash_hi", "hash_lo")
+
+  test("aHashNearDup: band-df cap drops the flat-image bands, keeps the rest") {
+    // uncapped (default 4096): the 50-clone cluster yields C(50,2)
+    // pairs plus the one distinct near-pair
+    val uncapped = Multimodal.aHashNearDup(hashes, maxDist = 3)
+    assert(uncapped.count() === 50L * 49 / 2 + 1)
+    // capped below the cluster size: all four cluster bands are hot and
+    // dropped — ONLY the distinct near-pair survives, and the pair
+    // count collapses from quadratic to constant
+    val capped = Multimodal.aHashNearDup(hashes, maxDist = 3, maxBandDf = 10)
+    val rows = capped.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 100L && rows.head.getLong(1) === 101L)
+    assert(rows.head.getInt(2) === 1)
+  }
+
+  test("aHashHotBands: reports exactly the four dropped cluster bands") {
+    val hot = Multimodal.aHashHotBands(hashes, maxBandDf = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(hot.length === 4)
+    assert(hot.forall(_._3 == 50L))
+    assert(hot.map(_._1).sorted.toSeq === Seq(0, 1, 2, 3))
+  }
+
+  test("aHashNearDup: a cap at the cluster size is a no-op (<=, not <)") {
+    val atSize = Multimodal.aHashNearDup(hashes, maxDist = 3, maxBandDf = 50)
+    assert(atSize.count() === 50L * 49 / 2 + 1)
+  }
+}
