@@ -814,4 +814,143 @@ object Dedup {
         bit_count(col("__sa").bitwiseXOR(col("simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** EXACT set-similarity self-join with prefix filtering — the
+    * AllPairs/PPJoin family (Bayardo, Ma & Srikant 2007, "Scaling up
+    * all pairs similarity search"; Xiao et al. 2008): every document
+    * pair with token-set Jaccard ≥ `threshold`, found WITHOUT
+    * probabilistic recall loss (MinHash trades recall for speed; this
+    * trades nothing and still never goes all-pairs).
+    *
+    * The filter: order the token universe rarest-first (global df, ties
+    * by term), so each document's tokens sort into a canonical list of
+    * length L. If two sets have Jaccard ≥ t, their overlap is ≥
+    * ⌈t·L⌉ for either side's L, so each side must hit the other inside
+    * its first L − ⌈t·L⌉ + 1 tokens — BY PIGEONHOLE a qualifying pair
+    * shares at least one PREFIX token. Candidates come from an
+    * equi-join on prefix tokens only; rarest-first ordering makes those
+    * the lowest-df tokens in each document, which is what keeps the
+    * blocking buckets small. Each candidate then verifies the true
+    * overlap with an exact intersection count.
+    *
+    * `maxPrefixDf` is the fan-out cap on the blocking join (the
+    * maxShingleDf convention): prefix tokens with df above the cap are
+    * dropped from CANDIDATE GENERATION (verification is unaffected), so
+    * a pair whose every shared prefix token is hot can be missed — the
+    * documented trade; 0 disables.
+    *
+    * Scale shape: the corpus-sized exchanges carry (doc, term-id,
+    * position) tuples; the candidate join is keyed on prefix tokens;
+    * the verification join is keyed on candidate doc ids. Text never
+    * shuffles. Output: (id_a, id_b, inter, l_a, l_b, jaccard), id_a <
+    * id_b, jaccard = inter / (l_a + l_b − inter) as one IEEE division.
+    */
+  def prefixJaccardDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxPrefixDf: Int = 0,
+      shingleN: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0,1]")
+    require(shingleN >= 1, "shingleN must be >= 1")
+    // the "tokens" of the set are word n-gram shingles for n > 1 —
+    // unigram sets saturate on small vocabularies (every document looks
+    // like every other); shingles restore discrimination
+    val toks =
+      if (shingleN <= 1) TextAnalysis.tokens(col(textCol))
+      else wordShingles(col(textCol), shingleN)
+    // the term frame feeds FOUR downstream references (df counts, the
+    // ranked prefix, and both verification sides); Spark shares no
+    // common subtrees, so the shingle explode + distinct would run four
+    // times without the one-shot materialization — the shinglePairStats
+    // barrier
+    val tok = df
+      .select(col(idCol).as("id"), explode(toks).as("term"))
+      .distinct()
+      .localCheckpoint()
+    val tdf = tok.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__df"), col("term"))
+    val ranked = tok.join(tdf, Seq("term"))
+      .withColumn("__pos", row_number().over(wRank).cast("long"))
+      .withColumn("__len",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))))
+    // prefix length L − ⌈tL⌉ + 1; ceil of a double that is exact for
+    // these magnitudes, identical cross-engine
+    val prefix = ranked
+      .filter(col("__pos") <=
+        col("__len") - ceil(lit(threshold) * col("__len")) + 1)
+      .select(col("term"), col("id"), col("__len"), col("__df"))
+    val blocked =
+      if (maxPrefixDf > 0) prefix.filter(col("__df") <= maxPrefixDf)
+      else prefix
+    val cand = blocked.as("x").join(blocked.as("y"),
+        col("x.term") === col("y.term") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.__len").as("l_a"), col("y.__len").as("l_b"))
+      .distinct()
+    val inter = cand
+      .join(tok.select(col("id").as("id_a"), col("term")), Seq("id_a"))
+      .join(tok.select(col("id").as("id_b"), col("term")),
+        Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b"), col("l_a"), col("l_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("l_a") + col("l_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("l_a"),
+        col("l_b"), col("jaccard"))
+  }
+
+  /** DuckDB mirror of [[prefixJaccardDups]]: same rarest-first rank,
+    * same prefix bound, same df cap on candidate generation, same
+    * exact verification. `docsSql` selects columns `id, text`.
+    */
+  def prefixJaccardDupsSql(docsSql: String, threshold: Double,
+      maxPrefixDf: Int = 0, shingleN: Int = 1): String = {
+    val capPred = if (maxPrefixDf > 0) s" AND df <= $maxPrefixDf" else ""
+    val termsSql =
+      if (shingleN <= 1)
+        s"""SELECT DISTINCT id, unnest(string_split(text, ' ')) AS term
+           |  FROM ($docsSql)""".stripMargin
+      else
+        s"""SELECT DISTINCT id, unnest(
+           |    CASE WHEN len(w) < $shingleN THEN [array_to_string(w, ' ')]
+           |         ELSE list_transform(range(0, len(w) - ${shingleN - 1}),
+           |                i -> array_to_string(
+           |                  list_slice(w, i + 1, i + $shingleN), ' ')) END
+           |  ) AS term
+           |  FROM (SELECT id, string_split(text, ' ') AS w
+           |        FROM ($docsSql))""".stripMargin
+    s"""WITH tok AS (
+       |  $termsSql),
+       |tdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tok GROUP BY term),
+       |ranked AS (
+       |  SELECT tok.id, tok.term, tdf.df,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY tok.id
+       |      ORDER BY tdf.df, tok.term) AS BIGINT) AS pos,
+       |    CAST(COUNT(*) OVER (PARTITION BY tok.id) AS BIGINT) AS len
+       |  FROM tok JOIN tdf ON tok.term = tdf.term),
+       |prefix AS (
+       |  SELECT term, id, len FROM ranked
+       |  WHERE pos <= len - CEIL($threshold * len) + 1$capPred),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+       |    x.len AS l_a, y.len AS l_b
+       |  FROM prefix x JOIN prefix y
+       |    ON x.term = y.term AND x.id < y.id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b, c.l_a, c.l_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN tok ta ON ta.id = c.id_a
+       |  JOIN tok tb ON tb.id = c.id_b AND tb.term = ta.term
+       |  GROUP BY c.id_a, c.id_b, c.l_a, c.l_b)
+       |SELECT id_a, id_b, inter, l_a, l_b,
+       |  CAST(inter AS DOUBLE) / CAST(l_a + l_b - inter AS DOUBLE)
+       |    AS jaccard
+       |FROM verified
+       |WHERE CAST(inter AS DOUBLE) / CAST(l_a + l_b - inter AS DOUBLE)
+       |  >= $threshold""".stripMargin
+  }
 }

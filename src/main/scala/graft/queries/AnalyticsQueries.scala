@@ -863,6 +863,75 @@ object AnalyticsQueries {
         .select(col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")) <=
             col("exact_parts") * lit(0.05)).as("approx_within_5pct"))),
+    // ORACLE-EXACT HyperLogLog (q_approx_distinct's engine sketches are
+    // opaque and self-graded; this one is the published algorithm with
+    // every step pinned — md5 hash, CASE-chain rho, integer-scaled
+    // harmonic sum — so DuckDB recomputes the ESTIMATE bit-for-bit).
+    // Paired with the exact count: the audit a pipeline runs once per
+    // source before trusting approximate NDV everywhere else. Registers
+    // partial-aggregate (max per bucket): the vocabulary never shuffles
+    "ndv_hll" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = graft.functions.Cardinality.hllNdv(
+        li, Seq("l_returnflag"), "l_orderkey", p = 8)
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_ndv"))
+      est.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_ndv"), col("hll_ndv"),
+          ((col("hll_ndv") - col("exact_ndv").cast("double")) /
+            col("exact_ndv").cast("double")).as("rel_err"))
+    }),
+    // HLL MERGEABILITY — the property that makes sketches the 100 TB
+    // answer: the union of two sets estimates from an elementwise MAX
+    // of their register frames, no raw values revisited, and the
+    // intersection follows by inclusion-exclusion. Estimated here for
+    // the R/A returnflag key sets against the exact union count
+    "ndv_hll_union" -> ((s, dir) => {
+      import graft.functions.Cardinality
+      val li = t(s, dir, "lineitem")
+      def regs(f: String) = Cardinality.hllRegisters(
+        li.filter(col("l_returnflag") === f), Seq.empty, "l_orderkey")
+      val ra = regs("R"); val rb = regs("A")
+      val ru = ra.unionByName(rb)
+        .groupBy(col("__b")).agg(max(col("__m")).as("__m"))
+      val estR = Cardinality.hllEstimate(ra, Seq.empty)
+        .select(col("hll_ndv").as("est_r"))
+      val estA = Cardinality.hllEstimate(rb, Seq.empty)
+        .select(col("hll_ndv").as("est_a"))
+      val estU = Cardinality.hllEstimate(ru, Seq.empty)
+        .select(col("hll_ndv").as("est_union"))
+      val exact = li.filter(col("l_returnflag").isin("R", "A"))
+        .agg(countDistinct(col("l_orderkey")).as("exact_union"))
+      estR.crossJoin(estA).crossJoin(estU).crossJoin(exact)
+        .select(col("est_r"), col("est_a"), col("est_union"),
+          (col("est_r") + col("est_a") - col("est_union")).as("est_inter"),
+          col("exact_union"))
+    }),
+    // histogram-based join cardinality estimation (the System R
+    // optimizer primitive): per-bucket (count, NDV) histograms on each
+    // side, est = Σ_b na·nb / max(da, db) under within-bucket
+    // uniformity, graded against the true join count — the stats
+    // validation a planner runs before trusting its own estimates.
+    // Integer DIV per bucket keeps both engines exact; histograms are
+    // two partial-aggregating passes, the estimate sums a 1024-row frame
+    "join_card_estimate" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      def hist(df: DataFrame) =
+        df.groupBy(pmod(col("k"), lit(1024L)).as("__b"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("d"))
+      val est = hist(o)
+        .select(col("__b"), col("n").as("na"), col("d").as("da"))
+        .join(hist(l)
+          .select(col("__b"), col("n").as("nb"), col("d").as("db")),
+          Seq("__b"))
+        .agg(sum(expr("na * nb DIV greatest(da, db)")).as("est_rows"))
+      val actual = o.join(l, Seq("k"))
+        .agg(count(lit(1)).as("actual_rows"))
+      est.crossJoin(actual).select(col("est_rows"), col("actual_rows"),
+        (col("est_rows").cast("double") / col("actual_rows").cast("double"))
+          .as("est_ratio"))
+    }),
     // data-level set ops: keys dropped by the perturbation = EXCEPT
     "q_setops" -> ((s, dir) => {
       val src = t(s, dir, "lineitem").select(col("l_orderkey")).distinct()
@@ -1447,6 +1516,66 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // mirrors ndv_hll: the identical pinned HLL dataflow
+    "ndv_hll" -> {
+      val est = graft.functions.Cardinality.hllNdvSql(
+        "SELECT l_returnflag, l_orderkey FROM lineitem",
+        Seq("l_returnflag"), "l_orderkey", p = 8)
+      s"""WITH est AS ($est),
+         |ex AS (SELECT l_returnflag,
+         |         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_ndv
+         |       FROM lineitem GROUP BY 1)
+         |SELECT est.l_returnflag, exact_ndv, hll_ndv,
+         |  (hll_ndv - CAST(exact_ndv AS DOUBLE)) / CAST(exact_ndv AS DOUBLE)
+         |    AS rel_err
+         |FROM est JOIN ex ON est.l_returnflag = ex.l_returnflag""".stripMargin
+    },
+    // mirrors ndv_hll_union: same register max-merge, same
+    // inclusion-exclusion term order
+    "ndv_hll_union" -> {
+      import graft.functions.Cardinality
+      def regs(f: String) = Cardinality.hllRegistersSql(
+        s"SELECT l_orderkey FROM lineitem WHERE l_returnflag = '$f'",
+        Seq.empty, "l_orderkey", p = 8)
+      val eR = Cardinality.hllEstimateSql("SELECT b, mj FROM ra", Seq.empty)
+      val eA = Cardinality.hllEstimateSql("SELECT b, mj FROM rb", Seq.empty)
+      val eU = Cardinality.hllEstimateSql("SELECT b, mj FROM ru", Seq.empty)
+      s"""WITH ra AS (${regs("R")}),
+         |rb AS (${regs("A")}),
+         |ru AS (SELECT b, MAX(mj) AS mj FROM
+         |        (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY b),
+         |er AS (SELECT hll_ndv AS est_r FROM ($eR)),
+         |ea AS (SELECT hll_ndv AS est_a FROM ($eA)),
+         |eu AS (SELECT hll_ndv AS est_union FROM ($eU)),
+         |ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+         |         AS exact_union
+         |       FROM lineitem WHERE l_returnflag IN ('R', 'A'))
+         |SELECT est_r, est_a, est_union,
+         |  est_r + est_a - est_union AS est_inter, exact_union
+         |FROM er CROSS JOIN ea CROSS JOIN eu CROSS JOIN ex""".stripMargin
+    },
+    // mirrors join_card_estimate: same 1024-bucket histograms, same
+    // per-bucket integer DIV
+    "join_card_estimate" ->
+      """WITH ho AS (
+        |  SELECT o_orderkey % 1024 AS b, CAST(COUNT(*) AS BIGINT) AS na,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS da
+        |  FROM orders GROUP BY 1),
+        |hl AS (
+        |  SELECT l_orderkey % 1024 AS b, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS db
+        |  FROM lineitem GROUP BY 1),
+        |e AS (
+        |  SELECT CAST(SUM(na * nb // GREATEST(da, db)) AS BIGINT)
+        |    AS est_rows
+        |  FROM ho JOIN hl USING (b)),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT est_rows, actual_rows,
+        |  CAST(est_rows AS DOUBLE) / CAST(actual_rows AS DOUBLE)
+        |    AS est_ratio
+        |FROM e CROSS JOIN a""".stripMargin,
     "q_approx_distinct" ->
       s"""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
          |  ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))

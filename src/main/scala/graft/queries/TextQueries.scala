@@ -223,6 +223,17 @@ object TextQueries {
     "dedup_sorted_neighbors" -> ((s, dir) =>
       Dedup.sortedNeighborDups(dupCorpus(docs(s, dir)), "doc_id", "text",
         window = 4, maxHamming = 3, useMd5 = true)),
+    // EXACT set-similarity self-join (AllPairs prefix filtering,
+    // Bayardo et al. 2007): every pair with trigram-shingle Jaccard
+    // >= 0.8, zero recall loss — the deterministic complement to
+    // MinHash when the dedup decision must be defensible. Candidates
+    // come only from rarest-first PREFIX shingles (pigeonhole-complete
+    // at the threshold); trigram sets because this corpus's 31-word
+    // vocabulary saturates unigram Jaccard; the 1000-df cap guards the
+    // blocking join against a degenerate shingle space
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardDups(dupCorpus(docs(s, dir)), "doc_id", "text",
+        threshold = 0.8, maxPrefixDf = 1000, shingleN = 3)),
     // edit-distance verification of near-dup candidates: sorted-
     // neighborhood candidates (hamming <= 8, loose) re-scored with TRUE
     // Levenshtein distance on 256-char prefixes — the precision stage a
@@ -1899,6 +1910,11 @@ object TextQueries {
            |    / CAST(COUNT(*) AS DOUBLE) AS short_frac
            |FROM documents""".stripMargin,
       "dedup_sorted_neighbors" -> sortedNeighborOracleSql,
+      // mirrors dedup_prefix_jaccard: same trigram shingles, same
+      // rarest-first prefix, same 1000-df cap, same exact verification
+      "dedup_prefix_jaccard" -> Dedup.prefixJaccardDupsSql(
+        s"SELECT doc_id AS id, text FROM ($dupCorpusSql)",
+        threshold = 0.8, maxPrefixDf = 1000, shingleN = 3),
       // mirrors dedup_edit_verify: same rank candidates, same builtin
       // levenshtein on 256-char prefixes
       "dedup_edit_verify" ->

@@ -2096,4 +2096,63 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(by("B")._2 > 1.0 && by("A")._2 < 1.0) // rebalancing intact
     }
   }
+
+  test("prefix jaccard: hand-checked pair at the threshold boundary") {
+    import graft.functions.Dedup
+    // sets {a..e} and {a,b,c,d,f}: inter 4, union 6, J = 2/3
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.prefixJaccardDups(df, "doc_id", "text", threshold = 0.6)
+      .collect()
+    assert(hit.length === 1)
+    assert(hit.head.getLong(0) === 1L && hit.head.getLong(1) === 2L)
+    assert(hit.head.getLong(2) === 4L) // inter
+    assert(math.abs(hit.head.getDouble(5) - 2.0 / 3) < 1e-15)
+    // above the pair's similarity: nothing survives
+    assert(Dedup.prefixJaccardDups(df, "doc_id", "text", 0.7).count() === 0)
+  }
+
+  test("prefix jaccard: complete vs brute force (zero recall loss)") {
+    import graft.functions.Dedup
+    // deterministic corpus of overlapping token sets
+    val docs = (0 until 24).map { i =>
+      val toks = (0 until 8).map(j => s"t${(i * 3 + j * 5) % 17}").distinct
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardDups(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val brute = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = (sets(a) & sets(b)).size
+      j = inter.toDouble / (sets(a) | sets(b)).size
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got === brute)
+    assert(brute.nonEmpty) // the fixture actually exercises the filter
+  }
+
+  test("prefix jaccard: the df cap drops candidates blocked only on hot terms") {
+    import graft.functions.Dedup
+    // every doc shares hot terms h1/h2; docs 1,2 are near-identical.
+    // With the prefix ordered rarest-first their UNIQUE terms block
+    // them; a df cap of 1 cannot drop a pair blocked on unique terms,
+    // but capping below the hot terms' df removes pairs whose ONLY
+    // shared prefix tokens are hot
+    val df = Seq(
+      (1L, "h1 h2 u1 u2 u3"), (2L, "h1 h2 u1 u2 u4"),
+      (3L, "h1 h2 w1 w2 w3"), (4L, "h1 h2 x1 x2 x3"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.prefixJaccardDups(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((1L, 2L))) // only 1-2 reach J >= 0.5 (4/6)
+    // cap = 1 still finds 1-2: u1/u2 (df 2 > 1) are dropped from
+    // blocking, but so are h1/h2 (df 4) — yet doc1's prefix keeps u3
+    // (df 1)... which doc2 does not share, so the pair IS missed: the
+    // documented bias, asserted explicitly
+    val capped = Dedup.prefixJaccardDups(df, "doc_id", "text", 0.5,
+      maxPrefixDf = 1)
+    assert(capped.count() === 0)
+  }
 }
