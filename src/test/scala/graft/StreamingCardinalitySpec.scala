@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.Cardinality
+import graft.streaming.StreamingCardinality
+
+/** The streaming HLL's contract: its running snapshot is bit-identical
+  * to the batch sketch over everything seen so far — mergeability as a
+  * streaming invariant, not an approximation.
+  */
+class StreamingCardinalitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshot after N batches equals the batch sketch over the union") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingCardinality
+      .distinctByKey(input.toDF().toDF("grp", "v"), "grp", "v")
+      .writeStream.format("memory").queryName("ndv_stream")
+      .outputMode(OutputMode.Update()).start()
+    def latest(g: String): Double = spark.table("ndv_stream")
+      .as[(String, Int, Double)].collect()
+      .filter(_._1 == g).last._3
+    try {
+      val batch1 = (1L to 1500L).map(("x", _))
+      val batch2 = (1000L to 2500L).map(("x", _)) // overlaps batch1
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      val afterOne = latest("x")
+      val batchOne = Cardinality
+        .hllNdv(batch1.toDF("grp", "v"), Seq.empty, "v")
+        .collect().head.getDouble(0)
+      assert(afterOne === batchOne) // exact, not approximate, equality
+
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val afterTwo = latest("x")
+      val batchBoth = Cardinality
+        .hllNdv((batch1 ++ batch2).toDF("grp", "v"), Seq.empty, "v")
+        .collect().head.getDouble(0)
+      assert(afterTwo === batchBoth)
+      // and the estimate is sane: 2500 true distincts, m=256 envelope
+      assert(math.abs(afterTwo - 2500.0) / 2500.0 < 0.26)
+    } finally q.stop()
+  }
+
+  test("groups keep independent registers") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingCardinality
+      .distinctByKey(input.toDF().toDF("grp", "v"), "grp", "v")
+      .writeStream.format("memory").queryName("ndv_groups")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L to 800L).map(("a", _)) ++ Seq(("b", 1L)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("ndv_groups")
+        .as[(String, Int, Double)].collect().groupBy(_._1)
+      val a = rows("a").last
+      val b = rows("b").last
+      assert(a._2 > 100 && b._2 === 1) // occupied registers
+      val soloB = Cardinality.hllNdv(Seq(1L).toDF("v"), Seq.empty, "v")
+        .collect().head.getDouble(0)
+      assert(b._3 === soloB)
+    } finally q.stop()
+  }
+}
