@@ -455,6 +455,162 @@ object Multimodal {
       .filter(col("df") > maxBandDf)
       .orderBy(col("df").desc, col("band_idx"), col("band_val"))
 
+  /** Real audio codec over `javax.sound.sampled` — pure JDK, the audio
+    * analog of [[ImageCodec]]. 16-bit mono PCM inside a WAV container
+    * is LOSSLESS, so a formula-generated clip round-trips its exact
+    * samples through a true encode→decode and every integer sample
+    * statistic is oracle-gatable (DuckDB recomputes them from the
+    * generator formula, the [[aHashCtesSql]] pattern).
+    */
+  object AudioCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    private val Format =
+      new AudioFormat(8000f, 16, 1, /*signed*/ true, /*bigEndian*/ false)
+
+    /** RIFF/WAVE magic sniff — the [[ImageCodec.looksLikeImage]] guard. */
+    def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    /** Encode `samples` as a 16-bit mono PCM WAV through the real JDK
+      * writer (header + little-endian frames).
+      */
+    def encodePcmWav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xFF).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm), Format, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode WAV bytes back to samples via the real JDK reader; None
+      * for non-WAV/corrupt payloads (the corrupt-file filter).
+      */
+    def decodePcm(bytes: Array[Byte]): Option[Array[Short]] =
+      if (!looksLikeWav(bytes)) None
+      else try {
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort
+          i += 1
+        }
+        Some(out)
+      } catch { case _: Exception => None }
+  }
+
+  /** Formula-generated audio corpus: one WAV blob per input id through
+    * the REAL `javax.sound` encoder. Sample i of clip `id` is
+    * `((31·id + 7·i) mod 4096) − 2048`, except every third 256-sample
+    * frame is silent (all-zero) so silence detection has something to
+    * find; clip length `2000 + (id mod 7)·300` exercises ragged tail
+    * frames. Integer formula → bit-exact round-trip → analytic oracle.
+    */
+  def synthPcmWav(df: DataFrame, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { id =>
+            val n = 2000 + (id % 7).toInt * 300
+            val samples = Array.tabulate(n) { i =>
+              if ((i / 256) % 3 == 0) 0.toShort
+              else (((31 * id + 7 * i) % 4096) - 2048).toShort
+            }
+            MediaBlob(id, "audio", AudioCodec.encodePcmWav(samples))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Per-clip integer sample statistics through a REAL decode: sample
+    * count, total energy (Σ s², exact long), peak |s|, and
+    * silent/total 256-sample frame counts (a frame is silent iff every
+    * sample is 0). Rows that fail the decode are dropped. All outputs
+    * are integers — the oracle recomputes them from the generator
+    * formula with no float anywhere.
+    */
+  final case class AudioStats(doc_id: Long, n_samples: Long, energy: Long,
+      peak: Int, n_frames: Long, silent_frames: Long)
+  def audioStats(blobs: DataFrame, frameSize: Int = 256,
+      batchSize: Int = 64): DataFrame = {
+    require(frameSize >= 1, "frameSize must be >= 1")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { b =>
+          AudioCodec.decodePcm(b.data).map { s =>
+            var energy = 0L
+            var peak = 0
+            var silent = 0L
+            var frameStart = 0
+            while (frameStart < s.length) {
+              val end = math.min(frameStart + frameSize, s.length)
+              var i = frameStart
+              var frameSilent = true
+              while (i < end) {
+                val v = s(i).toInt
+                energy += v.toLong * v
+                if (math.abs(v) > peak) peak = math.abs(v)
+                if (v != 0) frameSilent = false
+                i += 1
+              }
+              if (frameSilent) silent += 1
+              frameStart = end
+            }
+            val nFrames = (s.length.toLong + frameSize - 1) / frameSize
+            AudioStats(b.doc_id, s.length.toLong, energy, peak, nFrames,
+              silent)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** DuckDB mirror of [[synthPcmWav]] → [[audioStats]]: the statistics
+    * recomputed ANALYTICALLY from the sample formula — the engine must
+    * reproduce them through a real WAV encode→decode. `idsSql` selects
+    * one column `id`.
+    */
+  def audioStatsSql(idsSql: String, frameSize: Int = 256): String =
+    s"""WITH au_ids AS ($idsSql),
+       |au_s AS (
+       |  SELECT id, i,
+       |    CASE WHEN ((i // $frameSize) % 3) = 0 THEN 0
+       |         ELSE ((31 * id + 7 * i) % 4096) - 2048 END AS s
+       |  FROM (SELECT id, unnest(range(0, 2000 + (id % 7) * 300)) AS i
+       |        FROM au_ids)),
+       |au_f AS (
+       |  SELECT id, i // $frameSize AS f,
+       |    CAST(SUM(s * s) AS BIGINT) AS fe,
+       |    CAST(MAX(ABS(s)) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+       |    CAST(COUNT(*) AS BIGINT) AS fn
+       |  FROM au_s GROUP BY 1, 2)
+       |SELECT id AS doc_id, CAST(SUM(fn) AS BIGINT) AS n_samples,
+       |  CAST(SUM(fe) AS BIGINT) AS energy,
+       |  CAST(MAX(fp) AS INT) AS peak,
+       |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(SUM(CASE WHEN nz = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS silent_frames
+       |FROM au_f GROUP BY id""".stripMargin
+
   /** DuckDB mirror of [[synthGrayPng]] → [[aHash64]]: the hash
     * recomputed ANALYTICALLY from the pixel formula `(31·id + 7x +
     * 13y) mod 256` — the engine must reproduce it through actual PNG

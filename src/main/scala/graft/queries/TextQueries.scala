@@ -852,6 +852,15 @@ object TextQueries {
         Multimodal.synthGrayPng(docs(s, dir), "doc_id"))
         .select(col("doc_id"), col("width"), col("height"),
           col("n_pixels"), col("luma_sum"))),
+    // REAL audio: formula-generated 16-bit PCM clips through a true
+    // javax.sound WAV encode -> decode, then integer sample statistics
+    // (energy = sum of squares, peak, silent-frame detection over
+    // 256-sample frames incl. ragged tails) — the oracle re-derives
+    // every number analytically from the sample formula, so the real
+    // codec round-trip is what is being graded
+    "multimodal_audio_real" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.synthPcmWav(docs(s, dir), "doc_id"))),
     // REAL image resize: decode → 8×8 nearest-neighbor gray resample →
     // PNG re-encode → decode again for stats; the oracle evaluates the
     // nearest-neighbor index formula on the generator directly
@@ -2262,6 +2271,10 @@ object TextQueries {
       // mirrors synthGrayPng → ImageIO decode: w = 8 + id%16,
       // h = 8 + (id/16)%16, pixel(x,y) = (31·id + 7x + 13y) % 256 —
       // the engine must reproduce these through REAL PNG bytes
+      // mirrors multimodal_audio_real: analytic recompute of the
+      // formula-generated PCM statistics
+      "multimodal_audio_real" -> Multimodal.audioStatsSql(
+        "SELECT doc_id AS id FROM documents"),
       "multimodal_decode_real" ->
         """WITH d AS (
           |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 16 AS h

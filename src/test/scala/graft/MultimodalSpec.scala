@@ -49,4 +49,30 @@ class MultimodalSpec extends SparkSpec {
     val atSize = Multimodal.aHashNearDup(hashes, maxDist = 3, maxBandDf = 50)
     assert(atSize.count() === 50L * 49 / 2 + 1)
   }
+
+  test("AudioCodec: WAV round-trip is sample-exact; corrupt bytes drop") {
+    val samples = Array.tabulate(1000)(i =>
+      (((i * 37) % 4096) - 2048).toShort)
+    val wav = Multimodal.AudioCodec.encodePcmWav(samples)
+    assert(Multimodal.AudioCodec.looksLikeWav(wav))
+    val back = Multimodal.AudioCodec.decodePcm(wav)
+    assert(back.isDefined && back.get.sameElements(samples))
+    assert(Multimodal.AudioCodec.decodePcm("not a wav".getBytes).isEmpty)
+    // truncated header: sniff rejects, no exception
+    assert(Multimodal.AudioCodec.decodePcm(wav.take(8)).isEmpty)
+  }
+
+  test("audioStats: silence detection and ragged tail frames, hand-checked") {
+    // one clip: frames of 4 samples; frame 0 silent, frame 1 loud,
+    // tail frame (2 samples) silent
+    val samples = Array[Short](0, 0, 0, 0, 5, -3, 0, 2, 0, 0)
+    val wav = Multimodal.AudioCodec.encodePcmWav(samples)
+    val blobs = Seq((7L, "audio", wav)).toDF("doc_id", "media_type", "data")
+    val r = Multimodal.audioStats(blobs, frameSize = 4).collect().head
+    assert(r.getLong(1) === 10L) // n_samples
+    assert(r.getLong(2) === 25L + 9 + 4) // energy = 5^2 + 3^2 + 2^2
+    assert(r.getInt(3) === 5) // peak
+    assert(r.getLong(4) === 3L) // frames: 4+4+2
+    assert(r.getLong(5) === 2L) // silent: frame 0 and the tail
+  }
 }
