@@ -901,6 +901,52 @@ object Dedup {
         col("l_b"), col("jaccard"))
   }
 
+  /** LSH S-curve audit — the tuning report for MinHash banding knobs
+    * (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3):
+    * for candidate probability P(j) = 1 − (1 − j^rows)^bands, compare
+    * the ANALYTIC expectation against the OBSERVED candidate hit rate
+    * per Jaccard decile, over a truth set of exact-Jaccard pairs. A
+    * healthy banding shows observed ≈ expected; a gap flags broken
+    * hashing or a df cap eating recall — measured in-pipeline, not in
+    * a notebook.
+    *
+    * Determinism: P(j) is an UNROLLED left-associated product chain
+    * (j·j … , then (1−j^rows) multiplied bands−1 times) — a fixed IEEE
+    * dag both engines evaluate identically; expectations sum in 2^40
+    * fixed point. `truth` carries (id_a, id_b, jaccard); `cand`
+    * carries (id_a, id_b).
+    *
+    * Scale shape: one left join on the pair key (two pair sets, far
+    * smaller than the corpus), one partial-aggregating groupBy on the
+    * 10-row bin key.
+    */
+  def lshSCurve(truth: DataFrame, cand: DataFrame, bands: Int,
+      rows: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1, "bands and rows must be >= 1")
+    val scale = math.pow(2, 40)
+    val jr = (1 until rows).foldLeft(col("jaccard"))(
+      (acc, _) => acc * col("jaccard"))
+    val flagged = truth
+      .join(cand.select(col("id_a"), col("id_b"), lit(1L).as("__c")),
+        Seq("id_a", "id_b"), "left")
+      .withColumn("__q", lit(1.0) - jr)
+    val qb = (1 until bands).foldLeft(col("__q"): Column)(
+      (acc, _) => acc * col("__q"))
+    flagged
+      .withColumn("__p40", floor((lit(1.0) - qb) * lit(scale)))
+      .withColumn("bin",
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__c"), lit(0L))).as("observed_caught"),
+        sum(col("__p40")).as("__e40"))
+      .select(col("bin"), col("n_pairs"), col("observed_caught"),
+        (col("observed_caught").cast("double") /
+          col("n_pairs").cast("double")).as("observed_recall"),
+        (col("__e40").cast("double") / lit(scale) /
+          col("n_pairs").cast("double")).as("expected_recall"))
+  }
+
   /** DuckDB mirror of [[prefixJaccardDups]]: same rarest-first rank,
     * same prefix bound, same df cap on candidate generation, same
     * exact verification. `docsSql` selects columns `id, text`.

@@ -197,6 +197,19 @@ object TextQueries {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashCandidatePairs(dupCorpus(docs(s, dir)), "doc_id", "text",
         useMd5 = true)),
+    // LSH S-curve audit: per Jaccard decile, the analytic candidate
+    // probability 1-(1-j^2)^8 for this pipeline's banding (k=16, 8
+    // bands x 2 rows) vs the OBSERVED hit rate of the md5 MinHash
+    // candidates against exact-Jaccard truth pairs — the knob-tuning
+    // report run before changing bands/rows/df caps
+    "dedup_lsh_scurve" -> ((s, dir) => {
+      val corpus = dupCorpus(docs(s, dir))
+      val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.05, maxShingleDf = 64)
+      val cand = Dedup.minHashCandidatePairs(corpus, "doc_id", "text",
+        useMd5 = true)
+      Dedup.lshSCurve(truth, cand, bands = 8, rows = 2)
+    }),
     // sketch-only similarity: candidate pairs scored by the MinHash
     // Jaccard estimator — 2k longs per pair, shingles never re-touched
     "dedup_minhash_jaccard" -> ((s, dir) => {
@@ -1105,6 +1118,42 @@ object TextQueries {
       "vocab_chi2_drift" ->
         graft.functions.TermStats.chiSquareDriftSql("source", toks),
       "dedup_minhash" -> minHashOracleSql,
+      // mirrors dedup_lsh_scurve: same truth/cand CTEs, same unrolled
+      // left-associated probability products, same 2^40 fixed point
+      "dedup_lsh_scurve" -> {
+        val q8 = (1 until 8).foldLeft("q")((acc, _) => s"($acc * q)")
+        s"""$shinglePairCtes,
+           |${bandsCteSql("corpus", "lsh_")},
+           |cand AS (
+           |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+           |  FROM lsh_bands x JOIN lsh_bands y
+           |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+           |truth AS (
+           |  SELECT id_a, id_b,
+           |    CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE)
+           |      AS jaccard
+           |  FROM inter JOIN sizes a ON id_a = a.id JOIN sizes b ON id_b = b.id
+           |  WHERE CAST(n_common AS DOUBLE) / CAST(a.n + b.n - n_common AS DOUBLE)
+           |    >= 0.05),
+           |flg AS (
+           |  SELECT t.jaccard,
+           |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught,
+           |    (1.0 - (t.jaccard * t.jaccard)) AS q
+           |  FROM truth t LEFT JOIN cand c
+           |    ON t.id_a = c.id_a AND t.id_b = c.id_b),
+           |pb AS (
+           |  SELECT LEAST(CAST(FLOOR(jaccard * 10) AS BIGINT), 9) AS bin,
+           |    caught,
+           |    CAST(FLOOR((1.0 - $q8) * 1099511627776.0) AS BIGINT) AS p40
+           |  FROM flg)
+           |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(caught) AS BIGINT) AS observed_caught,
+           |  CAST(SUM(caught) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS observed_recall,
+           |  CAST(CAST(SUM(p40) AS BIGINT) AS DOUBLE) / 1099511627776.0
+           |    / CAST(COUNT(*) AS DOUBLE) AS expected_recall
+           |FROM pb GROUP BY bin""".stripMargin
+      },
       "dedup_minhash_jaccard" -> minHashJaccardOracleSql,
       "dedup_simhash" -> simHashOracleSql,
       "text_stats" ->
