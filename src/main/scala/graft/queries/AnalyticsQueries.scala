@@ -522,6 +522,16 @@ object AnalyticsQueries {
           lit("2024-01-17 00:00:00").cast("timestamp"))
         .select(col("bucket"), col("n_rows"), col("scan"))
     }),
+    // dictionary-encoding advisor: per string column, plain vs
+    // dictionary byte estimates (distinct-value bytes + byte-rounded
+    // ceil(log2 ndv)-bit codes) — the storage-layout decision a writer
+    // makes per row group, surfaced as an oracle-exact report
+    "table_encoding_advisor" -> ((s, dir) =>
+      graft.functions.TableStats.encodingAdvisor(Seq(
+        ("lineitem", t(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus")),
+        ("orders", t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority"))))),
     // ANALYZE-style optimizer statistics: one pass over the table,
     // per-column null/NDV/min/max — the stats-collection operator every
     // engine ships for join planning and data validation
@@ -958,6 +968,27 @@ object AnalyticsQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+    // rolling 7-day distinct users per day (WAU): sliding DISTINCT does
+    // not decompose like a sum, and the naive form is a range join
+    // (day BETWEEN d-6 AND d) that plans as a nested loop. Instead each
+    // (user, day) row fans out to exactly the 7 window anchors it
+    // contributes to (a map-side sequence explode — pure equi-joins
+    // after that), anchors without real traffic are semi-joined away,
+    // and the distinct runs as two partial-aggregating groupBys. At
+    // 100 TB the exchanges carry (day, user_id) pairs only
+    "events_rolling_mau" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      ud.select(explode(sequence(col("day"),
+          col("day") + expr("INTERVAL 6 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("d"), col("user_id"))
+        .join(days, Seq("d"), "left_semi")
+        .distinct()
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("wau_users"))
+    }),
     // sliding-window aggregation (30 min window, 10 min slide): each
     // event lands in width/slide = 3 overlapping windows — the built-in
     // window() generator fans out map-side, then one groupBy shuffle on
@@ -1516,6 +1547,31 @@ object AnalyticsQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // mirrors table_encoding_advisor: same integer CASE-chain bit
+    // widths, same byte rounding
+    "table_encoding_advisor" -> {
+      import graft.functions.TableStats.encodingAdvisorSql
+      s"""${encodingAdvisorSql("lineitem", "lineitem",
+            Seq("l_returnflag", "l_linestatus"))}
+         |UNION ALL
+         |${encodingAdvisorSql("orders", "orders",
+            Seq("o_orderstatus", "o_orderpriority"))}""".stripMargin
+    },
+    // mirrors events_rolling_mau: same 7-anchor fan-out, same semi-join
+    // against observed days
+    "events_rolling_mau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT DATE_TRUNC('day', ts) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day AS d FROM ud),
+        |fan AS (
+        |  SELECT DISTINCT g.d, ud.user_id
+        |  FROM ud, LATERAL (
+        |    SELECT UNNEST(generate_series(ud.day,
+        |      ud.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS d) g
+        |  WHERE g.d IN (SELECT d FROM days))
+        |SELECT d, CAST(COUNT(*) AS BIGINT) AS wau_users
+        |FROM fan GROUP BY d""".stripMargin,
     // mirrors ndv_hll: the identical pinned HLL dataflow
     "ndv_hll" -> {
       val est = graft.functions.Cardinality.hllNdvSql(
