@@ -968,6 +968,34 @@ object AnalyticsQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+    // seasonal-naive forecast baseline with MASE grading (the
+    // M-competition sanity bar every forecasting pipeline must beat):
+    // forecast(day) = count(day-7), graded against naive(day) =
+    // count(day-1) on the same evaluation days, MASE = MAE_f / MAE_n.
+    // Absolute errors sum as exact longs on the tiny (type, day)
+    // frame; the two divisions are single IEEE ops
+    "events_forecast_baseline" -> ((s, dir) => {
+      val byDay = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      byDay
+        .withColumn("__f", lag(col("c"), 7).over(w))
+        .withColumn("__n", lag(col("c"), 1).over(w))
+        .filter(col("__f").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days_eval"),
+          sum(abs(col("c") - col("__f"))).as("__se"),
+          sum(abs(col("c") - col("__n"))).as("__ne"))
+        .select(col("event_type"), col("n_days_eval"),
+          (col("__se").cast("double") / col("n_days_eval").cast("double"))
+            .as("mae_seasonal"),
+          (col("__ne").cast("double") / col("n_days_eval").cast("double"))
+            .as("mae_naive"),
+          (col("__se").cast("double") / col("__ne").cast("double"))
+            .as("mase"))
+        .withColumn("beats_naive", col("mase") < 1.0)
+    }),
     // rolling 7-day distinct users per day (WAU): sliding DISTINCT does
     // not decompose like a sum, and the naive form is a range join
     // (day BETWEEN d-6 AND d) that plans as a nested loop. Instead each
@@ -1557,6 +1585,30 @@ object AnalyticsQueries {
          |${encodingAdvisorSql("orders", "orders",
             Seq("o_orderstatus", "o_orderpriority"))}""".stripMargin
     },
+    // mirrors events_forecast_baseline: same lag frame, same eval-day
+    // restriction, same exact error sums
+    "events_forecast_baseline" ->
+      """WITH byday AS (
+        |  SELECT event_type, DATE_TRUNC('day', ts) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, c,
+        |    LAG(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS f,
+        |    LAG(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS n
+        |  FROM byday)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+        |  CAST(CAST(SUM(ABS(c - f)) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mae_seasonal,
+        |  CAST(CAST(SUM(ABS(c - n)) AS BIGINT) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
+        |  CAST(CAST(SUM(ABS(c - f)) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(ABS(c - n)) AS BIGINT) AS DOUBLE) AS mase,
+        |  (CAST(CAST(SUM(ABS(c - f)) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(SUM(ABS(c - n)) AS BIGINT) AS DOUBLE)) < 1.0
+        |    AS beats_naive
+        |FROM lagged WHERE f IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
     // mirrors events_rolling_mau: same 7-anchor fan-out, same semi-join
     // against observed days
     "events_rolling_mau" ->
