@@ -410,4 +410,103 @@ object Sampling {
         (col("allocated").cast("double") / col("__b").cast("double"))
           .as("share"))
   }
+
+  /** Deterministic negative sampling — the contrastive-training prep
+    * step (word2vec/SGNS, two-tower recsys): for every positive
+    * (key, item) pair, `k` pseudo-random negatives drawn uniformly
+    * from the observed item universe, reproducible on any cluster
+    * layout because the draw is a pure hash of (salt, key, item, j).
+    * Negatives that collide with one of the key's own positives are
+    * NOT silently rejected (rejection loops are layout-dependent);
+    * they are FLAGGED (`accidental_hit`) so the trainer can mask them
+    * — the standard in-batch-negatives hygiene.
+    *
+    * The draw needs a dense 0..n−1 item index. That index is built
+    * WITHOUT a single-partition window (the two-phase
+    * [[Dedup.sortedNeighborDups]] shape): per-bucket row_number over
+    * item-hash buckets plus a cumulative per-bucket base broadcast
+    * back — any bijection works for uniform sampling, so the bucketed
+    * (non-sorted) index is as good as a global rank at none of the
+    * cost.
+    *
+    * Scale shape: corpus-sized exchanges carry (key, item, j) ids and
+    * longs; the index joins back on the drawn idx (AQE-sized); the
+    * collision check is one left join on (key, item). Output:
+    * (keyCol, itemCol, neg_rank, neg_item, accidental_hit), k rows per
+    * positive.
+    */
+  def negativeSamples(positives: DataFrame, keyCol: String,
+      itemCol: String, k: Int, salt: String = "neg",
+      indexBuckets: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 1000, "need 1 <= k <= 1000")
+    require(indexBuckets >= 1, "indexBuckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val pos = positives.select(col(keyCol), col(itemCol)).distinct()
+    val items = pos.select(col(itemCol).as("item")).distinct()
+    val local = items
+      .withColumn("__b", pmod(col("item"), lit(indexBuckets.toLong)))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("item"))).cast("long"))
+    val wBase = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = local.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wBase), lit(0L)))
+      .select(col("__b"), col("__base"))
+    val indexed = local.join(broadcast(bases), Seq("__b"))
+      .select(col("item"), (col("__base") + col("__r") - 1).as("__idx"))
+    val nItems = indexed.agg(count(lit(1)).as("__n"))
+    val draws = pos.crossJoin(broadcast(nItems))
+      .select(col(keyCol), col(itemCol),
+        explode(array((1 to k).map(lit): _*)).as("neg_rank"), col("__n"))
+      .withColumn("__idx", pmod(keyHash60(concat_ws(":", lit(salt),
+        col(keyCol).cast("string"), col(itemCol).cast("string"),
+        col("neg_rank").cast("string"))), col("__n")))
+      .drop("__n")
+    draws
+      .join(indexed.withColumnRenamed("item", "neg_item"), Seq("__idx"))
+      .drop("__idx")
+      .join(pos.select(col(keyCol), col(itemCol).as("neg_item"))
+          .withColumn("__hit", lit(true)),
+        Seq(keyCol, "neg_item"), "left")
+      .select(col(keyCol), col(itemCol), col("neg_rank"), col("neg_item"),
+        coalesce(col("__hit"), lit(false)).as("accidental_hit"))
+  }
+
+  /** DuckDB mirror of [[negativeSamples]] — the identical bucketed
+    * index, hash draw, and collision flag. `posSql` selects columns
+    * `k_` (key) and `item`.
+    */
+  def negativeSamplesSql(posSql: String, k: Int, salt: String = "neg",
+      indexBuckets: Int = 64, keyName: String = "k_",
+      itemName: String = "item"): String =
+    s"""WITH pos AS (SELECT DISTINCT k_, item FROM ($posSql)),
+       |items AS (SELECT DISTINCT item FROM pos),
+       |loc AS (
+       |  SELECT item, item % $indexBuckets AS b,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY item % $indexBuckets
+       |      ORDER BY item) AS BIGINT) AS r
+       |  FROM items),
+       |bases AS (
+       |  SELECT b, COALESCE(SUM(c) OVER (ORDER BY b
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+       |  FROM (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM loc GROUP BY b)),
+       |idx AS (
+       |  SELECT loc.item, bases.base + loc.r - 1 AS i
+       |  FROM loc JOIN bases ON loc.b = bases.b),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM idx),
+       |draws AS (
+       |  SELECT pos.k_, pos.item, j.neg_rank,
+       |    ${keyHash60Sql(
+             s"'$salt:' || CAST(pos.k_ AS VARCHAR) || ':' || " +
+             "CAST(pos.item AS VARCHAR) || ':' || CAST(j.neg_rank AS VARCHAR)")}
+       |      % n.n_items AS i
+       |  FROM pos CROSS JOIN n
+       |  CROSS JOIN (SELECT UNNEST(range(1, ${k + 1})) AS neg_rank) j)
+       |SELECT d.k_ AS $keyName, d.item AS $itemName,
+       |  CAST(d.neg_rank AS INT) AS neg_rank,
+       |  idx.item AS neg_item,
+       |  (p2.k_ IS NOT NULL) AS accidental_hit
+       |FROM draws d
+       |JOIN idx ON d.i = idx.i
+       |LEFT JOIN pos p2 ON p2.k_ = d.k_ AND p2.item = idx.item""".stripMargin
 }

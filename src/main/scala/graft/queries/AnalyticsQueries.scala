@@ -968,6 +968,19 @@ object AnalyticsQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))),
+    // deterministic negative sampling (word2vec/two-tower prep): 4
+    // hash-drawn uniform negatives per positive (user, item) pair from
+    // the observed item universe, reproducible on any cluster layout;
+    // accidental positives are flagged for masking, never
+    // layout-dependently rejected. The dense item index is the
+    // two-phase bucketed rank — no single-partition window
+    "events_negative_samples" -> ((s, dir) => {
+      val pos = Tables.events(s, dir)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+      graft.functions.Sampling.negativeSamples(pos, "user_id", "item", k = 4)
+    }),
     // seasonal-naive forecast baseline with MASE grading (the
     // M-competition sanity bar every forecasting pipeline must beat):
     // forecast(day) = count(day-7), graded against naive(day) =
@@ -1585,6 +1598,14 @@ object AnalyticsQueries {
          |${encodingAdvisorSql("orders", "orders",
             Seq("o_orderstatus", "o_orderpriority"))}""".stripMargin
     },
+    // mirrors events_negative_samples: same bucketed index, same hash
+    // draw, same collision flag
+    "events_negative_samples" -> graft.functions.Sampling.negativeSamplesSql(
+      """SELECT user_id AS k_,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+      k = 4, keyName = "user_id"),
     // mirrors events_forecast_baseline: same lag frame, same eval-day
     // restriction, same exact error sums
     "events_forecast_baseline" ->

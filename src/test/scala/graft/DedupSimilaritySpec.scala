@@ -2097,6 +2097,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("negative samples: deterministic, k per positive, collisions flagged") {
+    import graft.functions.Sampling
+    val pos = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("user_id", "item")
+    def run() = Sampling.negativeSamples(pos, "user_id", "item", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(t => (t._1, t._2, t._3))
+    val a = run(); val b = run()
+    assert(a.toSeq === b.toSeq) // layout-independent determinism
+    assert(a.length === 9) // 3 positives x k=3
+    // negatives come from the OBSERVED universe only
+    assert(a.forall(t => Set(10L, 11L).contains(t._4)))
+    // the flag is exactly "this negative is one of the key's positives"
+    val posSet = Set((1L, 10L), (1L, 11L), (2L, 10L))
+    a.foreach { case (u, _, _, neg, hit) =>
+      assert(hit === posSet.contains((u, neg)))
+    }
+    // user 2 never saw item 11: drawing it must be flagged false
+    assert(a.filter(t => t._1 == 2L && t._4 == 11L).forall(!_._5))
+  }
+
   test("prefix jaccard: hand-checked pair at the threshold boundary") {
     import graft.functions.Dedup
     // sets {a..e} and {a,b,c,d,f}: inter 4, union 6, J = 2/3
