@@ -1082,6 +1082,32 @@ object AnalyticsQueries {
       Joins.asofJoin(purchases, signups, Seq("user_id"), "ts",
         Seq("event_id", "value"), toleranceMicros = Some(30L * 60 * 1000000))
     }),
+    // last-touch attribution: each purchase credits the latest prior
+    // non-purchase event of its user (the as-of join, aggregated into
+    // the channel report a marketing pipeline ships). Touches first
+    // dedupe to one per (user, ts) — max event_type, deterministic —
+    // so as-of tie-breaking can never diverge between engines;
+    // purchases with no prior touch report as 'unattributed'. The
+    // share divides exact longs once
+    "events_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_type")).as("channel"))
+      val att = Joins.asofJoin(purchases, touches, Seq("user_id"), "ts",
+        Seq("channel"))
+      val byChannel = att
+        .groupBy(coalesce(col("channel_r"), lit("unattributed"))
+          .as("channel"))
+        .agg(count(lit(1)).as("n_conversions"))
+      val total = byChannel.agg(sum(col("n_conversions")).as("__t"))
+      byChannel.crossJoin(broadcast(total))
+        .select(col("channel"), col("n_conversions"),
+          (col("n_conversions").cast("double") / col("__t").cast("double"))
+            .as("share"))
+    }),
     // ordered conversion funnel: first view → first click after it →
     // first purchase after that, one row per user with stage instants
     "events_funnel" -> ((s, dir) =>
@@ -2281,6 +2307,24 @@ object AnalyticsQueries {
         |FROM s GROUP BY user_id, seq""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN is the independent mirror of the
     // union-window formulation
+    // mirrors events_attribution: native DuckDB ASOF over the same
+    // tie-free deduped touch frame
+    "events_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, MAX(event_type) AS channel
+        |      FROM events WHERE event_type <> 'purchase'
+        |      GROUP BY user_id, ts),
+        |att AS (
+        |  SELECT COALESCE(t.channel, 'unattributed') AS channel
+        |  FROM p ASOF LEFT JOIN t
+        |    ON p.user_id = t.user_id AND p.ts >= t.ts),
+        |bc AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions
+        |       FROM att GROUP BY channel),
+        |tot AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS t FROM bc)
+        |SELECT channel, n_conversions,
+        |  CAST(n_conversions AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+        |FROM bc CROSS JOIN tot""".stripMargin,
     "asof_join" ->
       """WITH l AS (SELECT user_id, ts, event_id, value FROM events
         |           WHERE event_type = 'purchase'),

@@ -197,6 +197,28 @@ object TextQueries {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minHashCandidatePairs(dupCorpus(docs(s, dir)), "doc_id", "text",
         useMd5 = true)),
+    // first-occurrence novelty per document: the share of a doc's
+    // trigram shingles never seen in any earlier (lower-id) document —
+    // the diversity/freshness metric a curation pipeline tracks as it
+    // appends crawl snapshots (novelty collapsing toward 0 means the
+    // new data is rehash). One shingle-keyed min-aggregate, join back,
+    // per-doc ratio of exact longs
+    "text_novelty" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("shingle"))
+        .distinct()
+      val first = sh.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("__first"))
+      sh.join(first, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+            .as("novel_shingles"))
+        .withColumn("novelty",
+          col("novel_shingles").cast("double") /
+            col("n_shingles").cast("double"))
+    }),
     // LSH S-curve audit: per Jaccard decile, the analytic candidate
     // probability 1-(1-j^2)^8 for this pipeline's banding (k=16, 8
     // bands x 2 rows) vs the OBSERVED hit rate of the md5 MinHash
@@ -1118,6 +1140,25 @@ object TextQueries {
       "vocab_chi2_drift" ->
         graft.functions.TermStats.chiSquareDriftSql("source", toks),
       "dedup_minhash" -> minHashOracleSql,
+      // mirrors text_novelty: same trigram shingles (short-doc
+      // fallback), same first-occurrence rule
+      "text_novelty" ->
+        """WITH sh AS (
+          |  SELECT DISTINCT doc_id, unnest(
+          |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+          |         ELSE list_transform(range(0, len(w) - 2),
+          |                i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')) END
+          |  ) AS shingle
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+          |f AS (SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS fd
+          |      FROM sh GROUP BY shingle)
+          |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          |  CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS novel_shingles,
+          |  CAST(SUM(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / CAST(COUNT(*) AS DOUBLE) AS novelty
+          |FROM sh JOIN f ON sh.shingle = f.shingle
+          |GROUP BY sh.doc_id""".stripMargin,
       // mirrors dedup_lsh_scurve: same truth/cand CTEs, same unrolled
       // left-associated probability products, same 2^40 fixed point
       "dedup_lsh_scurve" -> {
