@@ -912,4 +912,98 @@ object DiffEngine {
       .crossJoin(skipped)
       .withColumn("table_name", lit(spec.table))
   }
+
+  /** THREE-replica reconciliation — the N-way extension of the 2-way
+    * diff the reference runs (reference semantics: cassandra-diff
+    * compares exactly two clusters; operators with 3+ replicas run it
+    * pairwise and reconcile by hand). One pass classifies every key
+    * across source A and replicas B, C into the repair-decision
+    * categories: `consistent`, `b_divergent` / `c_divergent` (one
+    * replica drifted — repair that replica from the agreeing pair),
+    * `replicas_agree_source_differs` (B=C≠A — the SOURCE is the odd
+    * one out, the "stale snapshot" signal a pairwise diff cannot
+    * express), `conflict` (three distinct row versions), and the six
+    * presence categories (missing/only per side).
+    *
+    * Comparison is null-safe column equality (`<=>`), never hashes —
+    * bit-identical verdicts in the DuckDB oracle via IS NOT DISTINCT
+    * FROM. Scale shape: two full-outer joins on the primary key (the
+    * same exchange reused — all three sides shuffle on the key once),
+    * then one partial-aggregating count on the ≤10-row category key.
+    */
+  def threeWayDiff(a: DataFrame, b: DataFrame, c: DataFrame,
+      spec0: TableSpec): DataFrame = {
+    val spec = spec0.bind(a)
+    val key = spec.primaryKey
+    def tag(df: DataFrame, p: String) =
+      df.select(key.map(col) ++
+        spec.regular.map(cn => col(cn).as(p + cn)) :+
+        lit(true).as(p + "present"): _*)
+    val j = tag(a, "a_").join(tag(b, "b_"), key, "full_outer")
+      .join(tag(c, "c_"), key, "full_outer")
+    val pa = coalesce(col("a_present"), lit(false))
+    val pb = coalesce(col("b_present"), lit(false))
+    val pc = coalesce(col("c_present"), lit(false))
+    def eq(p1: String, p2: String) =
+      spec.regular.map(cn => col(p1 + cn) <=> col(p2 + cn)).reduce(_ && _)
+    val ab = eq("a_", "b_"); val ac = eq("a_", "c_"); val bc = eq("b_", "c_")
+    val cat = when(pa && pb && pc,
+        when(ab && ac, "consistent")
+          .when(ab && !ac, "c_divergent")
+          .when(!ab && ac, "b_divergent")
+          .when(bc, "replicas_agree_source_differs")
+          .otherwise("conflict"))
+      .when(pa && pb, "missing_in_c")
+      .when(pa && pc, "missing_in_b")
+      .when(pb && pc, "missing_in_source")
+      .when(pa, "only_in_source")
+      .when(pb, "only_in_b")
+      .otherwise("only_in_c")
+    j.groupBy(cat.as("category")).agg(count(lit(1)).as("n_keys"))
+  }
+
+  /** DuckDB mirror of [[threeWayDiff]]: same tagged full joins, same
+    * IS NOT DISTINCT FROM verdicts, same category ladder. Each side is
+    * a full SELECT over the table's columns.
+    */
+  def threeWayDiffSql(aSql: String, bSql: String, cSql: String,
+      spec: TableSpec): String = {
+    val key = spec.primaryKey.mkString(", ")
+    def tag(p: String) = spec.regular
+      .map(cn => s"$cn AS $p$cn").mkString(", ")
+    def eq(p1: String, p2: String) = spec.regular
+      .map(cn => s"($p1$cn IS NOT DISTINCT FROM $p2$cn)")
+      .mkString("(", " AND ", ")")
+    val (ab, ac, bc) = (eq("a_", "b_"), eq("a_", "c_"), eq("b_", "c_"))
+    s"""WITH ta AS (SELECT ${spec.primaryKey.mkString(", ")}, ${tag("a_")},
+       |            TRUE AS a_present FROM ($aSql)),
+       |tb AS (SELECT ${spec.primaryKey.mkString(", ")}, ${tag("b_")},
+       |       TRUE AS b_present FROM ($bSql)),
+       |tc AS (SELECT ${spec.primaryKey.mkString(", ")}, ${tag("c_")},
+       |       TRUE AS c_present FROM ($cSql)),
+       |j AS (SELECT * FROM ta
+       |      FULL JOIN tb USING ($key)
+       |      FULL JOIN tc USING ($key)),
+       |cls AS (
+       |  SELECT CASE
+       |    WHEN COALESCE(a_present, FALSE) AND COALESCE(b_present, FALSE)
+       |         AND COALESCE(c_present, FALSE) THEN
+       |      CASE WHEN $ab AND $ac THEN 'consistent'
+       |           WHEN $ab AND NOT $ac THEN 'c_divergent'
+       |           WHEN NOT $ab AND $ac THEN 'b_divergent'
+       |           WHEN $bc THEN 'replicas_agree_source_differs'
+       |           ELSE 'conflict' END
+       |    WHEN COALESCE(a_present, FALSE) AND COALESCE(b_present, FALSE)
+       |      THEN 'missing_in_c'
+       |    WHEN COALESCE(a_present, FALSE) AND COALESCE(c_present, FALSE)
+       |      THEN 'missing_in_b'
+       |    WHEN COALESCE(b_present, FALSE) AND COALESCE(c_present, FALSE)
+       |      THEN 'missing_in_source'
+       |    WHEN COALESCE(a_present, FALSE) THEN 'only_in_source'
+       |    WHEN COALESCE(b_present, FALSE) THEN 'only_in_b'
+       |    ELSE 'only_in_c' END AS category
+       |  FROM j)
+       |SELECT category, CAST(COUNT(*) AS BIGINT) AS n_keys
+       |FROM cls GROUP BY category""".stripMargin
+  }
 }

@@ -67,6 +67,15 @@ object DiffQueries {
       DiffEngine.digestTree(li(s, dir),
         Perturb.lineitemTargetLocalized(li(s, dir)),
         lineitemSpec, buckets = 64, fanout = 8, idTok)),
+    // three-replica reconciliation: source vs the drop/mutate/insert
+    // replica vs the float-jitter replica in ONE pass — classifies
+    // every key into repair-decision categories incl. the B=C≠A
+    // "source is the stale one" verdict a pairwise diff cannot express
+    "diff_three_way" -> ((s, dir) =>
+      DiffEngine.threeWayDiff(li(s, dir),
+        Perturb.lineitemTarget(li(s, dir)),
+        Perturb.lineitemTargetJitter(li(s, dir)),
+        lineitemSpec)),
     // both phases end-to-end: digests narrow to dirty buckets, the full
     // mismatch diff runs over those only — and must find EXACTLY the
     // same mismatch set as the unfiltered diff (same oracle as
@@ -230,6 +239,10 @@ object DiffQueries {
       Perturb.lineitemSrcSql, Perturb.lineitemTargetSql),
     // closure property: the reconciled frame IS the perturbed target
     "diff_reconcile" -> s"SELECT * FROM (${Perturb.lineitemTargetSql})",
+    // mirrors diff_three_way: same tagged full joins and category ladder
+    "diff_three_way" -> DiffEngine.threeWayDiffSql(
+      Perturb.lineitemSrcSql, Perturb.lineitemTargetSql,
+      Perturb.lineitemTargetJitterSql, lineitemSpec),
     "diff_repair" -> OracleSql.repair(lineitemSpec,
       Map("l_quantity" -> "double", "l_extendedprice" -> "double",
         "l_discount" -> "double", "l_tax" -> "double",
