@@ -1082,6 +1082,29 @@ object AnalyticsQueries {
       Joins.asofJoin(purchases, signups, Seq("user_id"), "ts",
         Seq("event_id", "value"), toleranceMicros = Some(30L * 60 * 1000000))
     }),
+    // top user journeys: each user's first-8-event path (ordered,
+    // '>'-joined) ranked by frequency — the clickstream path report.
+    // The per-user cap bounds path length BEFORE any aggregation (a
+    // power user cannot blow up the string), ordering inside the
+    // collected array is pinned by array_sort over (ts, event_id)
+    // structs (collect_list alone has no order guarantee), and the
+    // top-20 runs as TakeOrdered, never a global sort
+    "events_top_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= 8)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    }),
     // last-touch attribution: each purchase credits the latest prior
     // non-purchase event of its user (the as-of join, aggregated into
     // the channel report a marketing pipeline ships). Touches first
@@ -2307,6 +2330,20 @@ object AnalyticsQueries {
         |FROM s GROUP BY user_id, seq""".stripMargin,
     // DuckDB's native ASOF LEFT JOIN is the independent mirror of the
     // union-window formulation
+    // mirrors events_top_paths: same first-8 cap, same pinned ordering
+    "events_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY user_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     // mirrors events_attribution: native DuckDB ASOF over the same
     // tie-free deduped touch frame
     "events_attribution" ->
