@@ -583,6 +583,69 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL audio transform: decode, drop every all-zero `frameSize`
+    * frame (silence trimming — the preprocessing step a speech
+    * pipeline runs before feature extraction), re-encode through the
+    * real writer. The image-resize analog for audio: decode →
+    * transform → encode, all verifiable because PCM is lossless.
+    * Rows that fail the decode are dropped.
+    */
+  def trimSilence(blobs: DataFrame, frameSize: Int = 256,
+      batchSize: Int = 64): DataFrame = {
+    require(frameSize >= 1, "frameSize must be >= 1")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { b =>
+          AudioCodec.decodePcm(b.data).map { s =>
+            val kept = s.grouped(frameSize)
+              .filter(_.exists(_ != 0)).flatten.toArray
+            MediaBlob(b.doc_id, b.media_type,
+              AudioCodec.encodePcmWav(kept))
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  /** DuckDB mirror of [[synthPcmWav]] → [[trimSilence]] →
+    * [[audioStats]]: every third frame of the generator is silent by
+    * construction, so the trimmed clip is exactly the non-silent
+    * frames — recomputed analytically. `idsSql` selects one column
+    * `id`.
+    */
+  def audioTrimStatsSql(idsSql: String, frameSize: Int = 256): String =
+    s"""WITH au_ids AS ($idsSql),
+       |au_s0 AS (
+       |  SELECT id, i,
+       |    CASE WHEN ((i // $frameSize) % 3) = 0 THEN 0
+       |         ELSE ((31 * id + 7 * i) % 4096) - 2048 END AS s
+       |  FROM (SELECT id, unnest(range(0, 2000 + (id % 7) * 300)) AS i
+       |        FROM au_ids)),
+       |au_k AS (
+       |  SELECT id, s,
+       |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY i) - 1 AS ki
+       |  FROM (
+       |    SELECT id, i, s,
+       |      MAX(ABS(s)) OVER (PARTITION BY id, i // $frameSize) AS fmx
+       |    FROM au_s0)
+       |  WHERE fmx > 0),
+       |au_f AS (
+       |  SELECT id, ki // $frameSize AS f,
+       |    CAST(SUM(s * s) AS BIGINT) AS fe,
+       |    CAST(MAX(ABS(s)) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+       |    CAST(COUNT(*) AS BIGINT) AS fn
+       |  FROM au_k GROUP BY 1, 2)
+       |SELECT id AS doc_id, CAST(SUM(fn) AS BIGINT) AS n_samples,
+       |  CAST(SUM(fe) AS BIGINT) AS energy,
+       |  CAST(MAX(fp) AS INT) AS peak,
+       |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(SUM(CASE WHEN nz = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS silent_frames
+       |FROM au_f GROUP BY id""".stripMargin
+
   /** DuckDB mirror of [[synthPcmWav]] → [[audioStats]]: the statistics
     * recomputed ANALYTICALLY from the sample formula — the engine must
     * reproduce them through a real WAV encode→decode. `idsSql` selects

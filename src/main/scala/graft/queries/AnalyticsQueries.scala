@@ -674,6 +674,33 @@ object AnalyticsQueries {
             .as("low_diversity_groups"),
           sum(when(col("__l") < 5, col("__c")).otherwise(0L))
             .as("rows_at_risk"))),
+    // k-anonymity generalization ladder: pick the FINEST time
+    // granularity (hour-of-day -> 4-hour band -> whole day) at which
+    // every quasi-identifier group reaches k=50 — the generalization-
+    // hierarchy step of a privacy release pipeline (coarsen until
+    // k-anonymous, never more than needed). The band and day levels
+    // aggregate the 24-row hour frame, so the ladder costs one scan
+    "privacy_generalization" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          org.apache.spark.sql.functions.hour(col("ts")).as("hh"))
+        .agg(count(lit(1)).as("__c"))
+      val band = hourly
+        .groupBy(col("event_type"), expr("hh DIV 4").as("__b"))
+        .agg(sum(col("__c")).as("__bc"))
+        .groupBy(col("event_type"))
+        .agg(min(col("__bc")).as("min_band_group"))
+      hourly.groupBy(col("event_type"))
+        .agg(min(col("__c")).as("min_hour_group"),
+          sum(col("__c")).as("n_rows"))
+        .join(band, Seq("event_type"))
+        .withColumn("chosen_level",
+          when(col("min_hour_group") >= 50, "hour")
+            .when(col("min_band_group") >= 50, "4hour")
+            .otherwise("day"))
+        .select(col("event_type"), col("n_rows"), col("min_hour_group"),
+          col("min_band_group"), col("chosen_level"))
+    }),
     // t-closeness companion: per quasi-identifier group, the earth-
     // mover's distance between the group's distribution of an ORDERED
     // sensitive attribute (item id banded to 20 classes) and the global
@@ -2622,6 +2649,27 @@ object AnalyticsQueries {
         |  CAST(SUM(CASE WHEN l < 5 THEN c ELSE 0 END) AS BIGINT)
         |    AS rows_at_risk
         |FROM g GROUP BY event_type""".stripMargin,
+    // mirrors privacy_generalization: same ladder off the hour frame
+    "privacy_generalization" ->
+      """WITH h AS (
+        |  SELECT event_type, EXTRACT(hour FROM ts) AS hh,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, CAST(MIN(bc) AS BIGINT) AS min_band_group
+        |  FROM (SELECT event_type, hh // 4 AS bb,
+        |          CAST(SUM(c) AS BIGINT) AS bc
+        |        FROM h GROUP BY 1, 2)
+        |  GROUP BY event_type),
+        |g AS (
+        |  SELECT event_type, CAST(MIN(c) AS BIGINT) AS min_hour_group,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows
+        |  FROM h GROUP BY event_type)
+        |SELECT g.event_type, n_rows, min_hour_group, min_band_group,
+        |  CASE WHEN min_hour_group >= 50 THEN 'hour'
+        |       WHEN min_band_group >= 50 THEN '4hour'
+        |       ELSE 'day' END AS chosen_level
+        |FROM g JOIN b ON g.event_type = b.event_type""".stripMargin,
     // integer-exact ordered-EMD; items are non-negative so % == pmod
     "privacy_t_closeness" ->
       """WITH banded AS (

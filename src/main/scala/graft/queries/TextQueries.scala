@@ -896,6 +896,13 @@ object TextQueries {
     "multimodal_audio_real" -> ((s, dir) =>
       Multimodal.audioStats(
         Multimodal.synthPcmWav(docs(s, dir), "doc_id"))),
+    // REAL audio transform: decode -> drop all-zero frames -> true
+    // re-encode -> decode again for stats (the resize_real shape for
+    // audio); the oracle re-derives the trimmed clip analytically
+    "multimodal_audio_trim" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.trimSilence(
+          Multimodal.synthPcmWav(docs(s, dir), "doc_id")))),
     // REAL image resize: decode → 8×8 nearest-neighbor gray resample →
     // PNG re-encode → decode again for stats; the oracle evaluates the
     // nearest-neighbor index formula on the generator directly
@@ -2364,6 +2371,10 @@ object TextQueries {
       // mirrors multimodal_audio_real: analytic recompute of the
       // formula-generated PCM statistics
       "multimodal_audio_real" -> Multimodal.audioStatsSql(
+        "SELECT doc_id AS id FROM documents"),
+      // mirrors multimodal_audio_trim: analytic recompute of the
+      // trimmed clip (non-silent frames, re-indexed)
+      "multimodal_audio_trim" -> Multimodal.audioTrimStatsSql(
         "SELECT doc_id AS id FROM documents"),
       "multimodal_decode_real" ->
         """WITH d AS (
