@@ -83,6 +83,110 @@ object Graphs {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive PageRank, Haveliwala 2002):
+    * identical fixed-point power iteration to [[pageRank]], but the
+    * teleport mass lands uniformly on the SEED set instead of all
+    * nodes — the "related to THESE items" ranking a recommender builds
+    * from a query/context set. Same dangling-free requirement, same
+    * 2^44 fixed-point contribution sums, same driver-computed teleport
+    * literal.
+    *
+    * `seeds` carries one column `node`; seeds absent from the edge
+    * list are ignored (teleport normalizes over the seeds that exist).
+    * Scale shape: identical to [[pageRank]] plus one broadcast-sized
+    * seed join per iteration.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, "need 1 <= iters <= 20")
+    require(damping > 0 && damping < 1, "need 0 < damping < 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, Seq("src")).localCheckpoint()
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val nodes = nodes0
+      .join(seeds.select(col("node")).distinct()
+          .withColumn("__seed", lit(true)),
+        Seq("node"), "left")
+      .withColumn("__seed", coalesce(col("__seed"), lit(false)))
+      .localCheckpoint()
+    val tele = 1.0 - damping
+    val scale = math.pow(2, 44)
+    val nSeeds = nodes.agg(
+      sum(when(col("__seed"), 1L).otherwise(0L)).as("n_seeds"))
+    def teleport = when(col("__seed"),
+      lit(tele) / col("n_seeds").cast("double")).otherwise(lit(0.0))
+    var ranks = nodes.crossJoin(broadcast(nSeeds))
+      .select(col("node"), col("__seed"), col("n_seeds"),
+        when(col("__seed"), lit(1.0) / col("n_seeds").cast("double"))
+          .otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iters) {
+      ranks = ed
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          floor(col("rank") / col("outdeg").cast("double") * lit(scale))
+            .as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_mass"))
+        .join(nodes, Seq("node"), "right")
+        .crossJoin(broadcast(nSeeds))
+        .select(col("node"), col("__seed"), col("n_seeds"),
+          (teleport + lit(damping) *
+            (coalesce(col("in_mass").cast("double"), lit(0.0)) / lit(scale)))
+            .as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[personalizedPageRank]]: unrolled iterations,
+    * same seed-restricted teleport, same 2^44 fixed point. `edgesSql`
+    * selects `src, dst`; `seedsSql` selects one column `node`.
+    */
+  def personalizedPageRankSql(edgesSql: String, seedsSql: String,
+      iters: Int = 3, damping: Double = 0.85): String = {
+    val tele = 1.0 - damping
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    (CASE WHEN n.seed THEN CAST($tele AS DOUBLE)
+         |            / CAST(nt.n_seeds AS DOUBLE)
+         |          ELSE 0.0 END) +
+         |      CAST($damping AS DOUBLE) *
+         |        (COALESCE(CAST(m.in_mass AS DOUBLE), 0.0) / 17592186044416.0)
+         |      AS rank
+         |  FROM nodes n
+         |  LEFT JOIN (
+         |    SELECT ed.dst AS node,
+         |      CAST(SUM(CAST(FLOOR(r.rank / CAST(ed.outdeg AS DOUBLE)
+         |            * 17592186044416.0) AS BIGINT)) AS BIGINT) AS in_mass
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.node
+         |    GROUP BY ed.dst) m ON n.node = m.node
+         |  CROSS JOIN nt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS ($edgesSql),
+       |sd AS (SELECT DISTINCT node FROM ($seedsSql)),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+       |        FROM e GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, deg.outdeg
+       |       FROM e JOIN deg ON e.src = deg.src),
+       |nodes AS (
+       |  SELECT n0.node, sd.node IS NOT NULL AS seed
+       |  FROM (SELECT src AS node FROM e
+       |        UNION SELECT dst AS node FROM e) n0
+       |  LEFT JOIN sd ON n0.node = sd.node),
+       |nt AS (SELECT CAST(SUM(CASE WHEN seed THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_seeds FROM nodes),
+       |r0 AS (SELECT node,
+       |         CASE WHEN seed THEN 1.0 / CAST(nt.n_seeds AS DOUBLE)
+       |              ELSE 0.0 END AS rank
+       |       FROM nodes CROSS JOIN nt),
+       |$rounds
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * edge list (direction and duplicates ignored — the graph is
     * id-canonicalized to simple undirected edges first).

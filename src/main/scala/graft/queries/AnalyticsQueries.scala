@@ -1459,6 +1459,34 @@ object AnalyticsQueries {
     // by construction); each iteration is one edge-join + one
     // decimal-summed dst aggregate, bit-reproducible vs the unrolled
     // DuckDB CTE mirror (IEEE divisions + exact decimal sums only)
+    // personalized (topic-sensitive) PageRank: teleport restricted to
+    // the items seen in PURCHASE events — "what is related to what
+    // people buy", the recommender variant of the power iteration.
+    // Same capped edge build and fixed-point kernel as events_pagerank
+    "events_pagerank_personalized" -> ((s, dir) => {
+      val items = graft.functions.Graphs.capKeyDegree(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+          .distinct(),
+        "user_id", 512)
+      val edges = items.as("x").join(items.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.item") =!= col("y.item"))
+        .select(col("x.item").as("src"), col("y.item").as("dst"))
+        .distinct()
+      val seeds = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(get_json_object(col("props"), "$.k").cast("long")
+          .as("node"))
+        .filter(col("node").isNotNull)
+        .distinct()
+      graft.functions.Graphs
+        .personalizedPageRank(edges, "src", "dst", seeds, iters = 3)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+    }),
     "events_pagerank" -> ((s, dir) => {
       // same quadratic-fan-out hygiene as events_covisitation: users
       // above the degree cap contribute no edges (512 = no-op here)
@@ -2581,6 +2609,31 @@ object AnalyticsQueries {
         |SELECT p.user_id, p.event_id, s.session_id
         |FROM p JOIN s ON p.user_id = s.user_id
         |  AND p.ts >= s.session_start AND p.ts <= s.session_end""".stripMargin,
+    // mirrors events_pagerank_personalized: same capped edges, same
+    // seed-restricted teleport, same unrolled fixed-point rounds
+    "events_pagerank_personalized" -> {
+      val itemsSql = graft.functions.Graphs.capKeyDegreeSql(
+        """SELECT DISTINCT user_id,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |FROM events
+          |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+        "user_id", 512)
+      val edgesSql =
+        s"""SELECT DISTINCT x.item AS src, y.item AS dst
+          |  FROM ($itemsSql) x
+          |  JOIN ($itemsSql) y
+          |    ON x.user_id = y.user_id AND x.item <> y.item""".stripMargin
+      val seedsSql =
+        """SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)
+          |    AS node
+          |  FROM events
+          |  WHERE event_type = 'purchase'
+          |    AND json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
+      s"""SELECT node, rank FROM (
+         |${graft.functions.Graphs.personalizedPageRankSql(
+             edgesSql, seedsSql, iters = 3)}
+         |) pr ORDER BY rank DESC, node LIMIT 20""".stripMargin
+    },
     // mirrors events_pagerank: identical unrolled iterations, incl.
     // the 512 per-user degree cap on the edge build
     "events_pagerank" -> {

@@ -79,6 +79,39 @@ class GraphsSpec extends SparkSpec {
     rank.foreach { case (n, r) => assert(math.abs(got(n) - r) < 1e-9) }
   }
 
+  test("personalizedPageRank: matches a driver-side reference; seed-local mass") {
+    // path graph 1-2-3-4 (undirected), teleport pinned to {1}
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L),
+      (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val pr = Graphs.personalizedPageRank(path, "src", "dst", seeds, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // plain double power iteration, teleport only on node 1 — the
+    // 2^-44 quantization keeps the engine within 1e-9
+    val out = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L))
+    var rank = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0)
+    for (_ <- 1 to 5) {
+      val contrib = out.toSeq.flatMap { case (s, ds) =>
+        ds.map(d => d -> rank(s) / ds.size)
+      }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+      rank = rank.keys.map(n => n ->
+        ((if (n == 1L) 0.15 else 0.0) + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    rank.foreach { case (n, r) => assert(math.abs(pr(n) - r) < 1e-9) }
+    // mass conserved up to fixed-point dust, concentrated near the seed
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(1L) + pr(2L) > 0.7)
+    // seeds not in the graph are ignored; seeding everything uniformly
+    // recovers plain pageRank exactly (same dag, same constants)
+    val all = Seq(1L, 2L, 3L, 4L, 99L).toDF("node")
+    val pprAll = Graphs.personalizedPageRank(path, "src", "dst", all, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = Graphs.pageRank(path, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    plain.foreach { case (n, r) => assert(pprAll(n) === r) }
+  }
+
   test("capKeyDegree: drops the bot user's group whole, bounding pair fan-out") {
     // one bot user with 100 distinct items (4950 pairs uncapped) plus
     // two normal users — the cap must drop the bot ENTIRELY (no
