@@ -187,6 +187,77 @@ object Graphs {
        |SELECT node, rank FROM r$iters""".stripMargin
   }
 
+  /** Bounded k-core peeling (Seidman 1983 cores; the iterated-deletion
+    * formulation): repeatedly delete nodes of degree < k, `rounds`
+    * times, reporting the surviving subgraph per round — the
+    * community-core extraction that strips spam tendrils and pendant
+    * noise off an interaction graph before any expensive analysis runs
+    * on it. A bounded round count (not "until fixed point") keeps the
+    * dataflow static and the oracle unrollable; the emitted per-round
+    * sizes show convergence (equal consecutive rows = fixed point
+    * reached).
+    *
+    * Scale shape: per round, one partial-aggregating degree count and
+    * two semi-joins on the node key; the surviving edge list
+    * localCheckpoints each round so round r+1's three references replay
+    * nothing (the pageRank barrier). Output: (round, n_nodes,
+    * n_directed_edges) over the symmetric simple edge list.
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1 && rounds <= 10, "need 1 <= rounds <= 10")
+    val base = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var e = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val stats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k).select(col("src"))
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      stats += e.agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_directed_edges"))
+        .select(lit(r).as("round"), col("n_nodes"),
+          col("n_directed_edges"))
+    }
+    stats.reduce(_ unionByName _)
+  }
+
+  /** DuckDB mirror of [[kCorePeel]]: the rounds unrolled as CTEs.
+    * `edgesSql` selects `src, dst`.
+    */
+  def kCorePeelSql(edgesSql: String, k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""kn$r AS (
+         |  SELECT src FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+         |                   FROM e${r - 1} GROUP BY src)
+         |  WHERE d >= $k),
+         |e$r AS (
+         |  SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN kn$r a ON e.src = a.src
+         |  JOIN kn$r b ON e.dst = b.src),
+         |s$r AS (
+         |  SELECT $r AS round,
+         |    CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+         |    CAST(COUNT(*) AS BIGINT) AS n_directed_edges
+         |  FROM e$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(r => s"SELECT * FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT src, dst FROM ($edgesSql) WHERE src <> dst),
+       |e0 AS (SELECT DISTINCT src, dst FROM
+       |        (SELECT src, dst FROM b
+       |         UNION ALL SELECT dst AS src, src AS dst FROM b)),
+       |$roundCtes
+       |$unions""".stripMargin
+  }
+
   /** Exact triangle count + global clustering coefficient over an
     * edge list (direction and duplicates ignored — the graph is
     * id-canonicalized to simple undirected edges first).

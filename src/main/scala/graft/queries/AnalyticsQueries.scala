@@ -1459,6 +1459,25 @@ object AnalyticsQueries {
     // by construction); each iteration is one edge-join + one
     // decimal-summed dst aggregate, bit-reproducible vs the unrolled
     // DuckDB CTE mirror (IEEE divisions + exact decimal sums only)
+    // k-core peeling of the co-visitation graph: 4 delete-below-degree
+    // rounds at k=3 — the tendril-stripping pass before community
+    // analysis; equal consecutive rows show the fixed point
+    "events_kcore" -> ((s, dir) => {
+      val items = graft.functions.Graphs.capKeyDegree(
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item"))
+          .filter(col("item").isNotNull)
+          .distinct(),
+        "user_id", 512)
+      val edges = items.as("x").join(items.as("y"),
+          col("x.user_id") === col("y.user_id") &&
+            col("x.item") < col("y.item"))
+        .select(col("x.item").as("src"), col("y.item").as("dst"))
+        .distinct()
+      graft.functions.Graphs.kCorePeel(edges, "src", "dst", k = 3,
+        rounds = 4)
+    }),
     // personalized (topic-sensitive) PageRank: teleport restricted to
     // the items seen in PURCHASE events — "what is related to what
     // people buy", the recommender variant of the power iteration.
@@ -2609,6 +2628,21 @@ object AnalyticsQueries {
         |SELECT p.user_id, p.event_id, s.session_id
         |FROM p JOIN s ON p.user_id = s.user_id
         |  AND p.ts >= s.session_start AND p.ts <= s.session_end""".stripMargin,
+    // mirrors events_kcore: same capped edge build, rounds unrolled
+    "events_kcore" -> {
+      val itemsSql = graft.functions.Graphs.capKeyDegreeSql(
+        """SELECT DISTINCT user_id,
+          |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |FROM events
+          |WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin,
+        "user_id", 512)
+      val edgesSql =
+        s"""SELECT DISTINCT x.item AS src, y.item AS dst
+          |  FROM ($itemsSql) x
+          |  JOIN ($itemsSql) y
+          |    ON x.user_id = y.user_id AND x.item < y.item""".stripMargin
+      graft.functions.Graphs.kCorePeelSql(edgesSql, k = 3, rounds = 4)
+    },
     // mirrors events_pagerank_personalized: same capped edges, same
     // seed-restricted teleport, same unrolled fixed-point rounds
     "events_pagerank_personalized" -> {

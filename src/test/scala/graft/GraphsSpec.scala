@@ -112,6 +112,23 @@ class GraphsSpec extends SparkSpec {
     plain.foreach { case (n, r) => assert(pprAll(n) === r) }
   }
 
+  test("kCorePeel: pendant strips in round 1, the triangle is the fixed point") {
+    // triangle 1-2-3 plus pendant 3-4 (one direction given; peel
+    // symmetrizes); at k=2 the pendant dies round 1, then stability
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val rows = Graphs.kCorePeel(g, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows(0) === ((1, 3L, 6L))) // triangle: 3 nodes, 6 directed edges
+    assert(rows(1) === ((2, 3L, 6L))) // fixed point
+    assert(rows(2) === ((3, 3L, 6L)))
+    // a chain has no 2-core: everything peels away within 2 rounds
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val gone = Graphs.kCorePeel(chain, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(gone.last._2 === 0L)
+  }
+
   test("capKeyDegree: drops the bot user's group whole, bounding pair fan-out") {
     // one bot user with 100 distinct items (4950 pairs uncapped) plus
     // two normal users — the cap must drop the bot ENTIRELY (no
