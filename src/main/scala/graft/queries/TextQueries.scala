@@ -92,6 +92,22 @@ object TextQueries {
       docs(s, dir).select(
         col("doc_id"), col("lang"),
         TA.langId(col("text")).as("lang_pred"))),
+    // language-ID confusion matrix + per-label recall: the classifier
+    // eval a pipeline runs before trusting langid for routing — one
+    // (label, prediction) groupBy, label totals join back on the tiny
+    // label frame, recall divides exact longs
+    "text_langid_confusion" -> ((s, dir) => {
+      val pred = docs(s, dir).select(col("lang"),
+        TA.langId(col("text")).as("lang_pred"))
+      val cell = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cell.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+      cell.join(tot, Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          (col("n").cast("double") / col("__t").cast("double"))
+            .as("share_of_label"),
+          (col("lang") === col("lang_pred")).as("is_correct"))
+    }),
     // content fingerprint (md5 of normalized text)
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1223,6 +1239,20 @@ object TextQueries {
       "text_langid" ->
         s"""SELECT doc_id, lang, ${TA.langIdSql(toks)} AS lang_pred
            |FROM documents""".stripMargin,
+      // mirrors text_langid_confusion: same predictor, same recall math
+      "text_langid_confusion" ->
+        s"""WITH p AS (
+           |  SELECT lang, ${TA.langIdSql(toks)} AS lang_pred
+           |  FROM documents),
+           |cell AS (
+           |  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM p GROUP BY 1, 2),
+           |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tt
+           |      FROM cell GROUP BY lang)
+           |SELECT cell.lang, lang_pred, n,
+           |  CAST(n AS DOUBLE) / CAST(tt AS DOUBLE) AS share_of_label,
+           |  cell.lang = lang_pred AS is_correct
+           |FROM cell JOIN t ON cell.lang = t.lang""".stripMargin,
       "text_fingerprint" ->
         "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
       "pack_offsets" ->
