@@ -87,6 +87,112 @@ object Diagnostics {
     *
     * Output: (from_shard, to_shard, n_moved), n_moved > 0.
     */
+  /** Range-partition balance audit — Spark's RangePartitioner story as
+    * a queryable diagnostic: estimate `nRanges` sort boundaries from a
+    * deterministic `1/sampleDen` key sample (the boundary-sampling
+    * every engine's global sort performs), then measure how balanced
+    * the FULL table's rows land across those estimated ranges. A
+    * max/mean ratio near 1 says the sampled boundaries would give an
+    * even sort shuffle; a hot range flags skew the sampler missed —
+    * the audit run before committing a 100 TB global sort or a
+    * range-bucketed layout.
+    *
+    * Determinism: the sample is the engine-portable md5 filter; the
+    * sample's global ranks come from the two-phase bucketed pattern
+    * (value-monotone range buckets + a ≤256-row carry broadcast — no
+    * single-partition window; ties share a value, so boundary VALUES
+    * are tie-order-independent); the ≤`nRanges`−1 boundary values are
+    * a BOUNDED driver collect (exactly what RangePartitioner does) and
+    * return to the plan as a codegen'd literal comparison ladder.
+    *
+    * Output: (range_idx, n_rows, share), `nRanges` rows (empty ranges
+    * absent).
+    */
+  def rangeBalance(df: DataFrame, keyCol: String, nRanges: Int = 32,
+      sampleDen: Int = 100, indexBuckets: Int = 256): DataFrame = {
+    require(nRanges >= 2 && nRanges <= 1024, "need 2 <= nRanges <= 1024")
+    require(sampleDen >= 1, "sampleDen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(keyCol).cast("long").as("v"))
+    val sample = Sampling.deterministicSample(v, "v", 1, sampleDen)
+    // two-phase global rank over the sample (monotone value buckets)
+    val bounds0 = sample.agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val span = (col("__hi") - col("__lo")).cast("double")
+    val bucketed = sample.crossJoin(broadcast(bounds0))
+      .withColumn("__b",
+        when(span > 0.0, least(lit(indexBuckets - 1L),
+          floor((col("v") - col("__lo")).cast("double") * indexBuckets / span)))
+          .otherwise(lit(0L)))
+    val wLoc = Window.partitionBy(col("__b")).orderBy(col("v"))
+    val local = bucketed
+      .withColumn("__r", row_number().over(wLoc).cast("long"))
+    val wBase = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wBase), lit(0L)))
+      .select(col("__b"), col("__base"))
+    val ranked = local.join(broadcast(bases), Seq("__b"))
+      .select(col("v"), (col("__base") + col("__r")).as("__rank"))
+    // boundary i sits at rank ceil(i·n/nRanges) = (i·n + nR − 1) div nR
+    // (exact integer ceil, same form the oracle uses). n and the
+    // boundary VALUES are bounded driver-side reads — the two actions
+    // RangePartitioner itself performs
+    val n = sample.count()
+    val targetRanks = (1 until nRanges)
+      .map(i => (i.toLong * n + nRanges - 1) / nRanges)
+      .filter(r => r >= 1 && r <= n).distinct
+    val boundaries =
+      if (targetRanks.isEmpty) Array.empty[Long]
+      else ranked.filter(col("__rank").isin(targetRanks: _*))
+        .select(col("v"))
+        .collect().map(_.getLong(0)).distinct.sorted // bounded: < nRanges
+    val ladder = boundaries.zipWithIndex.foldLeft(
+      when(lit(false), 0L)) { case (acc, (b, i)) =>
+      acc.when(col("v") <= b, i.toLong)
+    }.otherwise(lit(boundaries.length.toLong))
+    val counts = v.select(ladder.as("range_idx"))
+      .groupBy(col("range_idx")).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("range_idx"), col("n_rows"),
+        (col("n_rows").cast("double") / col("__t").cast("double"))
+          .as("share"))
+  }
+
+  /** DuckDB mirror of [[rangeBalance]]: same md5 sample, same
+    * integer-ceil target ranks (a global ROW_NUMBER stands in for the
+    * engine's two-phase rank — tie rows share a value, so boundary
+    * VALUES agree), same strictly-less range assignment. `srcSql`
+    * selects one BIGINT column `v`.
+    */
+  def rangeBalanceSql(srcSql: String, nRanges: Int = 32,
+      sampleDen: Int = 100): String =
+    s"""WITH v AS (SELECT v FROM ($srcSql)),
+       |s AS (SELECT v FROM v WHERE ${Sampling.keyHash60Sql("v")}
+       |        % $sampleDen < 1),
+       |r AS (SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) AS BIGINT)
+       |        AS rnk FROM s),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+       |t AS (SELECT DISTINCT (i * n.n + $nRanges - 1) // $nRanges AS tr
+       |      FROM (SELECT UNNEST(range(1, $nRanges)) AS i)
+       |      CROSS JOIN n
+       |      WHERE (i * n.n + $nRanges - 1) // $nRanges
+       |        BETWEEN 1 AND n.n),
+       |b AS (SELECT DISTINCT r.v AS bv FROM r JOIN t ON r.rnk = t.tr),
+       |dv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY v),
+       |asg AS (
+       |  SELECT dv.v, dv.c,
+       |    CAST(COALESCE(SUM(CASE WHEN b.bv < dv.v THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS range_idx
+       |  FROM dv LEFT JOIN b ON TRUE
+       |  GROUP BY dv.v, dv.c),
+       |cnt AS (SELECT range_idx, CAST(SUM(c) AS BIGINT) AS n_rows
+       |        FROM asg GROUP BY range_idx),
+       |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t FROM cnt)
+       |SELECT range_idx, n_rows,
+       |  CAST(n_rows AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+       |FROM cnt CROSS JOIN tot""".stripMargin
+
   def shardRebalance(df: DataFrame, shard: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sizes = df.groupBy(shard.as("shard")).agg(count(lit(1)).as("sz"))

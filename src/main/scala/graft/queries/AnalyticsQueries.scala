@@ -1459,6 +1459,14 @@ object AnalyticsQueries {
     // by construction); each iteration is one edge-join + one
     // decimal-summed dst aggregate, bit-reproducible vs the unrolled
     // DuckDB CTE mirror (IEEE divisions + exact decimal sums only)
+    // range-partition balance audit: sort boundaries estimated from a
+    // 1% deterministic key sample (RangePartitioner's own move), then
+    // the FULL table's row balance across those estimated ranges — the
+    // audit run before committing a global sort or range layout
+    "sort_range_balance" -> ((s, dir) =>
+      graft.functions.Diagnostics.rangeBalance(
+        t(s, dir, "lineitem"), "l_orderkey", nRanges = 32,
+        sampleDen = 100)),
     // k-core peeling of the co-visitation graph: 4 delete-below-degree
     // rounds at k=3 — the tendril-stripping pass before community
     // analysis; equal consecutive rows show the fixed point
@@ -2628,6 +2636,10 @@ object AnalyticsQueries {
         |SELECT p.user_id, p.event_id, s.session_id
         |FROM p JOIN s ON p.user_id = s.user_id
         |  AND p.ts >= s.session_start AND p.ts <= s.session_end""".stripMargin,
+    // mirrors sort_range_balance: same sample, same ceil target ranks
+    "sort_range_balance" -> graft.functions.Diagnostics.rangeBalanceSql(
+      "SELECT CAST(l_orderkey AS BIGINT) AS v FROM lineitem",
+      nRanges = 32, sampleDen = 100),
     // mirrors events_kcore: same capped edge build, rounds unrolled
     "events_kcore" -> {
       val itemsSql = graft.functions.Graphs.capKeyDegreeSql(
