@@ -584,4 +584,30 @@ class DiffEngineSpec extends SparkSpec {
   }
 
   private def jd(d: Double): java.lang.Double = java.lang.Double.valueOf(d)
+
+  test("threeWayDiff: every category hit exactly once on a hand fixture") {
+    import spark.implicits._
+    val spec = TableSpec("t", Seq("k"), Nil, Seq("v"))
+    // keys 1-9 cover all nine reachable categories
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x"),
+      (6L, "x"), (9L, "x")).toDF("k", "v")
+    val b = Seq((1L, "x"), (2L, "B"), (3L, "x"), (4L, "y"), (5L, "b"),
+      (6L, "x"), (7L, "x"), (8L, "x")).toDF("k", "v")
+    val c = Seq((1L, "x"), (2L, "x"), (3L, "C"), (4L, "y"), (5L, "c"),
+      (8L, "x")).toDF("k", "v")
+    val got = graft.engine.DiffEngine.threeWayDiff(a, b, c, spec)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "consistent" -> 1L,                      // k1
+      "b_divergent" -> 1L,                     // k2 (b differs, c = a)
+      "c_divergent" -> 1L,                     // k3
+      "replicas_agree_source_differs" -> 1L,   // k4 (b = c != a)
+      "conflict" -> 1L,                        // k5 (three versions)
+      "missing_in_c" -> 1L,                    // k6 (a, b only)
+      "only_in_b" -> 1L,                       // k7
+      "missing_in_source" -> 1L,               // k8 (b, c only)
+      "only_in_source" -> 1L))                 // k9
+    // categories partition the key universe
+    assert(got.values.sum === 9L)
+  }
 }
