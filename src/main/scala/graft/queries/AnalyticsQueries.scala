@@ -1459,6 +1459,28 @@ object AnalyticsQueries {
     // by construction); each iteration is one edge-join + one
     // decimal-summed dst aggregate, bit-reproducible vs the unrolled
     // DuckDB CTE mirror (IEEE divisions + exact decimal sums only)
+    // primary-key uniqueness audit across the schema: per table, key
+    // count, duplicate keys, and the worst multiplicity — the DQ gate
+    // run before trusting any key-equality join or MERGE (a duplicate
+    // key silently fans out every downstream join). One partial-
+    // aggregating groupBy per table; the 1-row results union
+    "dq_key_uniqueness" -> ((s, dir) => {
+      def audit(label: String, df: DataFrame, keys: Seq[String]) =
+        df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("__c")).as("n_rows"),
+            sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_keys"),
+            max(col("__c")).as("max_multiplicity"))
+          .select(lit(label).as("tbl"), col("n_rows"), col("n_keys"),
+            col("dup_keys"), col("max_multiplicity"))
+      audit("orders", t(s, dir, "orders"), Seq("o_orderkey"))
+        .unionByName(audit("lineitem", t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber")))
+        .unionByName(audit("part", t(s, dir, "part"), Seq("p_partkey")))
+        .unionByName(audit("customer", t(s, dir, "customer"),
+          Seq("c_custkey")))
+        .unionByName(audit("events", Tables.events(s, dir),
+          Seq("event_id")))
+    }),
     // range-partition balance audit: sort boundaries estimated from a
     // 1% deterministic key sample (RangePartitioner's own move), then
     // the FULL table's row balance across those estimated ranges — the
@@ -2636,6 +2658,23 @@ object AnalyticsQueries {
         |SELECT p.user_id, p.event_id, s.session_id
         |FROM p JOIN s ON p.user_id = s.user_id
         |  AND p.ts >= s.session_start AND p.ts <= s.session_end""".stripMargin,
+    // mirrors dq_key_uniqueness: same per-table key aggregates
+    "dq_key_uniqueness" -> {
+      def auditSql(label: String, table: String, keys: String) =
+        s"""SELECT '$label' AS tbl, CAST(SUM(c) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS dup_keys,
+           |  CAST(MAX(c) AS BIGINT) AS max_multiplicity
+           |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM $table
+           |      GROUP BY $keys)""".stripMargin
+      Seq(auditSql("orders", "orders", "o_orderkey"),
+        auditSql("lineitem", "lineitem", "l_orderkey, l_linenumber"),
+        auditSql("part", "part", "p_partkey"),
+        auditSql("customer", "customer", "c_custkey"),
+        auditSql("events", "events", "event_id"))
+        .mkString("\nUNION ALL\n")
+    },
     // mirrors sort_range_balance: same sample, same ceil target ranks
     "sort_range_balance" -> graft.functions.Diagnostics.rangeBalanceSql(
       "SELECT CAST(l_orderkey AS BIGINT) AS v FROM lineitem",
