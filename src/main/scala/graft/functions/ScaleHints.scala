@@ -15,9 +15,13 @@ object ScaleHints {
 
   /** Recommended sizes for a corpus of `n` rows. */
   final case class Hints(
-      /** IVF coarse-quantizer list count (√n, floor 16 — tiny corpora
-        * still want a few lists; cap 2^18 keeps the centroid matrix
-        * driver-safe at 64 dims ≈ 128 MB).
+      /** IVF coarse-quantizer list count (√n, floor 16). The cap is
+        * DIMS-AWARE: nlist × dims × 8 B is bounded at 256 MB — the
+        * centroid RELATION's broadcast budget on the large-nlist frame
+        * path ([[Similarity.trainCentroidsDf]]); 2^18 stays the absolute
+        * ceiling. At 64 dims that admits the full 2^18; at 768-dim
+        * production embeddings the cap self-reduces to ~43k lists instead
+        * of silently assuming 64 dims fits.
         */
       nlist: Int,
       /** Hash-block count for exact all-pairs operators
@@ -40,8 +44,16 @@ object ScaleHints {
     math.min(max.toLong, math.max(min.toLong, r)).toInt
   }
 
-  def forCount(n: Long): Hints = Hints(
-    nlist = sqrtBuckets(n, min = 16, max = 1 << 18),
-    pairBlocks = sqrtBuckets(n, min = 32, max = 1 << 16),
-    cellCap = sqrtBuckets(n, min = 1000).toLong)
+  /** `dims` sizes the nlist memory cap (default 64 — the synthetic
+    * corpus's embedding width; pass the real width for production data).
+    */
+  def forCount(n: Long, dims: Int = 64): Hints = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    val memCap = math.max(16L, (256L << 20) / (8L * dims))
+    Hints(
+      nlist = sqrtBuckets(n, min = 16,
+        max = math.min(1L << 18, memCap).toInt),
+      pairBlocks = sqrtBuckets(n, min = 32, max = 1 << 16),
+      cellCap = sqrtBuckets(n, min = 1000).toLong)
+  }
 }

@@ -199,6 +199,17 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Largest `nlist` for which IVF centroids ride the plan as a LITERAL
+    * array expression (codegen-friendly, zero joins). Above this the
+    * literal stops being a plan and starts being a payload — a 2^k-element
+    * `array(typedlit(...))` bloats plan serialization and codegen, and the
+    * per-iteration driver collect in [[trainCentroids]] scales with
+    * nlist×dims — so [[ivfTopK]] switches to the DataFrame path
+    * ([[trainCentroidsDf]] + [[ivfTopKWithDf]]): centroids stay a
+    * broadcast relation, never a literal and never a driver-side matrix.
+    */
+  val CentroidLiteralMax = 4096
+
   /** Spherical k-means coarse quantizer for [[ivfTopK]]: `nlist`
     * unit-norm centroids from a deterministic seed sample (rows ordered
     * by hashed id — no RNG state) refined by a few Lloyd iterations.
@@ -210,6 +221,11 @@ object Similarity {
     * the per-iteration collect is nlist ROWS — at the ScaleHints 2^18
     * nlist cap that is 2^18 array rows, not 2^18×dims scalar Rows. Empty
     * clusters keep their previous centroid.
+    *
+    * This is the SMALL-nlist quantizer (≤ [[CentroidLiteralMax]]): the
+    * returned matrix feeds [[ivfTopKWith]]'s literal assignment
+    * expression. For large nlist use [[trainCentroidsDf]], which never
+    * materializes centroids driver-side.
     */
   def trainCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): Array[Array[Double]] = {
@@ -248,6 +264,124 @@ object Similarity {
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
+  /** In-plan unit normalization of an array<double> column (zero vectors
+    * pass through — matches [[trainCentroids]]' `unit`).
+    */
+  private def unitArr(c: Column): Column = {
+    val n = sqrt(dot(c, c))
+    when(n === 0.0, c).otherwise(transform(c, x => x / n))
+  }
+
+  /** (d desc, idx asc) total order for (dot, list-id) structs — the same
+    * deterministic probe order as [[ivfTopKWith]]'s literal sort.
+    */
+  private def probeCmp(a: Column, b: Column): Column =
+    when(a.getField("d") > b.getField("d"), -1)
+      .when(a.getField("d") < b.getField("d"), 1)
+      .when(a.getField("idx") < b.getField("idx"), -1)
+      .otherwise(lit(1))
+
+  /** Top-`nprobe` centroid ids per point against a BROADCAST centroid
+    * relation — the large-nlist replacement for the literal
+    * `array(typedlit(...))` assignment expression.
+    *
+    * `points` is (id, v: array<double>); `cents` is (list: int,
+    * c: array<double>). Output: (id, v, probes: array<int>), probes in
+    * (dot desc, list asc) order.
+    *
+    * Scale shape: centroids are first packed into ⌈nlist/chunk⌉ chunk
+    * rows of ≤ `chunk` (list, c) structs each — `floor(list / chunk)` is
+    * the pack key, so no chunk row exceeds chunk×dims doubles (~0.5 MB at
+    * the defaults) and the whole relation broadcasts at any nlist the
+    * dims-aware [[ScaleHints]] cap admits. The point stream cross-joins
+    * the broadcast (BroadcastNestedLoopJoin: the corpus never moves),
+    * each (point, chunk) row reduces to the CHUNK-LOCAL top-nprobe via a
+    * per-row sort+slice, and a final `groupBy(id)` merges ⌈nlist/chunk⌉
+    * nprobe-length partials per point — the exchange ships
+    * nprobe×⌈nlist/chunk⌉ tiny structs per point, never the nlist-wide
+    * score vector and never the vectors twice. Dots inside the lambda use
+    * the native [[VectorDotExpr]] kernel (an outer-reference lambda, same
+    * IEEE fold as everywhere else). `first(v)` in the merge is
+    * deterministic here: every id's chunk rows come from one task of the
+    * broadcast join, so exactly one partial aggregate per id exists.
+    */
+  private def probeFrame(points: DataFrame, cents: DataFrame,
+      nprobe: Int, chunk: Int = 1024): DataFrame = {
+    val chunked = cents
+      .groupBy(floor(col("list") / lit(chunk)).as("__chunk"))
+      .agg(collect_list(struct(col("list").as("idx"), col("c"))).as("__cents"))
+      .drop("__chunk")
+    val scored = points.crossJoin(broadcast(chunked))
+      .withColumn("__part",
+        slice(array_sort(
+          transform(col("__cents"), s =>
+            struct(dot(col("v"), s.getField("c")).as("d"),
+              s.getField("idx").as("idx"))),
+          probeCmp _), 1, nprobe))
+    scored.groupBy(col("id"))
+      .agg(first(col("v")).as("v"),
+        flatten(collect_list(col("__part"))).as("__all"))
+      .withColumn("probes",
+        transform(slice(array_sort(col("__all"), probeCmp _), 1, nprobe),
+          s => s.getField("idx")))
+      .select(col("id"), col("v"), col("probes"))
+  }
+
+  /** Spherical k-means coarse quantizer that NEVER materializes centroids
+    * driver-side — the large-nlist (> [[CentroidLiteralMax]]) counterpart
+    * of [[trainCentroids]]. Returns a (list: int, c: array<double>)
+    * DataFrame of ≤ nlist unit-norm centroids for [[ivfTopKWithDf]].
+    *
+    * Training runs on a BOUNDED deterministic sample
+    * (hash-range filter sized at `samplePerList` rows per list — no
+    * global sort, no single-partition gather), seeded one centroid per
+    * hash bucket via a partial-aggregating `min_by` (hash-empty buckets
+    * simply yield no list — harmless, ids are opaque keys). Each Lloyd
+    * iteration assigns the sample through [[probeFrame]]'s broadcast
+    * chunked join, recomputes per-list dimension means with the same
+    * partial-aggregated (list, pos) groupBy as [[trainCentroids]], and
+    * re-assembles + re-normalizes arrays in-plan; empty lists keep their
+    * previous centroid via a left-join coalesce. Per-iteration
+    * localCheckpoint (nlist rows) cuts the lineage exactly as the other
+    * iterative operators here do. The one driver action is the sizing
+    * `count()` over the pruned id column — training is off the hot path,
+    * same note as [[ivfTopK]]'s self-sizing.
+    */
+  def trainCentroidsDf(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2, samplePerList: Int = 32): DataFrame = {
+    require(nlist >= 1 && iters >= 0 && samplePerList >= 1,
+      "need nlist >= 1, iters >= 0, samplePerList >= 1")
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cnt = math.max(1L, base.select(col("id")).count())
+    val target = nlist.toLong * samplePerList
+    val sample =
+      if (target >= cnt) base
+      else base.filter(
+        pmod(xxhash64(col("id")), lit(1000003L)) <
+          lit(math.max(1L, (1000003L * target) / cnt)))
+    val seeds = sample
+      .withColumn("list", pmod(xxhash64(col("id")), lit(nlist.toLong)).cast("int"))
+      .groupBy(col("list"))
+      .agg(min_by(col("v"), struct(xxhash64(col("id")), col("id"))).as("c"))
+      .select(col("list"), unitArr(col("c")).as("c"))
+    var cents = seeds.localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val assigned = probeFrame(sample, cents, nprobe = 1)
+        .select(col("id"), col("v"), element_at(col("probes"), 1).as("list"))
+      val means = assigned
+        .select(col("list"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("list")).agg(
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("mv"))
+      cents = cents.as("c").join(means.as("m"), Seq("list"), "left")
+        .select(col("list"), unitArr(coalesce(col("mv"), col("c"))).as("c"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** IVF (inverted-file) approximate neighbors — the second scale path
     * next to [[lshTopK]]. Every corpus row is assigned to its nearest
     * centroid's list; a query probes its `nprobe` nearest lists and
@@ -257,14 +391,74 @@ object Similarity {
     * to keep lists, and so join skew, bounded: `nlist <= 0` (default)
     * self-sizes via [[ScaleHints]] from a count over the pruned id column
     * (training already runs driver-side actions, so the count is noise
-    * here — unlike [[nearDupPairs]]' hot path).
+    * here — unlike [[nearDupPairs]]' hot path). The self-sizing cap is
+    * dims-aware (`dims` defaults to the synthetic corpus's 64) — see
+    * [[ScaleHints.forCount]].
+    *
+    * Path choice: at nlist ≤ `literalMax` (default
+    * [[CentroidLiteralMax]]) centroids ride the plan as a literal array —
+    * zero joins, fully codegen'd. Above it, the literal would bloat plan
+    * serialization/codegen and the training collect would scale with
+    * nlist×dims, so centroids stay a broadcast RELATION end to end
+    * ([[trainCentroidsDf]] → [[ivfTopKWithDf]]) and assignment is a
+    * broadcast join + per-id merge — the 100 TB shape. `literalMax` is a
+    * parameter so specs can exercise the frame path at test scale.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 0, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      nlist: Int = 0, nprobe: Int = 4, iters: Int = 2, dims: Int = 64,
+      literalMax: Int = CentroidLiteralMax): DataFrame = {
     val n = if (nlist > 0) nlist
-      else ScaleHints.forCount(df.select(col(idCol)).count()).nlist
-    ivfTopKWith(df, idCol, vecCol, k,
-      trainCentroids(df, idCol, vecCol, n, iters), nprobe)
+      else ScaleHints.forCount(df.select(col(idCol)).count(), dims).nlist
+    if (n <= literalMax)
+      ivfTopKWith(df, idCol, vecCol, k,
+        trainCentroids(df, idCol, vecCol, n, iters), nprobe)
+    else
+      ivfTopKWithDf(df, idCol, vecCol, k,
+        trainCentroidsDf(df, idCol, vecCol, n, iters), nprobe)
+  }
+
+  /** [[ivfTopK]] search mechanics over a GIVEN centroid RELATION — the
+    * large-nlist counterpart of [[ivfTopKWith]]. `cents` is (list: int,
+    * c: array<double>), e.g. from [[trainCentroidsDf]]. Assignment and
+    * probe selection run through [[probeFrame]]'s broadcast chunked join
+    * (plan: BroadcastNestedLoopJoin + two tiny aggregates — no
+    * nlist-element literal anywhere); corpus list = probe rank 1, query
+    * lists = ranks 1..nprobe of the SAME probe frame, so the scoring
+    * subtree is written once. Candidate join and exact rerank are shared
+    * with the literal path ([[ivfSearch]]).
+    */
+  def ivfTopKWithDf(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      cents: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "need nprobe >= 1")
+    val base = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val probed = probeFrame(base, cents, nprobe)
+      .withColumn("n", norm(col("v")))
+    val corpus = probed
+      .select(col("id"), col("v"), col("n"),
+        element_at(col("probes"), 1).as("list"))
+    val queries = probed
+      .select(col("id"), col("v"), col("n"),
+        explode(col("probes")).as("list"))
+    ivfSearch(corpus, queries, k)
+  }
+
+  /** Shared IVF tail: candidate join on the list id + exact cosine
+    * rerank. `corpus` is (id, v, n, list) with one row per point;
+    * `queries` is (id, v, n, list) with one row per probed list.
+    */
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = queries.as("x").join(corpus.as("y"),
+        col("x.list") === col("y.list") && col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
+        col("x.v").as("qv"), col("y.v").as("cv"),
+        col("x.n").as("qn"), col("y.n").as("cn"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
   }
 
   /** [[ivfTopK]] with a GIVEN coarse quantizer — the search mechanics
@@ -278,7 +472,6 @@ object Similarity {
       cents: Array[Array[Double]], nprobe: Int): DataFrame = {
     val nlist = cents.length
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    import org.apache.spark.sql.expressions.Window
     val dots = array(cents.toIndexedSeq.map(c => dot(col("v"), typedlit(c.toSeq))): _*)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", norm(col("v")))
@@ -300,16 +493,7 @@ object Similarity {
          |  s -> s.idx)""".stripMargin)
     val queries = base.select(col("id"), col("v"), col("n"),
       explode(probes).as("list"))
-    val cand = queries.as("x").join(corpus.as("y"),
-        col("x.list") === col("y.list") && col("x.id") =!= col("y.id"))
-      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
-        col("x.v").as("qv"), col("y.v").as("cv"),
-        col("x.n").as("qn"), col("y.n").as("cn"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "sim")
+    ivfSearch(corpus, queries, k)
   }
 
   /** EXACT embedding-cosine near-duplicate pairs above a threshold.

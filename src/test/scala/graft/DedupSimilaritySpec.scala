@@ -1289,6 +1289,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("IVF frame path (nlist > literalMax): full probe equals brute force, broadcast join not literal") {
+    val e = Tables.load(spark, Sf, "embeddings").filter(col("vec_id") < 200)
+    val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // literalMax below nlist forces the broadcast-relation path; nprobe =
+    // nlist probes every list, so the candidate set is complete and the
+    // result must equal brute force EXACTLY (same IEEE dots, same
+    // (sim desc, neighbor_id) total order)
+    val frame = Similarity.ivfTopK(e, "vec_id", "embedding", k = 3,
+      nlist = 16, nprobe = 16, literalMax = 8)
+    val got = frame.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === truth)
+    // the 100 TB shape assertions: centroids arrive via a broadcast join,
+    // never as an nlist-element array literal baked into the plan
+    val litArray = "\\[[-0-9.E]+(,[-0-9.E]+){9,}".r
+    assert(frame.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"),
+      "frame path must assign via a broadcast centroid join")
+    assert(litArray.findFirstIn(frame.queryExecution.analyzed.toString).isEmpty,
+      "frame path must not embed centroid literals in the plan")
+    // and the small-nlist literal path is the inverse: centroid literals
+    // in the plan, no broadcast nested loop anywhere
+    val literal = Similarity.ivfTopK(e, "vec_id", "embedding", k = 3,
+      nlist = 16, nprobe = 16)
+    assert(litArray.findFirstIn(literal.queryExecution.analyzed.toString).isDefined)
+    assert(!literal.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("IVF frame path: injected twin is retrieved as its own rank-1 neighbor") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    val twin = e.filter(col("vec_id") === 1).withColumn("vec_id", lit(900000L))
+    val ivf = Similarity.ivfTopK(e.unionByName(twin), "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2, literalMax = 4)
+    val got = ivf.filter(col("query_id") === 900000L && col("rank") === 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("neighbor_id") === 1L)
+    assert(math.abs(got(0).getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
+  test("trainCentroidsDf: unit-norm centroid relation, distinct bounded list ids") {
+    val e = Tables.load(spark, Sf, "embeddings")
+    val cents = Similarity.trainCentroidsDf(e, "vec_id", "embedding",
+      nlist = 32, iters = 2)
+    val rows = cents.select(col("list"),
+      sqrt(Similarity.dot(col("c"), col("c"))).as("n")).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    val ids = rows.map(_.getInt(0))
+    assert(ids.distinct.length === ids.length)
+    assert(ids.forall(i => i >= 0 && i < 32))
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+      s"centroid ${r.getInt(0)} not unit-norm: ${r.getDouble(1)}"))
+  }
+
+  test("ScaleHints nlist cap is dims-aware") {
+    val n = 1L << 40 // √n far above every cap — the cap binds
+    assert(graft.functions.ScaleHints.forCount(n, dims = 64).nlist === (1 << 18))
+    // 768-dim embeddings: 256 MB / (8 B × 768) ≈ 43k lists, not 2^18
+    val c768 = graft.functions.ScaleHints.forCount(n, dims = 768).nlist
+    assert(c768 < (1 << 18) && c768.toLong * 768 * 8 <= (256L << 20))
+    assert(graft.functions.ScaleHints.forCount(100L, dims = 768).nlist === 16) // floor intact
+  }
+
   test("approx distinct sketch stays within 5% of the exact count") {
     // raw relative error of the sketch itself
     val li = Tables.load(spark, Sf, "lineitem")
