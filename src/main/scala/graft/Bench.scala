@@ -47,7 +47,11 @@ object Bench {
       .config("spark.speculation.multiplier", "3")
       .config("spark.speculation.quantile", "0.9")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_LOG_LEVEL=INFO surfaces the codegen-fallback notices
+    // ("Found too long generated codes…" logs at INFO) for plan audits;
+    // default WARN keeps the bench line readable
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
     val footprint = new FootprintListener
     spark.sparkContext.addSparkListener(footprint)
     // Each query runs SPARK_GRAFT_REPEAT times and reports the fastest —

@@ -29,7 +29,21 @@ object Explain {
       SparkEntry.queries.get(n) match {
         case Some(q) =>
           println(s"===== $n =====")
-          q(spark, dir).explain("formatted")
+          val df = q(spark, dir)
+          df.explain("formatted")
+          // SPARK_GRAFT_EXPLAIN_CODEGEN=1 additionally compiles every
+          // WholeStageCodegen subtree and prints the max generated-method
+          // bytecode size — the direct measurement behind any
+          // "fused stage near the 64 KB method limit" claim. AQE is
+          // switched off for this dump only: an unexecuted adaptive plan
+          // exposes zero codegen subtrees, and method sizes don't depend
+          // on the runtime re-plan.
+          if (sys.env.get("SPARK_GRAFT_EXPLAIN_CODEGEN").contains("1")) {
+            import org.apache.spark.sql.execution.debug._
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            q(spark, dir).debugCodegen()
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+          }
         case None =>
           println(s"unknown query '$n' — run with no args to list all " +
             s"${SparkEntry.queries.size} registered names")
