@@ -84,6 +84,27 @@ class CurationPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("events_top_paths: per-user cap runs as WindowGroupLimit, top-20 as TakeOrdered, no global sort") {
+    // the per-user first-8 filter is an unbounded row_number window —
+    // safe ONLY while Spark rewrites `row_number <= k` to
+    // WindowGroupLimit (per-partition top-k heap, never a full per-user
+    // sort buffer) and the final top-20 to TakeOrderedAndProject (never
+    // a global Sort). This pins both against a Spark-upgrade plan flip,
+    // which on a power-user-skewed 100 TB event log would degrade the
+    // query from two bounded heaps to a data-sized sort.
+    val df = graft.queries.AnalyticsQueries.queries("events_top_paths")(spark, Sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // no global Sort: every Sort operator in the final plan must be a
+    // local/partition-scoped one (the window's per-partition order or
+    // TakeOrdered's internal heap); a `Sort [...], true` node (global)
+    // is exactly the flip this spec exists to catch
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+  }
+
   test("q_skyline: no data-sized single-partition window; result matches brute force") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     import org.apache.spark.sql.functions.col
