@@ -113,6 +113,14 @@ object Graphs {
         Seq("node"), "left")
       .withColumn("__seed", coalesce(col("__seed"), lit(false)))
       .localCheckpoint()
+    // n_seeds = 0 (empty seed frame, or seeds fully disjoint from the
+    // edge list) would silently divide teleport and initial rank into
+    // NaN/Infinity in BOTH engines — fail fast like the iters/damping
+    // requires. The check is a limit-1 probe of the already-materialized
+    // node checkpoint, not a data-sized action.
+    require(!nodes.filter(col("__seed")).isEmpty,
+      "personalizedPageRank: no seed node appears in the edge list " +
+        "(teleport mass would divide by zero)")
     val tele = 1.0 - damping
     val scale = math.pow(2, 44)
     val nSeeds = nodes.agg(

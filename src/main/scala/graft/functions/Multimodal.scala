@@ -411,13 +411,19 @@ object Multimodal {
       maxBandDf: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "4-band pigeonhole blocking is exact only for maxDist <= 3")
-    require(maxBandDf >= 2, "maxBandDf must be >= 2")
+    // 0 disables the cap — the repo-wide df-cap convention
+    // (maxPrefixDf/maxShingleDf); a cap of 1 can never pair
+    require(maxBandDf == 0 || maxBandDf >= 2,
+      "maxBandDf must be 0 (disabled) or >= 2")
     import org.apache.spark.sql.expressions.Window
     val wDf = Window.partitionBy(col("band_idx"), col("band_val"))
-    val bands = aHashBands(hashes)
-      .withColumn("__df", count(lit(1)).over(wDf))
-      .filter(col("__df") <= maxBandDf)
-      .drop("__df")
+    val allBands = aHashBands(hashes)
+    val bands =
+      if (maxBandDf == 0) allBands
+      else allBands
+        .withColumn("__df", count(lit(1)).over(wDf))
+        .filter(col("__df") <= maxBandDf)
+        .drop("__df")
     val dist = bit_count(col("x.hash_hi").bitwiseXOR(col("y.hash_hi"))) +
       bit_count(col("x.hash_lo").bitwiseXOR(col("y.hash_lo")))
     bands.as("x").join(bands.as("y"),

@@ -482,8 +482,12 @@ object Sampling {
     s"""WITH pos AS (SELECT DISTINCT k_, item FROM ($posSql)),
        |items AS (SELECT DISTINCT item FROM pos),
        |loc AS (
-       |  SELECT item, item % $indexBuckets AS b,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY item % $indexBuckets
+       |  -- ((x % N) + N) % N: DuckDB's % is sign-preserving, Spark's
+       |  -- pmod is not — negative item ids must bucket identically
+       |  SELECT item,
+       |    ((item % $indexBuckets) + $indexBuckets) % $indexBuckets AS b,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY ((item % $indexBuckets) + $indexBuckets) % $indexBuckets
        |      ORDER BY item) AS BIGINT) AS r
        |  FROM items),
        |bases AS (

@@ -2425,7 +2425,11 @@ object TextQueries {
       "multimodal_phash" ->
         s"""WITH ${Multimodal.aHashCtesSql("SELECT doc_id AS id FROM documents")}
            |SELECT doc_id, hash_hi, hash_lo FROM ah""".stripMargin,
-      // mirrors aHashNearDup: same 4×16-bit band blocking + bit_count
+      // mirrors aHashNearDup: same 4×16-bit band blocking + bit_count.
+      // The mirror does NOT model the maxBandDf hot-band cap: the query's
+      // doc_id < 512 prefix (256 distinct synthetic images, max band df
+      // 512) keeps the default cap of 4096 a provable no-op — if the
+      // prefix or the default ever changes, mirror the cap here too
       "multimodal_phash_neardup" ->
         s"""WITH ${Multimodal.aHashCtesSql(
               "SELECT doc_id AS id FROM documents WHERE doc_id < 512")},

@@ -34,9 +34,19 @@ object StreamingCardinality {
     * value string (the engine-portable [[graft.functions.Sampling
     * .keyHash60]] convention), low p bits index the register, rho =
     * leading zeros of the remaining 60−p bits + 1.
+    *
+    * NULL values mirror the batch sketch's PHANTOM REGISTER exactly:
+    * batch-side, `md5(CAST(NULL AS STRING))` yields a null bucket row
+    * that [[graft.functions.Cardinality.hllEstimate]] COUNTS as occupied
+    * (`count(lit(1))`) while contributing nothing to the harmonic sum
+    * (`sum` skips the null shift) — i.e. one empty register's 2^s term
+    * drops. Streaming state reserves byte m for that flag, so snapshots
+    * stay bit-identical to the batch sketch on null-bearing corpora
+    * instead of NPE-ing the query.
     */
   private[graft] def foldInto(regs: Array[Byte], value: String,
       p: Int): Unit = {
+    if (value == null) { regs(1 << p) = 1; return }
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(value.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 15)
@@ -63,6 +73,9 @@ object StreamingCardinality {
       z += 1L << (s - regs(i)) // empty register: rho 0 → 2^s
       i += 1
     }
+    // the null phantom register (batch: occupied, zero harmonic term):
+    // remove exactly one empty register's 2^s contribution
+    if (regs.length > m && regs(m) != 0) z -= 1L << s
     graft.functions.Cardinality.estimatorConst(p) / z.toDouble
   }
 
@@ -83,9 +96,12 @@ object StreamingCardinality {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (group: String, rows: Iterator[(String, String)],
             state: GroupState[Array[Byte]]) =>
-          val regs = state.getOption.getOrElse(new Array[Byte](1 << p))
+          // byte m is the null phantom-register flag (see foldInto)
+          val regs = state.getOption.getOrElse(new Array[Byte]((1 << p) + 1))
           rows.foreach { case (_, v) => foldInto(regs, v, p) }
           state.update(regs)
+          // n_regs counts the phantom as occupied — exactly what the
+          // batch estimate's count(lit(1)) sees on a null-bucket row
           Iterator.single(NdvSnapshot(group, regs.count(_ > 0),
             estimate(regs, p)))
       }

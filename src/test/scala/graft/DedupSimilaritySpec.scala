@@ -2182,6 +2182,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.filter(t => t._1 == 2L && t._4 == 11L).forall(!_._5))
   }
 
+  test("negative samples: negative item ids bucket like the SQL mirror") {
+    import graft.functions.Sampling
+    // Spark's pmod is non-negative; DuckDB's % is sign-preserving, so
+    // the mirror must wrap: ((x % N) + N) % N. Negative ids exercise
+    // exactly the divergent inputs
+    val pos = Seq((1L, -10L), (1L, -3L), (2L, 5L)).toDF("user_id", "item")
+    val out = Sampling.negativeSamples(pos, "user_id", "item", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.length === 6)
+    // draws land in the observed universe — the dense index covered
+    // the negative ids (a broken bucket key loses them from `indexed`
+    // and the idx join silently drops rows instead)
+    assert(out.forall(t => Set(-10L, -3L, 5L).contains(t._3)))
+    // and the mirror SQL carries the wrapped modulo in both spots
+    val sql = Sampling.negativeSamplesSql("SELECT 1 AS k_, 1 AS item", k = 2)
+    assert("\\(\\(item % \\d+\\) \\+ \\d+\\) % \\d+".r
+      .findAllIn(sql).size >= 2, sql)
+  }
+
   test("prefix jaccard: hand-checked pair at the threshold boundary") {
     import graft.functions.Dedup
     // sets {a..e} and {a,b,c,d,f}: inter 4, union 6, J = 2/3

@@ -112,6 +112,20 @@ class GraphsSpec extends SparkSpec {
     plain.foreach { case (n, r) => assert(pprAll(n) === r) }
   }
 
+  test("personalizedPageRank: empty or graph-disjoint seeds fail fast, never NaN") {
+    val path = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    // empty seed frame: teleport mass has nowhere to land
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(path, "src", "dst",
+        Seq.empty[Long].toDF("node"), iters = 1)
+    }
+    // seeds fully disjoint from the edge list: same division by zero
+    intercept[IllegalArgumentException] {
+      Graphs.personalizedPageRank(path, "src", "dst",
+        Seq(42L, 43L).toDF("node"), iters = 1)
+    }
+  }
+
   test("kCorePeel: pendant strips in round 1, the triangle is the fixed point") {
     // triangle 1-2-3 plus pendant 3-4 (one direction given; peel
     // symmetrizes); at k=2 the pendant dies round 1, then stability

@@ -50,6 +50,18 @@ class MultimodalSpec extends SparkSpec {
     assert(atSize.count() === 50L * 49 / 2 + 1)
   }
 
+  test("aHashNearDup: maxBandDf = 0 disables the cap (repo df-cap convention)") {
+    // 0-disables like maxPrefixDf/maxShingleDf: the full quadratic
+    // cluster comes back, and the df window drops out of the plan
+    val off = Multimodal.aHashNearDup(hashes, maxDist = 3, maxBandDf = 0)
+    assert(off.count() === 50L * 49 / 2 + 1)
+    assert(!off.queryExecution.optimizedPlan.toString.contains("windowspec"))
+    // 1 can never pair — rejected, not silently empty
+    intercept[IllegalArgumentException] {
+      Multimodal.aHashNearDup(hashes, maxDist = 3, maxBandDf = 1)
+    }
+  }
+
   test("AudioCodec: WAV round-trip is sample-exact; corrupt bytes drop") {
     val samples = Array.tabulate(1000)(i =>
       (((i * 37) % 4096) - 2048).toShort)

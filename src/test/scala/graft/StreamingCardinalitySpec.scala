@@ -46,6 +46,32 @@ class StreamingCardinalitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("null values match the batch phantom register bit for bit (no NPE)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, java.lang.Long)]
+    val q = StreamingCardinality
+      .distinctByKey(input.toDF().toDF("grp", "v"), "grp", "v")
+      .writeStream.format("memory").queryName("ndv_nulls")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      val vals: Seq[java.lang.Long] =
+        (1L to 600L).map(java.lang.Long.valueOf) ++ Seq(null, null)
+      input.addData(vals.map(("x", _)): _*)
+      q.processAllAvailable() // pre-fix this NPE'd the query
+      val got = spark.table("ndv_nulls")
+        .as[(String, Int, Double)].collect().filter(_._1 == "x").last
+      val batch = Cardinality
+        .hllNdv(vals.toDF("v"), Seq.empty, "v")
+        .collect().head.getDouble(0)
+      assert(got._3 === batch) // exact equality, nulls included
+      // the phantom register counts as occupied, exactly like the batch
+      // estimate's count over the null-bucket row
+      val batchOcc = Cardinality
+        .hllRegisters(vals.toDF("v"), Seq.empty, "v").count()
+      assert(got._2.toLong === batchOcc)
+    } finally q.stop()
+  }
+
   test("groups keep independent registers") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Long)]
