@@ -171,6 +171,117 @@ object Dedup {
         greatest(col("n_kgrams"), lit(1L)).cast("double"))
   }
 
+  /** ExactSubstr deduplication (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): find every duplicated token
+    * span of length >= `minLen` corpus-wide, REMOVE it from all but its
+    * first occurrence, and emit the cleaned text — the substring-level
+    * complement to document-level MinHash dedup ([[spanDedup]] drops
+    * fixed spans; this removes arbitrary-length duplicated runs at
+    * token granularity).
+    *
+    * The L-gram formulation is EXACT for this definition, not a
+    * blocking approximation: token t lies inside a duplicated span of
+    * length >= L iff some window of L consecutive tokens covering t
+    * occurs elsewhere in the corpus, so marking every non-first
+    * occurrence of every L-gram and taking the per-document union of
+    * its [p, p+L-1] intervals reproduces the duplicated-run set
+    * exactly (a run of length M >= L is covered by its M-L+1 grams).
+    * "First occurrence" is the global (id, pos) minimum — the
+    * [[spanDedup]] keep-first convention, so one carrier of shared
+    * boilerplate survives. Documents shorter than L tokens are never
+    * rewritten.
+    *
+    * Output: (idCol, n_tokens, n_removed, n_spans, clean_text) — one
+    * row per input document; n_spans counts the merged duplicated
+    * runs, a fully-duplicated copy collapses to clean_text = ''.
+    *
+    * Scale shape: NO pair join exists anywhere. Grams hash to 60-bit
+    * longs map-side ([[Sampling.keyHash60]] — oracle-exact), the
+    * first-occurrence table is a partial-aggregating
+    * `groupBy(hash).agg(min(struct(id, pos)))` (the skew-safe
+    * [[keepCanonicalByKey]] shape: a boilerplate gram with 10^6 copies
+    * reduces to one row per map partition BEFORE the exchange — this
+    * is why the blocking needs no df cap for SAFETY), and the mark
+    * join is an equi-join against that one-row-per-hash side (output
+    * linear in gram count; AQE's skew join splits a hot hash's
+    * build-stream). Run stitching and text reassembly are per-document
+    * expression lambdas over a collect_list bounded by the document's
+    * own token count — the [[spanDedup]] reassembly bound. Every
+    * exchange carries (id, int, long) rows or per-doc position arrays,
+    * never gram text and never the corpus squared. `maxGramDf` (0 =
+    * disabled, the repo df-cap convention) is a cost/recall KNOB, not
+    * a safety valve: grams hotter than the cap are excluded from
+    * marking, leaving their spans in place for a boilerplate pass
+    * ([[graft.queries.TextQueries]] `text_boilerplate`) to handle.
+    *
+    * Reference anchor: the reference engine has no substring dedup;
+    * this implements the published ExactSubstr operation
+    * (github.com/google-research/deduplicate-text-datasets describes
+    * the suffix-array original) in the Spark-native L-gram shape.
+    */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxGramDf: Int = 0): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(maxGramDf == 0 || maxGramDf >= 2,
+      "maxGramDf must be 0 (disabled) or >= 2")
+    val L = minLen
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol), col(textCol))
+    val grams = base
+      .filter(size(toks) >= L)
+      .select(col(idCol),
+        posexplode(Sketches.wordShingles(toks, L)).as(Seq("__p", "__g")))
+      .select(col(idCol), col("__p"),
+        Sampling.keyHash60(col("__g")).as("__h"))
+    val firstAgg = grams.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__p"))).as("__first"),
+        count(lit(1)).as("__df"))
+    val first =
+      (if (maxGramDf == 0) firstAgg
+       else firstAgg.filter(col("__df") <= maxGramDf))
+        .select(col("__h"), col("__first"))
+    // every non-first occurrence of a duplicated gram marks [p, p+L-1]
+    val marked = grams.join(first, Seq("__h"))
+      .filter(col(idCol) =!= col("__first").getField(idCol) ||
+        col("__p") =!= col("__first").getField("__p"))
+      .select(col(idCol), col("__p"))
+    val ps = marked.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("__p"))).as("__ps"))
+    // merge the sorted equal-length intervals, then rebuild the text
+    // from the gaps — one O(n_tokens) fold per document, no explode
+    base.join(ps, Seq(idCol), "left")
+      .withColumn("__tk", toks)
+      .withColumn("__iv", expr(
+        s"""aggregate(coalesce(__ps, cast(array() as array<int>)),
+           |  cast(array() as array<struct<s:int,e:int>>),
+           |  (acc, p) -> CASE
+           |    WHEN size(acc) = 0 OR p > element_at(acc, -1).e + 1
+           |      THEN concat(acc, array(named_struct('s', p, 'e', p + ${L - 1})))
+           |    ELSE concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('s', element_at(acc, -1).s,
+           |                         'e', p + ${L - 1})))
+           |  END)""".stripMargin))
+      .withColumn("__pieces", expr(
+        """aggregate(__iv,
+          |  named_struct('nxt', 0, 'acc', cast(array() as array<string>)),
+          |  (st, iv) -> named_struct(
+          |    'nxt', iv.e + 1,
+          |    'acc', CASE WHEN iv.s > st.nxt
+          |      THEN concat(st.acc,
+          |        array(array_join(slice(__tk, st.nxt + 1, iv.s - st.nxt), ' ')))
+          |      ELSE st.acc END),
+          |  st -> CASE WHEN st.nxt < size(__tk)
+          |    THEN concat(st.acc,
+          |      array(array_join(slice(__tk, st.nxt + 1, size(__tk) - st.nxt), ' ')))
+          |    ELSE st.acc END)""".stripMargin))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        expr("aggregate(__iv, CAST(0 AS BIGINT), " +
+          "(a, iv) -> a + CAST(iv.e - iv.s + 1 AS BIGINT))").as("n_removed"),
+        size(col("__iv")).cast("long").as("n_spans"),
+        array_join(col("__pieces"), " ").as("clean_text"))
+  }
+
   /** Word n-gram shingles as an array column: shingle i =
     * words[i..i+n-1] joined by spaces. Evaluated by the native
     * [[WordShinglesExpr]] — the declarative `transform(sequence, i ->

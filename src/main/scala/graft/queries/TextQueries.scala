@@ -317,6 +317,15 @@ object TextQueries {
     // near-dups keep only their divergent tail span
     "dedup_spans" -> ((s, dir) =>
       Dedup.spanDedup(dupCorpus(docs(s, dir)), "doc_id", "text", span = 8)),
+    // ExactSubstr dedup (Lee et al.): REMOVE every duplicated token run
+    // >= 8 tokens from all but its first carrier and emit the cleaned
+    // text — exact-dup copies collapse to '', the 3-token near-dup
+    // tails survive their copies ('graft extra token'), and short docs
+    // are never rewritten. L-gram marking is exact for the >=L-run
+    // definition; no pair join anywhere (see Dedup.exactSubstrDedup)
+    "dedup_exact_substr" -> ((s, dir) =>
+      Dedup.exactSubstrDedup(dupCorpus(docs(s, dir)), "doc_id", "text",
+        minLen = 8)),
     // incremental dedup: classify a new crawl batch against the existing
     // snapshot — exact (content hash in snapshot), near (shares an LSH
     // band bucket), or new; the steady-state production flow where only
@@ -1338,6 +1347,54 @@ object TextQueries {
            |  coalesce(string_agg(CASE WHEN rn = 1 THEN s END, ' ' ORDER BY pos), '')
            |    AS clean_text
            |FROM k GROUP BY doc_id""".stripMargin,
+      // mirrors exactSubstrDedup: same L-gram first-occurrence marking
+      // (keyHash60, (doc_id, pos) global order), token-level coverage
+      // union, gaps-and-islands span count, gap-text reassembly
+      "dedup_exact_substr" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+           |g AS (
+           |  SELECT doc_id, CAST(i AS INTEGER) AS p,
+           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h
+           |  FROM t, unnest(range(0, len(w) - 7)) AS u(i)
+           |  WHERE len(w) >= 8),
+           |m AS (
+           |  SELECT doc_id, p FROM (
+           |    SELECT doc_id, p,
+           |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+           |    FROM g)
+           |  WHERE rn > 1),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, p + o AS idx
+           |  FROM m, unnest(range(0, 8)) AS z(o)),
+           |tok AS (
+           |  SELECT doc_id, CAST(i AS INTEGER) AS idx, w[i+1] AS tk
+           |  FROM t, unnest(range(0, len(w))) AS u(i)),
+           |clean AS (
+           |  SELECT tok.doc_id,
+           |    CAST(COUNT(*) FILTER (WHERE cov.idx IS NOT NULL) AS BIGINT)
+           |      AS n_removed,
+           |    COALESCE(string_agg(tk, ' ' ORDER BY tok.idx)
+           |      FILTER (WHERE cov.idx IS NULL), '') AS clean_text
+           |  FROM tok LEFT JOIN cov
+           |    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+           |  GROUP BY tok.doc_id),
+           |isl AS (
+           |  SELECT doc_id,
+           |    CASE WHEN p > COALESCE(MAX(p) OVER (PARTITION BY doc_id
+           |        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+           |        AND 1 PRECEDING), -99) + 8
+           |      THEN 1 ELSE 0 END AS brk
+           |  FROM m),
+           |sp AS (SELECT doc_id, CAST(SUM(brk) AS BIGINT) AS n_spans
+           |       FROM isl GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+           |  c.n_removed,
+           |  COALESCE(sp.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+           |  c.clean_text
+           |FROM t
+           |JOIN clean c ON t.doc_id = c.doc_id
+           |LEFT JOIN sp ON t.doc_id = sp.doc_id""".stripMargin,
       "text_boilerplate" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |sh AS ($shinglesSql),

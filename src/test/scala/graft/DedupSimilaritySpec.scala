@@ -2201,6 +2201,47 @@ class DedupSimilaritySpec extends SparkSpec {
       .findAllIn(sql).size >= 2, sql)
   }
 
+  test("exact-substring dedup: hand-checked runs, islands, short docs, keep-first") {
+    import graft.functions.Dedup
+    // A owns "a b c d e f"; B copies it + a tail; C self-repeats;
+    // D is shorter than L (never rewritten even though its text is a
+    // substring of A); E carries A's "a b c d" TWICE, mid-text
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f x y z"),
+      (3L, "p q r s p q r s p q"),
+      (4L, "a b c"),
+      (5L, "m n o p a b c d q r s t a b c d u v")).toDF("id", "text")
+    val got = Dedup.exactSubstrDedup(docs, "id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) === ((6L, 0L, 0L, "a b c d e f"))) // first carrier keeps
+    assert(got(2L) === ((9L, 6L, 1L, "x y z"))) // whole copied run removed
+    assert(got(3L) === ((10L, 6L, 1L, "p q r s"))) // within-doc repetition
+    assert(got(4L) === ((3L, 0L, 0L, "a b c"))) // < L tokens: untouched
+    assert(got(5L) === ((18L, 8L, 2L, "m n o p q r s t u v"))) // two islands
+  }
+
+  test("exact-substring dedup: the df-cap knob excludes hot grams from marking") {
+    import graft.functions.Dedup
+    // "a b c d" has df 4 (A, B, E twice); at maxGramDf = 2 it stops
+    // marking, so B loses only its df-2 grams ([1,5] coverage) and E —
+    // whose duplicated grams are ALL the hot one — is left intact
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f x y z"),
+      (5L, "m n o p a b c d q r s t a b c d u v")).toDF("id", "text")
+    val got = Dedup.exactSubstrDedup(docs, "id", "text", minLen = 4,
+        maxGramDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(4))).toMap
+    assert(got(2L) === ((5L, "a x y z")))
+    assert(got(5L) === ((0L, "m n o p a b c d q r s t a b c d u v")))
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrDedup(docs, "id", "text", minLen = 4, maxGramDf = 1)
+    }
+  }
+
   test("prefix jaccard: hand-checked pair at the threshold boundary") {
     import graft.functions.Dedup
     // sets {a..e} and {a,b,c,d,f}: inter 4, union 6, J = 2/3
