@@ -170,6 +170,31 @@ object VectorQueries {
         .select(col("n_queries"),
           (col("recall") >= 0.3).as("recall_floor_met"))
     }),
+    // the LARGE-nlist IVF path (broadcast centroid RELATION, no plan
+    // literal — Similarity.ivfTopKWithDf): same self-grading recall
+    // verdict as ann_ivf, with literalMax forced below nlist so this
+    // query exercises the 100 TB assignment shape end to end
+    // (trainCentroidsDf sample training + chunked broadcast probe)
+    "ann_ivf_frame" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", k = 5,
+        nlist = 16, nprobe = 4, literalMax = 8)
+        .filter(col("query_id") < 64)
+      val truth = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 64), e, "vec_id", "embedding", k = 5)
+      val hits = ivf.as("i").join(truth.as("b"),
+          col("i.query_id") === col("b.query_id") &&
+            col("i.neighbor_id") === col("b.neighbor_id"))
+        .groupBy(col("i.query_id").as("query_id"))
+        .agg(count(lit(1)).as("hits"))
+      e.filter(col("vec_id") < 64).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          (sum(coalesce(col("hits"), lit(0L))) / (count(lit(1)) * 5.0))
+            .as("recall"))
+        .select(col("n_queries"),
+          (col("recall") >= 0.3).as("recall_floor_met"))
+    }),
     // IVF MECHANICS value-checked: assignment, probe selection, candidate
     // join and rerank over FIXED literal centroids, hash-matched in DuckDB
     "ann_ivf_fixed" -> ((s, dir) =>
@@ -848,6 +873,11 @@ object VectorQueries {
     // IVF ever drops below the 0.3 recall floor the flag flips and the
     // hash gate trips
     "ann_ivf" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |       TRUE AS recall_floor_met
+        |FROM embeddings WHERE vec_id < 64""".stripMargin,
+    // same self-grading verdict for the broadcast-relation path
+    "ann_ivf_frame" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |       TRUE AS recall_floor_met
         |FROM embeddings WHERE vec_id < 64""".stripMargin,
