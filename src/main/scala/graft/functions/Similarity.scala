@@ -82,6 +82,36 @@ object Similarity {
     perPrefix.reduce(_.unionByName(_))
   }
 
+  /** kNN-graph hubness audit (Radovanović, Nanopoulos & Ivanović,
+    * "Hubs in Space: Popular Nearest Neighbors in High-Dimensional
+    * Data", JMLR 2010): the distribution of k-occurrence — how many
+    * query points list each corpus vector among their top-k — which in
+    * high dimensions skews into a few "hub" vectors that pollute
+    * retrieval and near-dup results, plus antihubs that are never
+    * retrieved. Output: the (in_degree, n_vectors) histogram —
+    * in_degree 0 counts the antihubs; a healthy isotropic embedding
+    * concentrates near in_degree ≈ k·|queries|/|corpus|, a collapsed
+    * one shows a long tail. Integer-exact end to end (the ranking
+    * reuses [[bruteForceTopK]]'s oracle-exact arithmetic), so the full
+    * histogram hash-matches DuckDB.
+    *
+    * Scale shape: an EVALUATION harness — run on a bounded query
+    * sample like every recall/quality measurement here (one corpus
+    * stream against broadcast queries, WindowGroupLimit top-k), then
+    * two partial-aggregating integer groupBys.
+    */
+  def hubnessHistogram(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val knn = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val deg = knn.groupBy(col("neighbor_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    corpus.select(col(idCol).as("neighbor_id"))
+      .join(deg, Seq("neighbor_id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Two-stage ANN with a Johnson–Lindenstrauss prefilter: stage 1
     * scores every (query, candidate) pair by the INTEGER dot product of
     * their [[Embeddings.randomProjection]] images (`outDims` terms per

@@ -64,6 +64,14 @@ object VectorQueries {
       Similarity.bruteForceTopK(
         e.filter(col("vec_id") < 8), e, "vec_id", "embedding", k = 5)
     }),
+    // kNN-graph hubness audit: k-occurrence histogram over a 512-query
+    // sample — hubs (fat tail) and antihubs (in_degree 0) are the
+    // high-dimension retrieval pathology; integer-exact, full hash match
+    "embed_hubness" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hubnessHistogram(e.filter(col("vec_id") < 512), e,
+        "vec_id", "embedding", k = 5)
+    }),
     // per-label centroids, bit-exact via the pinned-order fold
     "embed_centroids" -> ((s, dir) =>
       graft.functions.Embeddings.labelCentroids(
@@ -774,6 +782,33 @@ object VectorQueries {
          |FROM r WHERE rank <= 5""".stripMargin,
     // mirrors prefixRecall(k = 5, prefixes = 8/16/32)
     "embed_prefix_recall" -> prefixRecallSql(5, Seq(8, 16, 32)),
+    // mirrors hubnessHistogram: same brute-force kNN arithmetic, then
+    // the integer k-occurrence histogram (antihubs via the left join)
+    "embed_hubness" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 512
+        |),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_dot_product(qv, cv) /
+        |           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+        |  FROM q, c WHERE query_id <> neighbor_id
+        |),
+        |r AS (
+        |  SELECT neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s
+        |),
+        |knn AS (SELECT neighbor_id FROM r WHERE rank <= 5),
+        |deg AS (
+        |  SELECT e.vec_id, CAST(COUNT(k.neighbor_id) AS BIGINT) AS in_degree
+        |  FROM embeddings e LEFT JOIN knn k ON e.vec_id = k.neighbor_id
+        |  GROUP BY e.vec_id
+        |)
+        |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |FROM deg GROUP BY in_degree""".stripMargin,
     "ann_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -84,6 +84,24 @@ class CurationPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup_exact_substr: no pair join, no cartesian, partial-aggregated first-occurrence") {
+    // the gram-marking join must stay an equi-join against the
+    // one-row-per-hash first-occurrence table (hash or SMJ — AQE's
+    // pick); a nested loop or cartesian would mean the blocking
+    // degenerated into a pair join, which this operator by design
+    // never performs
+    val df = TextQueries.queries("dedup_exact_substr")(spark, Sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), plan.take(3000))
+    // the min(struct(id, pos)) first-occurrence aggregate must partial-
+    // aggregate (HashAggregate pairs), never sort whole hot-gram groups
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
   test("events_top_paths: per-user cap runs as WindowGroupLimit, top-20 as TakeOrdered, no global sort") {
     // the per-user first-8 filter is an unbounded row_number window —
     // safe ONLY while Spark rewrites `row_number <= k` to

@@ -1289,6 +1289,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall > 0.3)
   }
 
+  test("hubness histogram: hand-checked hub, antihub, and degree-1 vector") {
+    // cosine top-1 on three 2-D-ish vectors: A->B, B->A, C->B, so B is
+    // the hub (in-degree 2), A ordinary (1), C the antihub (0)
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.6f, 0.4f))).toDF("vec_id", "embedding")
+    val got = Similarity.hubnessHistogram(e, e, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("IVF frame path (nlist > literalMax): full probe equals brute force, broadcast join not literal") {
     val e = Tables.load(spark, Sf, "embeddings").filter(col("vec_id") < 200)
     val truth = Similarity.bruteForceTopK(e, e, "vec_id", "embedding", k = 3)
