@@ -245,12 +245,63 @@ object Dedup {
       .filter(col(idCol) =!= col("__first").getField(idCol) ||
         col("__p") =!= col("__first").getField("__p"))
       .select(col(idCol), col("__p"))
+    subtractRuns(base, marked, idCol, textCol, L)
+  }
+
+  /** [[exactSubstrDedup]] for the STEADY-STATE ingest flow: clean a new
+    * crawl `batch` against an existing kept `corpus` — a batch token
+    * run >= `minLen` is removed when it appears anywhere in the corpus
+    * (the corpus always outranks the batch: it is already shipped) or
+    * earlier in the batch itself (the [[exactSubstrDedup]] keep-first
+    * order among batch docs). Only the DELTA is ever rewritten — the
+    * same asymmetry as [[incrementalDedupStatus]], at substring
+    * granularity.
+    *
+    * Output: one (idCol, n_tokens, n_removed, n_spans, clean_text) row
+    * per BATCH document. Scale shape: corpus grams reduce to a
+    * DISTINCT hash column (one slim exchange over the corpus — in
+    * production this gram-hash set is the persisted index, built once
+    * and unioned incrementally); batch-side marking is the
+    * [[exactSubstrDedup]] shape over the batch only.
+    */
+  def exactSubstrDedupIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val L = minLen
+    def grams(df: DataFrame) = {
+      val toks = split(col(textCol), " ")
+      df.filter(size(toks) >= L)
+        .select(col(idCol),
+          posexplode(Sketches.wordShingles(toks, L)).as(Seq("__p", "__g")))
+        .select(col(idCol), col("__p"),
+          Sampling.keyHash60(col("__g")).as("__h"))
+    }
+    val corpusHashes = grams(corpus).select(col("__h")).distinct()
+      .withColumn("__inc", lit(true))
+    val bg = grams(batch)
+    val first = bg.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__p"))).as("__first"))
+    val marked = bg.join(first, Seq("__h"))
+      .join(corpusHashes, Seq("__h"), "left")
+      .filter(coalesce(col("__inc"), lit(false)) ||
+        col(idCol) =!= col("__first").getField(idCol) ||
+        col("__p") =!= col("__first").getField("__p"))
+      .select(col(idCol), col("__p"))
+    subtractRuns(batch.select(col(idCol), col(textCol)), marked,
+      idCol, textCol, L)
+  }
+
+  /** Shared tail of the ExactSubstr family: merge each document's
+    * sorted marked gram starts into runs ([p, p+L-1] interval union)
+    * and rebuild the text from the gaps — one O(n_tokens) expression
+    * fold per document, no explode. `marked` is (idCol, __p).
+    */
+  private def subtractRuns(base: DataFrame, marked: DataFrame,
+      idCol: String, textCol: String, L: Int): DataFrame = {
     val ps = marked.groupBy(col(idCol))
       .agg(array_sort(collect_list(col("__p"))).as("__ps"))
-    // merge the sorted equal-length intervals, then rebuild the text
-    // from the gaps — one O(n_tokens) fold per document, no explode
     base.join(ps, Seq(idCol), "left")
-      .withColumn("__tk", toks)
+      .withColumn("__tk", split(col(textCol), " "))
       .withColumn("__iv", expr(
         s"""aggregate(coalesce(__ps, cast(array() as array<int>)),
            |  cast(array() as array<struct<s:int,e:int>>),

@@ -68,6 +68,44 @@ object TextQueries {
       |  ' fc' || CAST(doc_id AS VARCHAR) || ' fd' || CAST(doc_id AS VARCHAR)
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
 
+  /** Shared DuckDB tail of the ExactSubstr mirrors: expects CTEs `t`
+    * (doc_id, w token list) and `m` (doc_id, p marked gram starts) for
+    * L = 8 — coverage union, per-doc reassembly from the gaps,
+    * gaps-and-islands span count.
+    */
+  private val exactSubstrTailSql: String =
+    """cov AS (
+      |  SELECT DISTINCT doc_id, p + o AS idx
+      |  FROM m, unnest(range(0, 8)) AS z(o)),
+      |tok AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS idx, w[i+1] AS tk
+      |  FROM t, unnest(range(0, len(w))) AS u(i)),
+      |clean AS (
+      |  SELECT tok.doc_id,
+      |    CAST(COUNT(*) FILTER (WHERE cov.idx IS NOT NULL) AS BIGINT)
+      |      AS n_removed,
+      |    COALESCE(string_agg(tk, ' ' ORDER BY tok.idx)
+      |      FILTER (WHERE cov.idx IS NULL), '') AS clean_text
+      |  FROM tok LEFT JOIN cov
+      |    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+      |  GROUP BY tok.doc_id),
+      |isl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN p > COALESCE(MAX(p) OVER (PARTITION BY doc_id
+      |        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND 1 PRECEDING), -99) + 8
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM m),
+      |sp AS (SELECT doc_id, CAST(SUM(brk) AS BIGINT) AS n_spans
+      |       FROM isl GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  c.n_removed,
+      |  COALESCE(sp.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      |  c.clean_text
+      |FROM t
+      |JOIN clean c ON t.doc_id = c.doc_id
+      |LEFT JOIN sp ON t.doc_id = sp.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting + quality scoring, one pass, pure expressions
     "text_stats" -> ((s, dir) =>
@@ -326,6 +364,13 @@ object TextQueries {
     "dedup_exact_substr" -> ((s, dir) =>
       Dedup.exactSubstrDedup(dupCorpus(docs(s, dir)), "doc_id", "text",
         minLen = 8)),
+    // steady-state ExactSubstr: clean only the new crawl batch against
+    // the kept corpus's gram-hash set — exact-copy batch docs collapse
+    // to '', near-copies keep their divergent tails, fresh short docs
+    // pass through untouched
+    "dedup_exact_substr_incremental" -> ((s, dir) =>
+      Dedup.exactSubstrDedupIncremental(incBatch(docs(s, dir)),
+        docs(s, dir), "doc_id", "text", minLen = 8)),
     // incremental dedup: classify a new crawl batch against the existing
     // snapshot — exact (content hash in snapshot), near (shares an LSH
     // band bucket), or new; the steady-state production flow where only
@@ -1364,37 +1409,31 @@ object TextQueries {
            |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
            |    FROM g)
            |  WHERE rn > 1),
-           |cov AS (
-           |  SELECT DISTINCT doc_id, p + o AS idx
-           |  FROM m, unnest(range(0, 8)) AS z(o)),
-           |tok AS (
-           |  SELECT doc_id, CAST(i AS INTEGER) AS idx, w[i+1] AS tk
-           |  FROM t, unnest(range(0, len(w))) AS u(i)),
-           |clean AS (
-           |  SELECT tok.doc_id,
-           |    CAST(COUNT(*) FILTER (WHERE cov.idx IS NOT NULL) AS BIGINT)
-           |      AS n_removed,
-           |    COALESCE(string_agg(tk, ' ' ORDER BY tok.idx)
-           |      FILTER (WHERE cov.idx IS NULL), '') AS clean_text
-           |  FROM tok LEFT JOIN cov
-           |    ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
-           |  GROUP BY tok.doc_id),
-           |isl AS (
-           |  SELECT doc_id,
-           |    CASE WHEN p > COALESCE(MAX(p) OVER (PARTITION BY doc_id
-           |        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
-           |        AND 1 PRECEDING), -99) + 8
-           |      THEN 1 ELSE 0 END AS brk
-           |  FROM m),
-           |sp AS (SELECT doc_id, CAST(SUM(brk) AS BIGINT) AS n_spans
-           |       FROM isl GROUP BY doc_id)
-           |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
-           |  c.n_removed,
-           |  COALESCE(sp.n_spans, CAST(0 AS BIGINT)) AS n_spans,
-           |  c.clean_text
-           |FROM t
-           |JOIN clean c ON t.doc_id = c.doc_id
-           |LEFT JOIN sp ON t.doc_id = sp.doc_id""".stripMargin,
+           |$exactSubstrTailSql""".stripMargin,
+      // mirrors exactSubstrDedupIncremental: corpus gram hashes always
+      // outrank the batch; batch-internal keep-first on top
+      "dedup_exact_substr_incremental" ->
+        s"""WITH batch AS ($incBatchSql),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+           |ct AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |cg AS (
+           |  SELECT DISTINCT
+           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h
+           |  FROM ct, unnest(range(0, len(w) - 7)) AS u(i)
+           |  WHERE len(w) >= 8),
+           |g AS (
+           |  SELECT doc_id, CAST(i AS INTEGER) AS p,
+           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h
+           |  FROM t, unnest(range(0, len(w) - 7)) AS u(i)
+           |  WHERE len(w) >= 8),
+           |m AS (
+           |  SELECT doc_id, p FROM (
+           |    SELECT g.doc_id, g.p,
+           |      ROW_NUMBER() OVER (PARTITION BY g.h ORDER BY g.doc_id, g.p) AS rn,
+           |      (cg.h IS NOT NULL) AS inc
+           |    FROM g LEFT JOIN cg ON g.h = cg.h)
+           |  WHERE inc OR rn > 1),
+           |$exactSubstrTailSql""".stripMargin,
       "text_boilerplate" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |sh AS ($shinglesSql),

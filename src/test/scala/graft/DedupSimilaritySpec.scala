@@ -2234,6 +2234,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(5L) === ((18L, 8L, 2L, "m n o p q r s t u v"))) // two islands
   }
 
+  test("exact-substring dedup: property — matches an independent in-memory reference") {
+    import graft.functions.Dedup
+    // independent reference straight from the definition: mark every
+    // non-first L-gram occurrence ((id, pos) order), covered = union of
+    // [p, p+L-1], spans = maximal covered runs, clean = uncovered tokens
+    def ref(docs: Seq[(Long, String)], L: Int): Map[Long, (Long, Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val firstOcc = scala.collection.mutable.Map[Seq[String], (Long, Int)]()
+      for ((id, _) <- docs.sortBy(_._1); ts = toks(id); i <- 0 to ts.length - L)
+        firstOcc.getOrElseUpdate(ts.slice(i, i + L), (id, i))
+      docs.map { case (id, _) =>
+        val ts = toks(id)
+        val covered = (0 to ts.length - L)
+          .filter(i => firstOcc(ts.slice(i, i + L)) != ((id, i)))
+          .flatMap(i => i until i + L).toSet
+        val spans = ts.indices.count(i =>
+          covered(i) && !covered.contains(i - 1))
+        val clean = ts.indices.filterNot(covered).map(ts).mkString(" ")
+        id -> ((ts.length.toLong, covered.size.toLong, spans.toLong, clean))
+      }.toMap
+    }
+    val vocab = Array("a", "b", "c", "d")
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 8L).map(id =>
+        id -> Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(4))).mkString(" "))
+      val got = Dedup.exactSubstrDedup(docs.toDF("id", "text"), "id", "text",
+          minLen = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got === ref(docs, 3), s"seed $seed: $docs")
+    }
+  }
+
+  test("exact-substring dedup, incremental: corpus outranks batch, batch keep-first applies") {
+    import graft.functions.Dedup
+    val corpus = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val batch = Seq(
+      (11L, "a b c d e f x y z"), // prefix lives in the corpus
+      (12L, "q r s t u v"),       // fresh — first batch carrier keeps
+      (13L, "q r s t u v"),       // batch-internal copy of 12 — cleaned
+      (14L, "a b c")              // < L tokens: untouched
+    ).toDF("id", "text")
+    val got = Dedup.exactSubstrDedupIncremental(batch, corpus,
+        "id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got.keySet === Set(11L, 12L, 13L, 14L)) // batch rows only
+    assert(got(11L) === ((9L, 6L, 1L, "x y z")))
+    assert(got(12L) === ((6L, 0L, 0L, "q r s t u v")))
+    assert(got(13L) === ((6L, 6L, 1L, "")))
+    assert(got(14L) === ((3L, 0L, 0L, "a b c")))
+  }
+
   test("exact-substring dedup: the df-cap knob excludes hot grams from marking") {
     import graft.functions.Dedup
     // "a b c d" has df 4 (A, B, E twice); at maxGramDf = 2 it stops
