@@ -67,9 +67,19 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // untimed warm-up: exercise codegen/JIT/parquet-footer paths once so
     // measured times reflect the engine, not first-query JVM warm-up
+    // Force queries through the V2 noop sink, NOT count(): count() lets
+    // Catalyst prune every computed column the count doesn't need and
+    // eliminate unique-key left joins outright, so wide-output operators
+    // (reassembled clean_text, redacted strings, resized payloads) were
+    // timed as little more than their scans — the 100× audit exposed
+    // dedup_exact_substr "running" 500k docs faster than 5k. The noop
+    // write materializes every row and column (what Verify's parquet
+    // dump and any real consumer pays) with zero I/O.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     try {
-      SparkEntry.queries.get("q1_agg").foreach(_(spark, sfDir).count())
-      SparkEntry.queries.get("diff_range_stats").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q1_agg").foreach(q => force(q(spark, sfDir)))
+      SparkEntry.queries.get("diff_range_stats").foreach(q => force(q(spark, sfDir)))
     } catch { case _: Throwable => () }
     // A repeat that throws yields NO time — a broken query must never
     // surface as a (fast) timing row. Queries with zero successful repeats
@@ -78,7 +88,7 @@ object Bench {
     val runs = selected.map { case (name, fn) =>
       val times = (1 to repeat).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { force(fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name threw: ${e.getMessage}"); false }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
