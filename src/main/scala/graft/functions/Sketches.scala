@@ -88,6 +88,14 @@ object Sketches {
   def cdcBoundaries(shingles: Column, m: Int): Column =
     GraftColumnBridge.column(
       CdcBoundariesExpr(GraftColumnBridge.expression(shingles), m))
+
+  /** Multiplicity of the most frequent element of a string array (0 for
+    * empty; null elements count as one group, matching a null-safe
+    * equality fold) — evaluated by the native [[ModeCountExpr]].
+    */
+  def modeCount(arr: Column): Column =
+    GraftColumnBridge.column(
+      ModeCountExpr(GraftColumnBridge.expression(arr)))
 }
 
 /** Static per-row kernels shared by interpreted eval and generated code
@@ -116,6 +124,31 @@ object SketchKernels {
       ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
       ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+  }
+
+  /** Count of the most frequent element: one hash-map pass, no sort.
+    * Null elements form one group (the null-safe-equality convention of
+    * the sorted-run fold this replaces — measured ~2 ms/document
+    * interpreted, the whole text_repetition budget).
+    */
+  def modeCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val m = new java.util.HashMap[UTF8String, Int](n * 2)
+    var best = 0
+    var nulls = 0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        nulls += 1
+        if (nulls > best) best = nulls
+      } else {
+        val c = m.merge(arr.getUTF8String(i), 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best.toLong
   }
 
   /** n-word shingles joined by spaces; < n words collapse to one shingle
@@ -328,6 +361,25 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ModeCountExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"mode_count expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.modeCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.modeCount($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -232,9 +232,12 @@ object TextAnalysis {
   def tokenNgrams(text: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be >= 1")
     val w = tokens(text)
+    // the >= n branch is the native WordShinglesExpr (identical output
+    // there — one tight loop vs interpreted transform/slice lambdas);
+    // the < n guard preserves this helper's empty-array convention
+    // where wordShingles would emit its whole-text shingle
     when(size(w) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(w) - n), i =>
-        concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(Sketches.wordShingles(w, n))
   }
 
   /** Fraction of array elements that are repeats of an earlier element:
@@ -248,30 +251,25 @@ object TextAnalysis {
   }
 
   /** Share of tokens taken by the single most frequent token, measured
-    * over the first `MaxRepetitionTokens` tokens. O(n log n) per
-    * document: sort the window, then ONE aggregate pass tracking the
-    * longest equal run — which is exactly the mode's count in a sorted
-    * array. (The previous distinct×filter formulation was O(n²) in
-    * interpreted higher-order functions: a measured 77 s on a single
-    * adversarial all-distinct document — a 100×-scale executor-pinner.)
-    * Still an array expression rather than explode+groupBy so the corpus
-    * never shuffles; the cap bounds BOTH memory and time.
+    * over the first `MaxRepetitionTokens` tokens — the mode's
+    * multiplicity via the native [[Sketches.modeCount]] kernel (one
+    * hash-map pass per row, O(n)). History of this expression: the
+    * original distinct×filter formulation was O(n²) interpreted (77 s on
+    * one adversarial document); the sorted-run fold that replaced it was
+    * O(n log n) but still an interpreted struct-accumulator lambda —
+    * ~2 ms/document, the whole text_repetition budget once the bench's
+    * noop forcing stopped count() from pruning the column. Same value
+    * as both (null tokens group together, matching the old null-safe
+    * fold). Still an array expression rather than explode+groupBy so
+    * the corpus never shuffles; the cap bounds BOTH memory and time.
     */
   val MaxRepetitionTokens = 10000
 
   def topTokenFrac(text: Column): Column = {
     val w = slice(tokens(text), 1, MaxRepetitionTokens)
-    val best = aggregate(
-      array_sort(w),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-        lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x <=> acc("prev"), acc("run") + 1L).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
     when(size(w) === 0, lit(0.0))
-      .otherwise(best.cast("double") / size(w).cast("double"))
+      .otherwise(Sketches.modeCount(w).cast("double") /
+        size(w).cast("double"))
   }
 
   /** DuckDB mirrors of the repetition metrics, generated so both engines
