@@ -1294,7 +1294,11 @@ object AnalyticsQueries {
     // approximate quantiles, self-graded like q_approx_distinct: the
     // sketch result (percentile_approx, accuracy 10k) must land within
     // 1% of the in-plan exact percentile; the oracle recomputes the row
-    // count and asserts the verdicts TRUE
+    // count and asserts the verdicts TRUE. Scale note: the EXACT
+    // percentile side buffers every value into one final aggregation
+    // buffer — it exists only as test-scale calibration of the sketch;
+    // the 100 TB path is percentile_approx alone (mergeable KLL-style
+    // buffers, bounded by the accuracy parameter)
     "q_approx_quantiles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.agg(count(lit(1)).as("n_rows"),
