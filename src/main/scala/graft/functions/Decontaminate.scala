@@ -44,33 +44,21 @@ object Decontaminate {
         col("n_hit_ngrams").cast("double") / col("n_shingles").cast("double"))
   }
 
-  /** Bloom-filter decontamination — [[ngramHits]] for benchmark sets too
-    * big to broadcast as a literal shingle set. The benchmark's distinct
-    * n-grams are folded into an `mBits`-bit Bloom filter with `k`
-    * md5-derived hash functions, built entirely as DATA (a groupBy over
-    * bit positions, then one dense long-array row) — no driver-side
-    * sketch object, no collect. The corpus side probes the filter as a
-    * single broadcast row: membership is pure bit arithmetic inside the
-    * scan's project, so a 100 TB corpus is decontaminated with ONE
-    * aggregation shuffle carrying (id, bool) pairs and a broadcast of
-    * `mBits / 8` bytes — regardless of how many n-grams the benchmark
-    * holds.
-    *
-    * Deterministic by construction (hash = 60-bit md5, the cross-engine
-    * idiom of [[Sampling.keyHash60]]), so the full report — INCLUDING
-    * which false positives fire — is oracle-checkable bit-for-bit. No
-    * false negatives ever: every shingle [[ngramHits]] flags, this
-    * flags. Output: (id, n_shingles, n_flagged, flag_frac), one row per
-    * corpus document that has at least one shingle.
-    *
-    * Sizing: false-positive rate ≈ (1 - e^(-k·n/mBits))^k for n distinct
-    * benchmark shingles; the 2^18-bit default holds ~16k shingles at
-    * < 0.5% FP. 32-bit words keep every mask positive, sidestepping
-    * signed-shift edge cases across engines (masks are exact 2^bit
-    * doubles, bit <= 31, so the long cast is lossless).
+  /** Bit position j via DOUBLE HASHING (Kirsch & Mitzenheimer, "Less
+    * Hashing, Same Performance: Building a Better Bloom Filter", ESA
+    * 2006): one 60-bit digest splits into h1 (low 30 bits) and h2 (high
+    * 30 bits), position j = (h1 + j·h2) mod m — proven to preserve the
+    * Bloom false-positive asymptotics while costing ONE md5 per element
+    * instead of k (the md5 is the whole probe budget; this replaced k
+    * independent salted digests). h1 + j·h2 <= 2^30 + 7·2^30 — exact in
+    * a long in both engines. Callers must pre-hash into a column
+    * themselves: codegen CSE does NOT collapse identical digest subtrees
+    * repeated inside one expression (measured 3 generated call sites
+    * before the split).
     */
-  private def bitPos(j: Int, sh: Column, mBits: Int): Column =
-    pmod(Sampling.keyHash60(concat(lit(s"$j:"), sh)), lit(mBits.toLong))
+  private def posFromH(h: Column, j: Int, mBits: Int): Column =
+    pmod(pmod(h, lit(1L << 30)) + lit(j.toLong) * shiftright(h, 30),
+      lit(mBits.toLong))
 
   /** The filter itself, as ONE row holding the dense 32-bit-word array
     * (column `__bloom`): distinct bench shingles -> k bit positions each
@@ -86,10 +74,11 @@ object Decontaminate {
     val shingles = array_distinct(Dedup.wordShingles(col(textCol), n))
     bench
       .select(explode(shingles).as("__shingle")).distinct()
+      .select(Sampling.keyHash60(col("__shingle")).as("__h"))
       .select(explode(array((0 until k).map(j =>
-        bitPos(j, col("__shingle"), mBits)): _*)).as("__pos"))
+        posFromH(col("__h"), j, mBits)): _*)).as("__pos"))
       .select((col("__pos") / 32).cast("long").as("__word"),
-        pow(lit(2.0), pmod(col("__pos"), lit(32L))).cast("long").as("__mask"))
+        wordMask(col("__pos")).as("__mask"))
       .groupBy(col("__word")).agg(expr("bit_or(__mask)").as("__bits"))
       .agg(map_from_entries(collect_list(
         struct(col("__word"), col("__bits")))).as("__wm"))
@@ -97,17 +86,60 @@ object Decontaminate {
         i => coalesce(element_at(col("__wm"), i), lit(0L))).as("__bloom"))
   }
 
+  /** The 32 single-bit word masks as a literal array — an array lookup
+    * replaces the previous `pow(2.0, bit)` libm call per probe (same
+    * exact values: 2^bit is exact in a double for bit <= 31, so the two
+    * forms were already bit-identical; this one just costs an index).
+    */
+  private val BitMasks: Column =
+    typedlit((0 until 32).map(b => 1L << b))
+
+  private def wordMask(p: Column): Column =
+    element_at(BitMasks, pmod(p, lit(32L)).cast("int") + 1)
+
   /** True iff all `k` of `shingle`'s bits are set in the `__bloom`
     * array column (which must be in scope, e.g. via a broadcast join of
     * [[bloomFilterRow]]).
     */
   def bloomHit(shingle: Column, mBits: Int, k: Int): Column =
+    bloomHitFromH(Sampling.keyHash60(shingle), mBits, k)
+
+  /** [[bloomHit]] over a PRE-HASHED key column: the batch prober
+    * materializes `__h` once per shingle row because codegen CSE does
+    * not collapse the k identical digest subtrees inside one boolean
+    * expression (measured 3 generated call sites pre-split).
+    */
+  def bloomHitFromH(h: Column, mBits: Int, k: Int): Column =
     (0 until k).map { j =>
-      val p = bitPos(j, shingle, mBits)
+      val p = posFromH(h, j, mBits)
       element_at(col("__bloom"), (p / 32).cast("int") + 1)
-        .bitwiseAND(pow(lit(2.0), pmod(p, lit(32L))).cast("long")) =!= 0L
+        .bitwiseAND(wordMask(p)) =!= 0L
     }.reduce(_ && _)
 
+  /** Bloom-filter decontamination — [[ngramHits]] for benchmark sets too
+    * big to broadcast as a literal shingle set. The benchmark's distinct
+    * n-grams are folded into an `mBits`-bit Bloom filter with
+    * `k` positions per gram derived from ONE md5 digest ([[posFromH]]
+    * double hashing), built entirely as DATA (a groupBy over bit
+    * positions, then one dense long-array row) — no driver-side sketch
+    * object, no collect. The corpus side probes the filter as a single
+    * broadcast row: membership is pure bit arithmetic inside the scan's
+    * project, so a 100 TB corpus is decontaminated with ONE aggregation
+    * shuffle carrying (id, bool) pairs and a broadcast of `mBits / 8`
+    * bytes — regardless of how many n-grams the benchmark holds.
+    *
+    * Deterministic by construction (hash = 60-bit md5, the cross-engine
+    * idiom of [[Sampling.keyHash60]]), so the full report — INCLUDING
+    * which false positives fire — is oracle-checkable bit-for-bit. No
+    * false negatives ever: every shingle [[ngramHits]] flags, this
+    * flags. Output: (id, n_shingles, n_flagged, flag_frac), one row per
+    * corpus document that has at least one shingle.
+    *
+    * Sizing: false-positive rate ≈ (1 - e^(-k·n/mBits))^k for n distinct
+    * benchmark shingles; the 2^18-bit default holds ~16k shingles at
+    * < 0.5% FP. 32-bit words keep every mask positive, sidestepping
+    * signed-shift edge cases across engines.
+    */
   def bloomNgramHits(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 8, mBits: Int = 1 << 18,
       k: Int = 3): DataFrame = {
@@ -116,8 +148,9 @@ object Decontaminate {
     // array rides along as a broadcast single-row cross join
     corpus
       .select(col(idCol), explode(shingles).as("__shingle"))
+      .select(col(idCol), Sampling.keyHash60(col("__shingle")).as("__h"))
       .join(broadcast(bloomFilterRow(bench, textCol, n, mBits, k)))
-      .withColumn("__hit", bloomHit(col("__shingle"), mBits, k))
+      .withColumn("__hit", bloomHitFromH(col("__h"), mBits, k))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__hit"), 1L).otherwise(0L)).as("n_flagged"))

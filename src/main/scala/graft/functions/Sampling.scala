@@ -31,10 +31,13 @@ object Sampling {
     s"COALESCE(CAST($e AS VARCHAR), chr(1) || 'null' || chr(1))"
 
   /** 60-bit nonnegative key hash, identical in Spark and DuckDB:
-    * `conv(substr(md5(k), 1, 15), 16, 10)`.
+    * `conv(substr(md5(k), 1, 15), 16, 10)` — evaluated digest-direct by
+    * the native [[Sketches.keyHash60]] kernel (bit-identical value; the
+    * declarative form built and re-parsed a 32-char hex string on every
+    * call of the engine's hottest primitive).
     */
   def keyHash60(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    Sketches.keyHash60(key.cast("string"))
 
   /** The DuckDB mirror of [[keyHash60]] applied to expression `e`. */
   def keyHash60Sql(e: String): String =

@@ -96,6 +96,18 @@ object Sketches {
   def modeCount(arr: Column): Column =
     GraftColumnBridge.column(
       ModeCountExpr(GraftColumnBridge.expression(arr)))
+
+  /** The engine-portable 60-bit md5 hash of a STRING column — the native
+    * evaluation of `conv(substring(md5(s), 1, 15), 16, 10)` (identical
+    * value: the first 15 hex chars ARE the digest's first 60 bits, i.e.
+    * bytes 0..7 big-endian shifted right 4). The declarative form
+    * materializes a 32-char hex string and re-parses it per call — this
+    * is the hash under every blocking/sampling/bloom operator, so the
+    * digest-direct kernel is a corpus-wide scan win.
+    */
+  def keyHash60(s: Column): Column =
+    GraftColumnBridge.column(
+      KeyHash60Expr(GraftColumnBridge.expression(s)))
 }
 
 /** Static per-row kernels shared by interpreted eval and generated code
@@ -125,6 +137,13 @@ object SketchKernels {
       ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
       ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
   }
+
+  /** First 60 bits of md5 as a nonnegative long — bit-identical to
+    * `CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)` (15 hex
+    * chars = bytes 0..7 big-endian >>> 4) and to the DuckDB
+    * `keyHash60Sql` mirror, with no hex-string round trip.
+    */
+  def keyHash60(u: UTF8String): Long = md5Hash64(u) >>> 4
 
   /** Count of the most frequent element: one hash-map pass, no sort.
     * Null elements form one group (the null-safe-equality convention of
@@ -361,6 +380,25 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.wordShingles($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class KeyHash60Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"key_hash60 expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.keyHash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.keyHash60($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

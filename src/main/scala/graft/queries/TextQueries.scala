@@ -1465,15 +1465,17 @@ object TextQueries {
         s"""WITH corpus AS ($dupCorpusSql),
            |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
            |bsh AS (SELECT DISTINCT shingle FROM (${sh5("bench")})),
+           |bh AS (SELECT shingle, ${h60("shingle")} AS h FROM bsh),
            |bbits AS (
            |  SELECT DISTINCT
-           |    ${h60("CAST(r.j AS VARCHAR) || ':' || shingle")} % 262144 AS pos
-           |  FROM bsh, unnest(range(0, 3)) AS r(j)),
+           |    ((h % 1073741824) + r.j * (h // 1073741824)) % 262144 AS pos
+           |  FROM bh, unnest(range(0, 3)) AS r(j)),
            |csh AS (${sh5("corpus")}),
+           |ch AS (SELECT doc_id, shingle, ${h60("shingle")} AS h FROM csh),
            |probe AS (
            |  SELECT c.doc_id, c.shingle,
-           |    ${h60("CAST(r.j AS VARCHAR) || ':' || c.shingle")} % 262144 AS pos
-           |  FROM csh c, unnest(range(0, 3)) AS r(j)),
+           |    ((h % 1073741824) + r.j * (h // 1073741824)) % 262144 AS pos
+           |  FROM ch c, unnest(range(0, 3)) AS r(j)),
            |flags AS (
            |  SELECT doc_id, shingle,
            |    MIN(CASE WHEN pos IN (SELECT pos FROM bbits)

@@ -1545,6 +1545,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(secs < 5.0, f"capped repetition scan took $secs%.1f s")
   }
 
+  test("keyHash60 kernel: bit-identical to the conv(substring(md5)) formulation") {
+    import graft.functions.Sampling
+    // the engine's hottest primitive moved to a digest-direct kernel —
+    // pin bit-identity against the original declarative form (which is
+    // also exactly what the DuckDB mirror computes) across ASCII,
+    // unicode, empty, long, and null inputs
+    val vals = Seq("a", "", "hello world", "é中文 mixed",
+      "x" * 4000, "0", "null", null)
+    val df = vals.toDF("s")
+    val rows = df.select(
+        Sampling.keyHash60(col("s")).as("kernel"),
+        conv(substring(md5(col("s").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("legacy"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) {
+        assert(r.getLong(0) === r.getLong(1))
+        assert(r.getLong(0) >= 0L) // 60-bit nonnegative contract
+      }
+    }
+  }
+
   test("modeCount kernel: mode multiplicity, ties, nulls, empty; tokenNgrams parity") {
     import graft.functions.Sketches
     // mode multiplicity via the native kernel equals the histogram max
