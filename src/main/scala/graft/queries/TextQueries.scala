@@ -73,7 +73,7 @@ object TextQueries {
     * L = 8 — coverage union, per-doc reassembly from the gaps,
     * gaps-and-islands span count.
     */
-  private val exactSubstrTailSql: String =
+  private val exactSubstrTailCtes: String =
     """cov AS (
       |  SELECT DISTINCT doc_id, p + o AS idx
       |  FROM m, unnest(range(0, 8)) AS z(o)),
@@ -97,14 +97,22 @@ object TextQueries {
       |      THEN 1 ELSE 0 END AS brk
       |  FROM m),
       |sp AS (SELECT doc_id, CAST(SUM(brk) AS BIGINT) AS n_spans
-      |       FROM isl GROUP BY doc_id)
-      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |       FROM isl GROUP BY doc_id)""".stripMargin
+
+  /** Final per-document SELECT over [[exactSubstrTailCtes]] — standalone
+    * result for dedup_exact_substr*, a subquery for the savings rollup.
+    */
+  private val exactSubstrPerDocSql: String =
+    """SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
       |  c.n_removed,
       |  COALESCE(sp.n_spans, CAST(0 AS BIGINT)) AS n_spans,
       |  c.clean_text
       |FROM t
       |JOIN clean c ON t.doc_id = c.doc_id
       |LEFT JOIN sp ON t.doc_id = sp.doc_id""".stripMargin
+
+  private val exactSubstrTailSql: String =
+    s"$exactSubstrTailCtes\n$exactSubstrPerDocSql"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting + quality scoring, one pass, pure expressions
@@ -364,6 +372,22 @@ object TextQueries {
     "dedup_exact_substr" -> ((s, dir) =>
       Dedup.exactSubstrDedup(dupCorpus(docs(s, dir)), "doc_id", "text",
         minLen = 8)),
+    // the dataset-card rollup of ExactSubstr: per-source tokens kept vs
+    // removed, fully-duplicated doc counts, and the removed fraction —
+    // the "X% of tokens removed" number the Lee et al. pipeline reports
+    "dedup_substr_savings" -> ((s, dir) => {
+      val corpus = dupCorpus(docs(s, dir))
+      Dedup.exactSubstrDedup(corpus, "doc_id", "text", minLen = 8)
+        .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_removed")).as("n_removed"),
+          sum(when(col("n_removed") === col("n_tokens") &&
+            col("n_tokens") > 0, 1L).otherwise(0L)).as("n_emptied"))
+        .withColumn("removed_frac", col("n_removed").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"))
+    }),
     // steady-state ExactSubstr: clean only the new crawl batch against
     // the kept corpus's gram-hash set — exact-copy batch docs collapse
     // to '', near-copies keep their divergent tails, fresh short docs
@@ -1410,6 +1434,34 @@ object TextQueries {
            |    FROM g)
            |  WHERE rn > 1),
            |$exactSubstrTailSql""".stripMargin,
+      // mirrors dedup_substr_savings: per-doc ExactSubstr result rolled
+      // up by source (sums over exact longs; one double division)
+      "dedup_substr_savings" ->
+        s"""WITH corpus AS ($dupCorpusSql),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+           |g AS (
+           |  SELECT doc_id, CAST(i AS INTEGER) AS p,
+           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h
+           |  FROM t, unnest(range(0, len(w) - 7)) AS u(i)
+           |  WHERE len(w) >= 8),
+           |m AS (
+           |  SELECT doc_id, p FROM (
+           |    SELECT doc_id, p,
+           |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+           |    FROM g)
+           |  WHERE rn > 1),
+           |$exactSubstrTailCtes,
+           |perdoc AS ($exactSubstrPerDocSql)
+           |SELECT c.source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(p.n_removed) AS BIGINT) AS n_removed,
+           |  CAST(SUM(CASE WHEN p.n_removed = p.n_tokens AND p.n_tokens > 0
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied,
+           |  CAST(SUM(p.n_removed) AS DOUBLE) /
+           |    CAST(GREATEST(SUM(p.n_tokens), 1) AS DOUBLE) AS removed_frac
+           |FROM perdoc p JOIN corpus c ON p.doc_id = c.doc_id
+           |GROUP BY c.source""".stripMargin,
       // mirrors exactSubstrDedupIncremental: corpus gram hashes always
       // outrank the batch; batch-internal keep-first on top
       "dedup_exact_substr_incremental" ->
