@@ -102,6 +102,20 @@ class CurationPlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
 
+  test("dedup_exact_substr survives with AQE disabled (static-plan fallback)") {
+    // same degraded-config contract as curate_corpus_full: the unforced
+    // mark join leans on AQE's runtime size check, and the static
+    // planner must still produce the identical result
+    val withAqe = TextQueries.queries("dedup_exact_substr")(spark, Sf)
+      .collect().map(_.toString).sorted
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val noAqe = TextQueries.queries("dedup_exact_substr")(spark, Sf)
+        .collect().map(_.toString).sorted
+      assert(noAqe.sameElements(withAqe))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("events_top_paths: per-user cap runs as WindowGroupLimit, top-20 as TakeOrdered, no global sort") {
     // the per-user first-8 filter is an unbounded row_number window —
     // safe ONLY while Spark rewrites `row_number <= k` to
