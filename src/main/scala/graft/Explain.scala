@@ -40,9 +40,10 @@ object Explain {
           // on the runtime re-plan.
           if (sys.env.get("SPARK_GRAFT_EXPLAIN_CODEGEN").contains("1")) {
             import org.apache.spark.sql.execution.debug._
+            val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
-            q(spark, dir).debugCodegen()
-            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            try q(spark, dir).debugCodegen()
+            finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
           }
         case None =>
           println(s"unknown query '$n' — run with no args to list all " +

@@ -195,10 +195,16 @@ object Dedup {
     * row per input document; n_spans counts the merged duplicated
     * runs, a fully-duplicated copy collapses to clean_text = ''.
     *
-    * Scale shape: NO pair join exists anywhere. Grams hash to 60-bit
-    * longs map-side ([[Sampling.keyHash60]] — oracle-exact), the
+    * Scale shape: NO pair join exists anywhere. Grams hash map-side to a
+    * 120-bit COMPOSITE key — both independent 60-bit halves of one md5
+    * digest ([[Sketches.keyHash120]], oracle-exact) — and every exchange,
+    * group, and join keys on the (h1, h2) pair. A single 60-bit key would
+    * see birthday collisions at corpus scale (>= 1e10 grams → expected
+    * ~G²/2^61 ≈ 50 false marks, each silently deleting non-duplicated
+    * tokens); at 120 bits the expectation is ~G²/2^121 ≈ 4e-17 — the
+    * exactness claim holds for any physically realizable corpus. The
     * first-occurrence table is a partial-aggregating
-    * `groupBy(hash).agg(min(struct(id, pos)))` (the skew-safe
+    * `groupBy(h1, h2).agg(min(struct(id, pos)))` (the skew-safe
     * [[keepCanonicalByKey]] shape: a boilerplate gram with 10^6 copies
     * reduces to one row per map partition BEFORE the exchange — this
     * is why the blocking needs no df cap for SAFETY), and the mark
@@ -232,16 +238,19 @@ object Dedup {
       .select(col(idCol),
         posexplode(Sketches.wordShingles(toks, L)).as(Seq("__p", "__g")))
       .select(col(idCol), col("__p"),
-        Sampling.keyHash60(col("__g")).as("__h"))
-    val firstAgg = grams.groupBy(col("__h"))
+        Sketches.keyHash120(col("__g")).as("__hh"))
+      .select(col(idCol), col("__p"),
+        col("__hh").getField("h1").as("__h"),
+        col("__hh").getField("h2").as("__h2"))
+    val firstAgg = grams.groupBy(col("__h"), col("__h2"))
       .agg(min(struct(col(idCol), col("__p"))).as("__first"),
         count(lit(1)).as("__df"))
     val first =
       (if (maxGramDf == 0) firstAgg
        else firstAgg.filter(col("__df") <= maxGramDf))
-        .select(col("__h"), col("__first"))
+        .select(col("__h"), col("__h2"), col("__first"))
     // every non-first occurrence of a duplicated gram marks [p, p+L-1]
-    val marked = grams.join(first, Seq("__h"))
+    val marked = grams.join(first, Seq("__h", "__h2"))
       .filter(col(idCol) =!= col("__first").getField(idCol) ||
         col("__p") =!= col("__first").getField("__p"))
       .select(col(idCol), col("__p"))
@@ -258,11 +267,12 @@ object Dedup {
     * granularity.
     *
     * Output: one (idCol, n_tokens, n_removed, n_spans, clean_text) row
-    * per BATCH document. Scale shape: corpus grams reduce to a
-    * DISTINCT hash column (one slim exchange over the corpus — in
-    * production this gram-hash set is the persisted index, built once
-    * and unioned incrementally); batch-side marking is the
-    * [[exactSubstrDedup]] shape over the batch only.
+    * per BATCH document. Scale shape: corpus grams reduce to a DISTINCT
+    * (h1, h2) 120-bit composite-hash pair (one slim exchange over the
+    * corpus — in production this gram-hash set is the persisted index,
+    * built once and unioned incrementally); batch-side marking is the
+    * [[exactSubstrDedup]] shape (same collision bound) over the batch
+    * only.
     */
   def exactSubstrDedupIncremental(batch: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, minLen: Int): DataFrame = {
@@ -274,15 +284,18 @@ object Dedup {
         .select(col(idCol),
           posexplode(Sketches.wordShingles(toks, L)).as(Seq("__p", "__g")))
         .select(col(idCol), col("__p"),
-          Sampling.keyHash60(col("__g")).as("__h"))
+          Sketches.keyHash120(col("__g")).as("__hh"))
+        .select(col(idCol), col("__p"),
+          col("__hh").getField("h1").as("__h"),
+          col("__hh").getField("h2").as("__h2"))
     }
-    val corpusHashes = grams(corpus).select(col("__h")).distinct()
-      .withColumn("__inc", lit(true))
+    val corpusHashes = grams(corpus).select(col("__h"), col("__h2"))
+      .distinct().withColumn("__inc", lit(true))
     val bg = grams(batch)
-    val first = bg.groupBy(col("__h"))
+    val first = bg.groupBy(col("__h"), col("__h2"))
       .agg(min(struct(col(idCol), col("__p"))).as("__first"))
-    val marked = bg.join(first, Seq("__h"))
-      .join(corpusHashes, Seq("__h"), "left")
+    val marked = bg.join(first, Seq("__h", "__h2"))
+      .join(corpusHashes, Seq("__h", "__h2"), "left")
       .filter(coalesce(col("__inc"), lit(false)) ||
         col(idCol) =!= col("__first").getField(idCol) ||
         col("__p") =!= col("__first").getField("__p"))

@@ -43,6 +43,13 @@ object Sampling {
   def keyHash60Sql(e: String): String =
     s"CAST(CAST('0x' || substr(md5(CAST($e AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)"
 
+  /** The DuckDB mirror of [[Sketches.keyHash120]]'s second half (md5 bits
+    * 60–119, hex chars 16–30) — the confirm hash that upgrades an
+    * ExactSubstr mark join's key to a ~120-bit composite.
+    */
+  def keyHash60bSql(e: String): String =
+    s"CAST(CAST('0x' || substr(md5(CAST($e AS VARCHAR)), 16, 15) AS UBIGINT) AS BIGINT)"
+
   /** Keep a deterministic `num/den` fraction of rows by key. */
   def deterministicSample(df: DataFrame, keyCol: String,
       num: Int, den: Int = DefaultDen): DataFrame = {

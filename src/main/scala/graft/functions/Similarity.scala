@@ -309,6 +309,9 @@ object Similarity {
     when(a.getField("d") > b.getField("d"), -1)
       .when(a.getField("d") < b.getField("d"), 1)
       .when(a.getField("idx") < b.getField("idx"), -1)
+      // list ids are distinct within __cents today, but a comparator must
+      // be a total order regardless: equal (d, idx) compares 0, not 1
+      .when(a.getField("idx") === b.getField("idx"), lit(0))
       .otherwise(lit(1))
 
   /** Top-`nprobe` centroid ids per point against a BROADCAST centroid

@@ -5,8 +5,10 @@ import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native per-row sketch expressions.
@@ -108,6 +110,18 @@ object Sketches {
   def keyHash60(s: Column): Column =
     GraftColumnBridge.column(
       KeyHash60Expr(GraftColumnBridge.expression(s)))
+
+  /** Both independent 60-bit halves of md5(s) as struct<h1, h2> from ONE
+    * digest: h1 = bits 0–59 (identical to [[keyHash60]] / the DuckDB
+    * `keyHash60Sql` mirror), h2 = bits 60–119 (hex chars 16–30,
+    * `keyHash60bSql`). Joining/grouping on the (h1, h2) composite gives a
+    * ~120-bit effective key, so a blocking operator whose correctness
+    * claim is "exact" (ExactSubstr) can keep hash-only exchanges without
+    * the 60-bit birthday-collision risk at >= 1e10 keys.
+    */
+  def keyHash120(s: Column): Column =
+    GraftColumnBridge.column(
+      KeyHash120Expr(GraftColumnBridge.expression(s)))
 }
 
 /** Static per-row kernels shared by interpreted eval and generated code
@@ -144,6 +158,28 @@ object SketchKernels {
     * `keyHash60Sql` mirror, with no hex-string round trip.
     */
   def keyHash60(u: UTF8String): Long = md5Hash64(u) >>> 4
+
+  /** Bits 0–59 and 60–119 of md5 as two nonnegative longs from a single
+    * digest — h1 identical to [[keyHash60]], h2 identical to
+    * `CAST('0x' || substr(md5(s), 16, 15) AS UBIGINT)` (hex chars 16–30 =
+    * byte 7's low nibble then bytes 8–14). One md5 per row even when the
+    * caller projects both halves (the two GetStructField instances share
+    * the digest via codegen subexpression elimination).
+    */
+  def keyHash120(u: UTF8String): InternalRow = {
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(u.getBytes)
+    val h1 = (((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)) >>> 4
+    val h2 = ((d(7) & 0x0FL) << 56) | ((d(8) & 0xFFL) << 48) |
+      ((d(9) & 0xFFL) << 40) | ((d(10) & 0xFFL) << 32) |
+      ((d(11) & 0xFFL) << 24) | ((d(12) & 0xFFL) << 16) |
+      ((d(13) & 0xFFL) << 8) | (d(14) & 0xFFL)
+    new GenericInternalRow(Array[Any](h1, h2))
+  }
 
   /** Count of the most frequent element: one hash-map pass, no sort.
     * Null elements form one group (the null-safe-equality convention of
@@ -399,6 +435,27 @@ case class KeyHash60Expr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.keyHash60($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class KeyHash120Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"key_hash120 expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SketchKernels.keyHash120(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchKernels.keyHash120($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -1417,20 +1417,22 @@ object TextQueries {
            |    AS clean_text
            |FROM k GROUP BY doc_id""".stripMargin,
       // mirrors exactSubstrDedup: same L-gram first-occurrence marking
-      // (keyHash60, (doc_id, pos) global order), token-level coverage
-      // union, gaps-and-islands span count, gap-text reassembly
+      // (the 120-bit keyHash60/keyHash60b composite, (doc_id, pos)
+      // global order), token-level coverage union, gaps-and-islands span
+      // count, gap-text reassembly
       "dedup_exact_substr" ->
         s"""WITH corpus AS ($dupCorpusSql),
            |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
            |g AS (
            |  SELECT doc_id, CAST(i AS INTEGER) AS p,
-           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h
+           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h,
+           |    ${Sampling.keyHash60bSql("array_to_string(w[i+1:i+8], ' ')")} AS h2
            |  FROM t, unnest(range(0, len(w) - 7)) AS u(i)
            |  WHERE len(w) >= 8),
            |m AS (
            |  SELECT doc_id, p FROM (
            |    SELECT doc_id, p,
-           |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+           |      ROW_NUMBER() OVER (PARTITION BY h, h2 ORDER BY doc_id, p) AS rn
            |    FROM g)
            |  WHERE rn > 1),
            |$exactSubstrTailSql""".stripMargin,
@@ -1441,13 +1443,14 @@ object TextQueries {
            |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
            |g AS (
            |  SELECT doc_id, CAST(i AS INTEGER) AS p,
-           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h
+           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h,
+           |    ${Sampling.keyHash60bSql("array_to_string(w[i+1:i+8], ' ')")} AS h2
            |  FROM t, unnest(range(0, len(w) - 7)) AS u(i)
            |  WHERE len(w) >= 8),
            |m AS (
            |  SELECT doc_id, p FROM (
            |    SELECT doc_id, p,
-           |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+           |      ROW_NUMBER() OVER (PARTITION BY h, h2 ORDER BY doc_id, p) AS rn
            |    FROM g)
            |  WHERE rn > 1),
            |$exactSubstrTailCtes,
@@ -1470,20 +1473,22 @@ object TextQueries {
            |ct AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
            |cg AS (
            |  SELECT DISTINCT
-           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h
+           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h,
+           |    ${Sampling.keyHash60bSql("array_to_string(w[i+1:i+8], ' ')")} AS h2
            |  FROM ct, unnest(range(0, len(w) - 7)) AS u(i)
            |  WHERE len(w) >= 8),
            |g AS (
            |  SELECT doc_id, CAST(i AS INTEGER) AS p,
-           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h
+           |    ${Sampling.keyHash60Sql("array_to_string(w[i+1:i+8], ' ')")} AS h,
+           |    ${Sampling.keyHash60bSql("array_to_string(w[i+1:i+8], ' ')")} AS h2
            |  FROM t, unnest(range(0, len(w) - 7)) AS u(i)
            |  WHERE len(w) >= 8),
            |m AS (
            |  SELECT doc_id, p FROM (
            |    SELECT g.doc_id, g.p,
-           |      ROW_NUMBER() OVER (PARTITION BY g.h ORDER BY g.doc_id, g.p) AS rn,
+           |      ROW_NUMBER() OVER (PARTITION BY g.h, g.h2 ORDER BY g.doc_id, g.p) AS rn,
            |      (cg.h IS NOT NULL) AS inc
-           |    FROM g LEFT JOIN cg ON g.h = cg.h)
+           |    FROM g LEFT JOIN cg ON g.h = cg.h AND g.h2 = cg.h2)
            |  WHERE inc OR rn > 1),
            |$exactSubstrTailSql""".stripMargin,
       "text_boilerplate" ->

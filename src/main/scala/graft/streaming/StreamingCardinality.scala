@@ -96,8 +96,16 @@ object StreamingCardinality {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (group: String, rows: Iterator[(String, String)],
             state: GroupState[Array[Byte]]) =>
-          // byte m is the null phantom-register flag (see foldInto)
-          val regs = state.getOption.getOrElse(new Array[Byte]((1 << p) + 1))
+          // byte m is the null phantom-register flag (see foldInto). A
+          // checkpoint written before the flag existed holds a 1<<p-length
+          // array; pad it so foldInto's regs(1<<p) write stays in bounds
+          // (the extra byte starts 0 = flag unset, so estimates carry over
+          // unchanged).
+          val regs0 = state.getOption.getOrElse(new Array[Byte]((1 << p) + 1))
+          val regs =
+            if (regs0.length <= (1 << p))
+              java.util.Arrays.copyOf(regs0, (1 << p) + 1)
+            else regs0
           rows.foreach { case (_, v) => foldInto(regs, v, p) }
           state.update(regs)
           // n_regs counts the phantom as occupied — exactly what the

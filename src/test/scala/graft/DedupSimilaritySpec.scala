@@ -1568,6 +1568,32 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("keyHash120 kernel: h1 == keyHash60, h2 == declarative md5 chars 16-30") {
+    import graft.functions.{Sampling, Sketches}
+    // the ExactSubstr composite key: one digest, two independent 60-bit
+    // halves. h1 must stay bit-identical to the established keyHash60
+    // (and its DuckDB mirror); h2 must equal the declarative hex-substring
+    // form that keyHash60bSql mirrors.
+    val vals = Seq("a", "", "hello world", "é中文 mixed",
+      "x" * 4000, "0", "null", null)
+    val df = vals.toDF("s")
+    val rows = df.select(
+        Sketches.keyHash120(col("s")).as("hh"),
+        Sampling.keyHash60(col("s")).as("h1ref"),
+        conv(substring(md5(col("s").cast("string")), 16, 15), 16, 10)
+          .cast("long").as("h2ref"))
+      .select(col("hh.h1"), col("hh.h2"), col("h1ref"), col("h2ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(2))
+      if (!r.isNullAt(0)) {
+        assert(r.getLong(0) === r.getLong(2)) // h1 == keyHash60
+        assert(r.getLong(1) === r.getLong(3)) // h2 == md5 bits 60..119
+        assert(r.getLong(0) >= 0L && r.getLong(1) >= 0L)
+      }
+    }
+  }
+
   test("modeCount kernel: mode multiplicity, ties, nulls, empty; tokenNgrams parity") {
     import graft.functions.Sketches
     // mode multiplicity via the native kernel equals the histogram max

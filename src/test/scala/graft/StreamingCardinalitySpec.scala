@@ -72,6 +72,27 @@ class StreamingCardinalitySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pre-phantom-flag checkpoint state (1<<p bytes) is padded, not AIOOBE'd") {
+    // a checkpoint written before the phantom flag existed holds a
+    // 1<<p-length register array; foldInto on a null value must not write
+    // out of bounds after the state is padded at retrieval
+    val p = 8
+    val old = new Array[Byte](1 << p) // old-format state
+    val padded = java.util.Arrays.copyOf(old, (1 << p) + 1)
+    StreamingCardinality.foldInto(padded, null, p) // the phantom write
+    assert(padded(1 << p) === 1)
+    // and non-null folding into the padded array matches folding into a
+    // fresh new-format array (registers unaffected by the pad)
+    val fresh = new Array[Byte]((1 << p) + 1)
+    (1 to 200).foreach { i =>
+      StreamingCardinality.foldInto(padded, s"v$i", p)
+      StreamingCardinality.foldInto(fresh, s"v$i", p)
+    }
+    fresh(1 << p) = 1
+    assert(StreamingCardinality.estimate(padded, p) ===
+      StreamingCardinality.estimate(fresh, p))
+  }
+
   test("groups keep independent registers") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Long)]
