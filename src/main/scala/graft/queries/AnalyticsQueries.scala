@@ -1293,22 +1293,46 @@ object AnalyticsQueries {
     }),
     // approximate quantiles, self-graded like q_approx_distinct: the
     // sketch result (percentile_approx, accuracy 10k) must land within
-    // 1% of the in-plan exact percentile; the oracle recomputes the row
-    // count and asserts the verdicts TRUE. Scale note: the EXACT
-    // percentile side buffers every value into one final aggregation
-    // buffer — it exists only as test-scale calibration of the sketch;
-    // the 100 TB path is percentile_approx alone (mergeable KLL-style
-    // buffers, bounded by the accuracy parameter)
+    // 1% of the exact DISCRETE percentile (smallest value whose
+    // cumulative count reaches ceil(q·n) — the events_winsorize rank
+    // convention), and the exact values themselves are hash-gated
+    // cross-engine. The exact side is the repo's two-phase histogram
+    // quantile, NOT Spark's value-buffering `percentile` aggregate: the
+    // value histogram partial-aggregates map-side (distinct prices are
+    // bounded by quantity×retailprice combinations, not row count), the
+    // ordered cumsum window runs PER VALUE-RANGE BUCKET, and the
+    // ≤ #buckets bucket totals carry the global offset via a broadcast
+    // (the q_skyline two-phase global-rank pattern) — no unpartitioned
+    // data-sized window, no single final buffer holding every value.
+    // The 100 TB path is still percentile_approx alone (mergeable
+    // KLL-style buffers); the exact side is now scale-shaped too
     "q_approx_quantiles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      li.agg(count(lit(1)).as("n_rows"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
-            .as("ap50"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
-            .as("ap90"),
-          expr("percentile(l_extendedprice, 0.5)").as("ex50"),
-          expr("percentile(l_extendedprice, 0.9)").as("ex90"))
-        .select(col("n_rows"),
+      val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+      val hist = li.groupBy(col("v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__b", floor(col("v") / 1024.0).cast("long"))
+      val wIn = Window.partitionBy(col("__b")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bTot = hist.groupBy(col("__b")).agg(sum(col("__c")).as("__bc"))
+      val off = bTot
+        .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+        .select(col("__b"), col("__off"))
+      val tot = bTot.agg(sum(col("__bc")).as("n_rows"))
+      val exact = hist.join(broadcast(off), Seq("__b"))
+        .withColumn("__cum", col("__off") + sum(col("__c")).over(wIn))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("n_rows"))
+        .agg(
+          min(when(col("__cum") >= expr("(n_rows + 1) DIV 2"), col("v")))
+            .as("ex50"),
+          min(when(col("__cum") >= expr("(n_rows * 9 + 9) DIV 10"),
+            col("v"))).as("ex90"))
+      val approx = li.agg(
+        percentile_approx(col("v"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("v"), lit(0.9), lit(10000)).as("ap90"))
+      exact.crossJoin(broadcast(approx))
+        .select(col("n_rows"), col("ex50"), col("ex90"),
           (abs(col("ap50") - col("ex50")) <= col("ex50") * 0.01)
             .as("p50_close"),
           (abs(col("ap90") - col("ex90")) <= col("ex90") * 0.01)
@@ -2333,14 +2357,26 @@ object AnalyticsQueries {
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact,
         |  TRUE AS within_5pct
         |FROM lineitem""".stripMargin,
-    // self-grading verdict (see the q_approx_distinct pattern): DuckDB
-    // owns the row count; TRUE asserts the sketch-vs-exact closeness —
-    // if percentile_approx drifts past 1% the flag flips and the hash
-    // gate trips
+    // mirrors q_approx_quantiles' histogram-cumsum exact side (the
+    // events_winsorize rank convention, global since there is no group
+    // key) so ex50/ex90 are hash-gated cross-engine; TRUE asserts the
+    // sketch-vs-exact closeness — if percentile_approx drifts past 1%
+    // the flag flips and the hash gate trips
     "q_approx_quantiles" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      """WITH h AS (
+        |  SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT v,
+        |    SUM(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER () AS n
+        |  FROM h)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS ex50,
+        |  MIN(CASE WHEN cum >= (n * 9 + 9) // 10 THEN v END) AS ex90,
         |  TRUE AS p50_close, TRUE AS p90_close
-        |FROM lineitem""".stripMargin,
+        |FROM w""".stripMargin,
     "q_distinct" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
