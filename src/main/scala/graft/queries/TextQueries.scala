@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.{Decontaminate, Dedup, Multimodal, Packing, Sampling, TextAnalysis => TA}
+import graft.functions.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Web, TextAnalysis => TA}
 
 /** Text-analysis + deduplication + multimodal queries over the
   * `documents` table. Dedup queries run over a deterministically
@@ -67,6 +67,78 @@ object TextQueries {
       |  'fa' || CAST(doc_id AS VARCHAR) || ' fb' || CAST(doc_id AS VARCHAR) ||
       |  ' fc' || CAST(doc_id AS VARCHAR) || ' fd' || CAST(doc_id AS VARCHAR)
       |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** documents + a deterministic raw `url` column (doc_id arithmetic,
+    * byte-identical to [[webCorpusSql]]) exercising every rule
+    * [[graft.functions.Web.canonicalUrl]] applies: mixed-case scheme and
+    * host (%2/%4/%7), default ports that must strip — https:443 on %6≡0
+    * (even → HTTPS), http:80 on %6≡3 (odd → http) — a non-default :8080
+    * that must survive (%11), tracking params that must go while real
+    * params stay in order (%3/%9), and fragments (%5). The tld rotates
+    * through com/org/co.uk so the registered-domain public-suffix branch
+    * is exercised. The Spark queries PARSE these URLs with parse_url;
+    * the oracle derives the expected outputs from the same arithmetic —
+    * two independent derivations of the same answer.
+    */
+  def webCorpus(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val s = id.cast("string")
+    val url = concat(
+      when(id % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(id % 4 === 0, "WWW.").otherwise(""),
+      when(id % 7 === 0, "CDN").otherwise("cdn"), lit("."),
+      col("source"), (id % 37).cast("string"), lit("."),
+      when(id % 3 === 0, "com").when(id % 3 === 1, "org").otherwise("co.uk"),
+      when(id % 11 === 0, ":8080")
+        .when(id % 6 === 0, ":443")
+        .when(id % 6 === 3, ":80")
+        .otherwise(""),
+      lit("/Articles/"), (id % 13).cast("string"),
+      when(id % 9 === 0, concat(lit("?gclid=z"), s, lit("&utm_medium=cpc")))
+        .when(id % 3 === 0,
+          concat(lit("?utm_source=feed&id="), s, lit("&fbclid=abc")))
+        .otherwise(""),
+      when(id % 5 === 0, "#Section-2").otherwise(""))
+    d.withColumn("url", url)
+  }
+
+  val webCorpusSql: String =
+    """SELECT doc_id, text, lang, source, n_chars,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN 'CDN' ELSE 'cdn' END) || '.' ||
+      |  source || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+      |  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END) ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN ':8080'
+      |        WHEN doc_id % 6 = 0 THEN ':443'
+      |        WHEN doc_id % 6 = 3 THEN ':80' ELSE '' END) ||
+      |  '/Articles/' || CAST(doc_id % 13 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 9 = 0
+      |        THEN '?gclid=z' || CAST(doc_id AS VARCHAR) || '&utm_medium=cpc'
+      |        WHEN doc_id % 3 = 0
+      |        THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&fbclid=abc'
+      |        ELSE '' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END) AS url
+      |FROM documents""".stripMargin
+
+  /** The DuckDB arithmetic derivation of the expected lowercased host of
+    * a [[webCorpus]] URL.
+    */
+  private val webHostSql: String =
+    """lower((CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN 'CDN' ELSE 'cdn' END) || '.' ||
+      |  source || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+      |  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END))"""
+      .stripMargin
+
+  /** The DuckDB arithmetic derivation of the expected registered domain
+    * (www/sub stripped, minimal public-suffix set — co.uk keeps 3
+    * labels).
+    */
+  private val webDomainSql: String =
+    """(lower(source) || CAST(doc_id % 37 AS VARCHAR) || '.' ||
+      |  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END))"""
+      .stripMargin
 
   /** Shared DuckDB tail of the ExactSubstr mirrors: expects CTEs `t`
     * (doc_id, w token list) and `m` (doc_id, p marked gram starts) for
@@ -830,6 +902,63 @@ object TextQueries {
           ((col("__n") + 1).cast("double") / col("__n").cast("double") -
             (col("__t") * 2).cast("double") /
               (col("__n") * col("__s")).cast("double")).as("gini"))
+    }),
+    // URL canonicalization (C4/RefinedWeb pre-text step): lowercase
+    // scheme+host, strip default ports / fragments / tracking params
+    // (keep real params in order), plus registered-domain (eTLD+1)
+    // extraction — all parse_url-based Column expressions riding the
+    // scan's project, zero shuffles, zero UDFs. The oracle derives the
+    // expected strings from the webCorpus generation arithmetic — an
+    // independent path to the same answer
+    "web_url_canonical" -> ((s, dir) =>
+      webCorpus(docs(s, dir)).select(col("doc_id"), col("url"),
+        Web.hostOf(col("url")).as("host"),
+        Web.registeredDomain(Web.hostOf(col("url"))).as("domain"),
+        Web.canonicalUrl(col("url")).as("canon_url"))),
+    // per-registered-domain concentration + quota capping — the
+    // C4/RefinedWeb pre-text dedup step: doc/token shares, descending
+    // token rank, cumulative coverage, corpus Gini (the
+    // corpus_concentration machinery keyed on domain), and a ≤16-docs-
+    // per-domain quality quota (the sample_topk_per_lang WindowGroupLimit
+    // shape: per-partition top-k heaps, the exchange ships at most k rows
+    // per (domain, input partition)). All ranking windows run on the
+    // AGGREGATED per-domain frame — domains are a bounded dimension
+    // (registered domains, not URLs), so the frame stays rank-window-safe
+    // at any corpus size
+    "web_domain_concentration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val web = webCorpus(docs(s, dir)).select(col("doc_id"),
+        Web.registeredDomain(Web.hostOf(col("url"))).as("domain"),
+        TA.tokenCount(col("text")).cast("long").as("__tok"),
+        TA.qualityScore(col("text")).as("__q"))
+      val per = web.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"))
+      val wRank = Window.orderBy(col("n_tokens").desc, col("domain"))
+      val ranked = per
+        .withColumn("rnk", row_number().over(wRank).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = ranked.agg(sum(col("n_tokens")).as("__s"),
+        count(lit(1)).as("__n"),
+        sum(col("rnk") * col("n_tokens")).as("__t"),
+        sum(col("n_docs")).as("__d"))
+      val kept = Sampling.topKPerKey(web, "domain", k = 16,
+          order = Seq(col("__q").desc, col("doc_id")))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("__tok")).as("kept_tokens"))
+      ranked.join(kept, Seq("domain"))
+        .crossJoin(broadcast(tot))
+        .select(col("domain"), col("n_docs"), col("n_tokens"), col("rnk"),
+          (col("n_docs").cast("double") / col("__d").cast("double"))
+            .as("doc_share"),
+          (col("n_tokens").cast("double") / col("__s").cast("double"))
+            .as("token_share"),
+          (col("cum_tokens").cast("double") / col("__s").cast("double"))
+            .as("cum_token_share"),
+          ((col("__n") + 1).cast("double") / col("__n").cast("double") -
+            (col("__t") * 2).cast("double") /
+              (col("__n") * col("__s")).cast("double")).as("gini"),
+          col("n_kept"), col("kept_tokens"))
     }),
     // per-language tokenizer fertility: subword tokens per word — the
     // standard multilingual-tokenizer equity metric (high fertility =
@@ -2283,6 +2412,68 @@ object TextQueries {
            |  ${TA.dupFracSql(TA.tokenNgramsSql(toks, 3))} AS dup_3gram_frac,
            |  ${TA.topTokenFracSql(toks)} AS top_token_frac
            |FROM documents""".stripMargin,
+      // mirrors web_url_canonical: the Spark side PARSES the generated
+      // URLs (parse_url expressions); this side derives every expected
+      // output from the webCorpus doc_id arithmetic — two independent
+      // derivations that must agree byte-for-byte
+      "web_url_canonical" ->
+        s"""WITH web AS ($webCorpusSql)
+           |SELECT doc_id, url,
+           |  $webHostSql AS host,
+           |  $webDomainSql AS domain,
+           |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
+           |  '://' || $webHostSql ||
+           |  (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+           |  '/Articles/' || CAST(doc_id % 13 AS VARCHAR) ||
+           |  (CASE WHEN doc_id % 9 = 0 THEN ''
+           |        WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id AS VARCHAR)
+           |        ELSE '' END) AS canon_url
+           |FROM web""".stripMargin,
+      // mirrors web_domain_concentration: same domain arithmetic, same
+      // rank order, same exact-long shares / Gini, same quality-quota
+      // row_number
+      "web_domain_concentration" ->
+        s"""WITH web AS ($webCorpusSql),
+           |d AS (
+           |  SELECT doc_id, $webDomainSql AS domain,
+           |    CAST(len($toks) AS BIGINT) AS tok,
+           |    ${TA.qualityScoreSql(toks)} AS q
+           |  FROM web),
+           |per AS (
+           |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(tok) AS BIGINT) AS n_tokens
+           |  FROM d GROUP BY domain),
+           |r AS (
+           |  SELECT domain, n_docs, n_tokens,
+           |    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, domain)
+           |      AS BIGINT) AS rnk,
+           |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, domain
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM per),
+           |tot AS (
+           |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS s,
+           |    CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(rnk * n_tokens) AS BIGINT) AS t,
+           |    CAST(SUM(n_docs) AS BIGINT) AS dd
+           |  FROM r),
+           |k AS (
+           |  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |    CAST(SUM(tok) AS BIGINT) AS kept_tokens
+           |  FROM (SELECT domain, tok,
+           |          ROW_NUMBER() OVER (PARTITION BY domain
+           |            ORDER BY q DESC, doc_id) AS rn
+           |        FROM d)
+           |  WHERE rn <= 16 GROUP BY domain)
+           |SELECT r.domain, r.n_docs, r.n_tokens, r.rnk,
+           |  CAST(r.n_docs AS DOUBLE) / CAST(tot.dd AS DOUBLE) AS doc_share,
+           |  CAST(r.n_tokens AS DOUBLE) / CAST(tot.s AS DOUBLE) AS token_share,
+           |  CAST(r.cum_tokens AS DOUBLE) / CAST(tot.s AS DOUBLE)
+           |    AS cum_token_share,
+           |  CAST(tot.n + 1 AS DOUBLE) / CAST(tot.n AS DOUBLE) -
+           |    CAST(tot.t * 2 AS DOUBLE) / CAST(tot.n * tot.s AS DOUBLE)
+           |    AS gini,
+           |  k.n_kept, k.kept_tokens
+           |FROM r CROSS JOIN tot JOIN k ON r.domain = k.domain""".stripMargin,
       "dedup_exact" ->
         s"""WITH corpus AS ($dupCorpusSql)
            |SELECT md5(lower(trim(text))) AS content_hash,
