@@ -275,23 +275,50 @@ object Dedup {
     * only.
     */
   def exactSubstrDedupIncremental(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, minLen: Int): DataFrame =
+    exactSubstrDedupAgainstIndex(batch,
+      substrGramIndex(corpus, textCol, minLen), idCol, textCol, minLen)
+
+  /** The PERSISTED gram index behind [[exactSubstrDedupIncremental]]:
+    * the DISTINCT (__h, __h2) 120-bit composite gram hashes of `df`'s
+    * `textCol`. Build it once from the kept corpus, write it out, and
+    * maintain it incrementally — `index.unionByName(substrGramIndex(
+    * shippedBatch, ...)).distinct()` after each shipped batch — so no
+    * batch ever re-scans the corpus. Feed it to
+    * [[exactSubstrDedupAgainstIndex]].
+    */
+  def substrGramIndex(df: DataFrame, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    val toks = split(col(textCol), " ")
+    df.filter(size(toks) >= minLen)
+      .select(explode(Sketches.wordShingles(toks, minLen)).as("__g"))
+      .select(Sketches.keyHash120(col("__g")).as("__hh"))
+      .select(col("__hh").getField("h1").as("__h"),
+        col("__hh").getField("h2").as("__h2"))
+      .distinct()
+  }
+
+  /** [[exactSubstrDedupIncremental]] against a pre-built
+    * [[substrGramIndex]] — the steady-state shape where the corpus gram
+    * index is maintained as data instead of recomputed: a batch token
+    * run >= `minLen` is removed when its gram is in the index or occurs
+    * earlier in the batch itself (batch keep-first).
+    */
+  def exactSubstrDedupAgainstIndex(batch: DataFrame, index: DataFrame,
       idCol: String, textCol: String, minLen: Int): DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
     val L = minLen
-    def grams(df: DataFrame) = {
-      val toks = split(col(textCol), " ")
-      df.filter(size(toks) >= L)
-        .select(col(idCol),
-          posexplode(Sketches.wordShingles(toks, L)).as(Seq("__p", "__g")))
-        .select(col(idCol), col("__p"),
-          Sketches.keyHash120(col("__g")).as("__hh"))
-        .select(col(idCol), col("__p"),
-          col("__hh").getField("h1").as("__h"),
-          col("__hh").getField("h2").as("__h2"))
-    }
-    val corpusHashes = grams(corpus).select(col("__h"), col("__h2"))
-      .distinct().withColumn("__inc", lit(true))
-    val bg = grams(batch)
+    val toks = split(col(textCol), " ")
+    val bg = batch.filter(size(toks) >= L)
+      .select(col(idCol),
+        posexplode(Sketches.wordShingles(toks, L)).as(Seq("__p", "__g")))
+      .select(col(idCol), col("__p"),
+        Sketches.keyHash120(col("__g")).as("__hh"))
+      .select(col(idCol), col("__p"),
+        col("__hh").getField("h1").as("__h"),
+        col("__hh").getField("h2").as("__h2"))
+    val corpusHashes = index.withColumn("__inc", lit(true))
     val first = bg.groupBy(col("__h"), col("__h2"))
       .agg(min(struct(col(idCol), col("__p"))).as("__first"))
     val marked = bg.join(first, Seq("__h", "__h2"))

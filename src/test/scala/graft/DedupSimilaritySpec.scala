@@ -2368,6 +2368,65 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(14L) === ((3L, 0L, 0L, "a b c")))
   }
 
+  test("exact-substring dedup, incremental: property — equals the batch slice of the full-corpus run") {
+    import graft.functions.Dedup
+    // the steady-state contract: cleaning `batch` against `corpus`
+    // incrementally must give exactly what the full (corpus ∪ batch) run
+    // gives for the batch docs, provided corpus ids sort first (the
+    // keep-first order the incremental asymmetry encodes: the corpus is
+    // already shipped, so it always outranks the batch)
+    val vocab = Array("a", "b", "c", "d")
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      def gen(ids: Seq[Long]) = ids.map(id =>
+        id -> Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(4))).mkString(" "))
+      val corpus = gen(1L to 4L)
+      val batch = gen(11L to 16L)
+      def toMapRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      val incr = toMapRows(Dedup.exactSubstrDedupIncremental(
+        batch.toDF("id", "text"), corpus.toDF("id", "text"),
+        "id", "text", minLen = 3))
+      val full = toMapRows(Dedup.exactSubstrDedup(
+        (corpus ++ batch).toDF("id", "text"), "id", "text", minLen = 3)
+        .filter(col("id") >= 11L))
+      assert(incr === full, s"seed $seed: corpus=$corpus batch=$batch")
+    }
+  }
+
+  test("exact-substring dedup: persisted gram index unions incrementally") {
+    import graft.functions.Dedup
+    // the production flow the docstring claims: build the gram index
+    // ONCE from the kept corpus, UNION each shipped batch's index in,
+    // and clean the next batch against the maintained index — no corpus
+    // re-scan. Must equal the one-shot incremental run against the
+    // union of everything shipped so far.
+    val corpus = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val batch2 = Seq((11L, "p q r s t u")).toDF("id", "text")
+    val batch3 = Seq(
+      (21L, "a b c d e f x y"), // dup run lives in the ORIGINAL corpus
+      (22L, "p q r s t u z w"), // dup run lives in the SHIPPED batch2
+      (23L, "k l m n o p q")    // fresh
+    ).toDF("id", "text")
+    val idx1 = Dedup.substrGramIndex(corpus, "text", minLen = 4)
+    val idx2 = idx1.unionByName(
+      Dedup.substrGramIndex(batch2, "text", minLen = 4)).distinct()
+    val got = Dedup.exactSubstrDedupAgainstIndex(batch3, idx2,
+        "id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    assert(got(21L) === ((6L, "x y")))
+    assert(got(22L) === ((6L, "z w")))
+    assert(got(23L) === ((0L, "k l m n o p q")))
+    // equivalence with the corpus-scan incremental path
+    val oneShot = Dedup.exactSubstrDedupIncremental(batch3,
+        corpus.unionByName(batch2), "id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    assert(got === oneShot)
+  }
+
   test("exact-substring dedup: the df-cap knob excludes hot grams from marking") {
     import graft.functions.Dedup
     // "a b c d" has df 4 (A, B, E twice); at maxGramDf = 2 it stops
