@@ -255,33 +255,25 @@ object VectorQueries {
     // distance — integers end to end, hash-matched; the probe join ships
     // only the 8 subspace codes per corpus vector
     "ann_pq_fixed" -> ((s, dir) => {
-      import graft.functions.Embeddings
+      import graft.functions.IvfPq
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
-      // materialize the grid vector ONCE per row, then encode through a
-      // cheap element_at accessor: inlining grid64 into every (m, c, d)
-      // term instantiates it 512x per row — past the codegen method
-      // limit, so the whole encode fell back to interpreted evaluation
-      // (~20x slower at sf0.1). CollapseProject keeps the boundary
-      // because the alias is non-cheap and used many times.
-      val gridArr = array((0 until 64).map(i =>
-        Embeddings.grid64(col("embedding"), i)): _*)
-      val codeCols = Embeddings
-        .pqEncodeColsAt(i => element_at(col("cv"), i + 1))
-      val codes = e.select(col("vec_id"), gridArr.as("cv"))
-        .select(Seq(col("vec_id")) ++
-          codeCols.zipWithIndex.map { case (c, m) => c.as(s"__pq$m") }: _*)
-        .select(col("vec_id"),
-          array(codeCols.indices.map(m => col(s"__pq$m")): _*).as("codes"))
+      // native kernels end to end (grid quantize / encode / ADC are each
+      // ONE expression node): value-identical to the unrolled
+      // element_at formulation this replaces — which needed a
+      // materialization boundary to dodge the 512-term codegen re-inline
+      // trap and still paid Catalyst optimization time proportional to
+      // the tree size on every run (measured driver-side, see IvfPq)
+      val codes = e.select(col("vec_id"),
+        IvfPq.pqEncode(IvfPq.gridQuant(col("embedding"))).as("codes"))
       val queries = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("query_id"), gridArr.as("qcv"))
+        .select(col("vec_id").as("query_id"),
+          IvfPq.gridQuant(col("embedding")).as("qcv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("pq_dist"), col("vec_id"))
       codes.join(broadcast(queries))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("pq_dist",
-          Embeddings.pqDistanceAt(i => element_at(col("qcv"), i + 1),
-            col("codes")))
+        .withColumn("pq_dist", IvfPq.pqAdc(col("qcv"), col("codes")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 20)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -292,89 +284,47 @@ object VectorQueries {
     // top-4 lists, residual ADC rerank — the full billion-scale ANN
     // layout (inverted lists of 8-byte codes), integers end to end
     "ann_ivfpq_fixed" -> ((s, dir) => {
-      import graft.functions.Embeddings
+      import graft.functions.IvfPq
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, dir)
-      // every derived vector (grid, scores, residual) materializes as an
-      // array column in its own projection, and encode/ADC read through
-      // element_at accessors: inlining the residual expression into all
-      // 512 encode terms exceeded the codegen method limit and dropped
-      // the whole stage to interpreted eval — 93 s at sf0.1 vs ~1 s in
-      // this shape, bit-identical results
-      val gridArr = array((0 until 64).map(i =>
-        Embeddings.grid64(col("embedding"), i)): _*)
-      def scoreC(cv: Column, c: Int): Column =
-        (0 until 64).map(i =>
-          element_at(cv, i + 1) * lit(IvfPqGrid(c)(i).toLong))
-          .reduce(_ + _)
-      val gridLit = typedlit(IvfPqGrid.map(_.toSeq).toSeq)
-      def residArr(cv: Column, cid: Column): Column =
-        array((0 until 64).map(i =>
-          element_at(cv, i + 1) -
-            element_at(element_at(gridLit, cid.cast("int")), i + 1)
-              .cast("long")): _*)
-      // persist() between stages is a hard optimizer barrier: each
-      // projection reads MATERIALIZED columns, so no rule can re-inline
-      // a 64-term array into its hundreds of downstream uses (the
-      // unbarriered chain blew the driver heap during optimization).
-      // The persisted frames are exactly the index-build artifacts a
-      // production ANN pipeline writes out: (vector, cell) and the
-      // residual codes
-      val assigned = e
-        .select(col("vec_id"), gridArr.as("cv"))
-        .select(Seq(col("vec_id"), col("cv")) ++
-          (0 until 16).map(c => scoreC(col("cv"), c).as(s"__s$c")): _*)
-        .withColumn("__sc", array((0 until 16).map(c => col(s"__s$c")): _*))
-        .select(col("vec_id"), col("cv"),
-          array_position(col("__sc"), array_max(col("__sc"))).cast("long")
-            .as("cid"))
-        .persist()
-      val withResid = assigned
+      // native kernels end to end: grid quantize, coarse assign,
+      // residual, PQ encode, and ADC are each ONE expression node
+      // (functions/IvfPq.scala), value-identical to the unrolled
+      // element_at chains this replaces. The old shape needed persist()
+      // optimizer barriers to stop rules re-inlining 64-term arrays into
+      // hundreds of downstream terms, and paid ~3 s of DRIVER-side
+      // Catalyst optimization per run on the ~1000-node projections
+      // (measured: Spark jobs totaled ~0.4 s of the 3.6 s floor); with
+      // one-node kernels the whole plan is small enough that no barrier
+      // — and no eager localCheckpoint/unpersist lifecycle — is needed
+      val quant = e.select(col("vec_id"),
+        IvfPq.gridQuant(col("embedding")).as("cv"))
+      val corpus = quant
+        .select(col("vec_id"), col("cv"), IvfPq.ivfCell(col("cv")).as("cid"))
         .select(col("vec_id"), col("cid"),
-          residArr(col("cv"), col("cid")).as("rv"))
-        .persist()
-      val codeCols = Embeddings
-        .pqEncodeColsAt(i => element_at(col("rv"), i + 1))
-      val corpus = withResid
-        .select(Seq(col("vec_id"), col("cid")) ++
-          codeCols.zipWithIndex.map { case (c, m) => c.as(s"__pq$m") }: _*)
-        .select(col("vec_id"), col("cid"),
-          array(codeCols.indices.map(m => col(s"__pq$m")): _*).as("codes"))
+          IvfPq.pqEncode(IvfPq.ivfResidual(col("cv"), col("cid"))).as("codes"))
       val q = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("query_id"), gridArr.as("qcv"))
+        .select(col("vec_id").as("query_id"),
+          IvfPq.gridQuant(col("embedding")).as("qcv"))
       val probes = q
-        .select(Seq(col("query_id"), col("qcv")) ++
-          (0 until 16).map(c => scoreC(col("qcv"), c).as(s"__s$c")): _*)
         .select(col("query_id"), col("qcv"),
-          posexplode(array((0 until 16).map(c => col(s"__s$c")): _*))
-            .as(Seq("cid0", "score")))
+          posexplode(IvfPq.ivfScores(col("qcv"))).as(Seq("cid0", "score")))
         .withColumn("cid", (col("cid0") + 1).cast("long"))
       val pw = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cid"))
       val probed = probes
         .withColumn("pr", row_number().over(pw)).filter(col("pr") <= 4)
         .select(col("query_id"), col("cid"),
-          residArr(col("qcv"), col("cid")).as("rqv"))
+          IvfPq.ivfResidual(col("qcv"), col("cid")).as("rqv"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("pq_dist"), col("vec_id"))
-      val out = broadcast(probed).join(corpus, Seq("cid"))
+      broadcast(probed).join(corpus, Seq("cid"))
         .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("pq_dist",
-          Embeddings.pqDistanceAt(i => element_at(col("rqv"), i + 1),
-            col("codes")))
+        .withColumn("pq_dist", IvfPq.pqAdc(col("rqv"), col("codes")))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           col("cid"), col("pq_dist"), col("rank"))
-      // the returned frame is materialized eagerly (a few dozen rows) so
-      // the index-build caches can be released HERE: unpersisting lazily-
-      // alive intermediates would re-expose the optimizer to the
-      // re-inlining blowup, and never unpersisting leaked cached blocks
-      // across bench/gate re-invocations of this lambda
-      val result = out.localCheckpoint()
-      assigned.unpersist()
-      withResid.unpersist()
-      result
     }),
     // SemDeDup-shaped semantic dedup: coarse k-means cells bound the
     // pair space (the published recipe clusters with faiss then dedups
