@@ -121,6 +121,30 @@ object TextQueries {
       |  (CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END) AS url
       |FROM documents""".stripMargin
 
+  /** [[webCorpus]] + injected re-crawl URL VARIANTS (doc_id%4==1, with
+    * %6≠3 and %11≠0 so base and variant agree on canonical port):
+    * uppercased host, explicit default :80, tracking-param noise, and a
+    * fragment — raw strings that differ from the base in every rule
+    * [[graft.functions.Web.canonicalUrl]] normalizes, and in nothing
+    * else, so URL-level dedup must collapse each variant onto its base.
+    */
+  def webDupCorpus(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val vq = when(id % 3 === 0 && id % 9 =!= 0,
+        concat(lit("?id="), id.cast("string"), lit("&utm_x=1")))
+      .otherwise("?utm_x=1")
+    val host = concat(
+      when(id % 7 === 0, "CDN").otherwise("cdn"), lit("."),
+      col("source"), (id % 37).cast("string"), lit("."),
+      when(id % 3 === 0, "com").when(id % 3 === 1, "org").otherwise("co.uk"))
+    val variant = d
+      .filter(id % 4 === 1 && id % 6 =!= 3 && id % 11 =!= 0)
+      .select((id + 5000000L).as("doc_id"),
+        concat(lit("HTTP://"), upper(host), lit(":80/Articles/"),
+          (id % 13).cast("string"), vq, lit("#dup")).as("url"))
+    webCorpus(d).select(col("doc_id"), col("url")).unionByName(variant)
+  }
+
   /** The DuckDB arithmetic derivation of the expected lowercased host of
     * a [[webCorpus]] URL.
     */
@@ -130,6 +154,20 @@ object TextQueries {
       |  source || CAST(doc_id % 37 AS VARCHAR) || '.' ||
       |  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'co.uk' END))"""
       .stripMargin
+
+  /** The DuckDB arithmetic derivation of the expected CANONICAL URL of a
+    * [[webCorpus]] row (needs doc_id + source columns in scope; also
+    * correct for [[webDupCorpus]] variants, whose filters pin the same
+    * canonical port/query classes as their base).
+    */
+  private val webCanonSql: String =
+    s"""((CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
+       |  '://' || $webHostSql ||
+       |  (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+       |  '/Articles/' || CAST(doc_id % 13 AS VARCHAR) ||
+       |  (CASE WHEN doc_id % 9 = 0 THEN ''
+       |        WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id AS VARCHAR)
+       |        ELSE '' END))""".stripMargin
 
   /** The DuckDB arithmetic derivation of the expected registered domain
     * (www/sub stripped, minimal public-suffix set — co.uk keeps 3
@@ -915,6 +953,18 @@ object TextQueries {
         Web.hostOf(col("url")).as("host"),
         Web.registeredDomain(Web.hostOf(col("url"))).as("domain"),
         Web.canonicalUrl(col("url")).as("canon_url"))),
+    // URL-level dedup — C4's literal first dedup step (before any text
+    // loads): group by CANONICAL url, keep the smallest doc_id, report
+    // multiplicity. The corpus is webCorpus + injected RAW-VARIANT
+    // re-crawls (uppercased host, explicit default port, tracking-param
+    // noise, fragment — see webDupCorpus) that must collapse onto their
+    // base's canonical key; one partial-aggregating exchange on the
+    // canonical string
+    "web_url_dedup" -> ((s, dir) =>
+      webDupCorpus(docs(s, dir))
+        .groupBy(Web.canonicalUrl(col("url")).as("canon_url"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("kept_id"))
+        .filter(col("n_copies") > 1)),
     // per-registered-domain concentration + quota capping — the
     // C4/RefinedWeb pre-text dedup step: doc/token shares, descending
     // token rank, cumulative coverage, corpus Gini (the
@@ -2421,14 +2471,22 @@ object TextQueries {
            |SELECT doc_id, url,
            |  $webHostSql AS host,
            |  $webDomainSql AS domain,
-           |  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) ||
-           |  '://' || $webHostSql ||
-           |  (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
-           |  '/Articles/' || CAST(doc_id % 13 AS VARCHAR) ||
-           |  (CASE WHEN doc_id % 9 = 0 THEN ''
-           |        WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id AS VARCHAR)
-           |        ELSE '' END) AS canon_url
+           |  $webCanonSql AS canon_url
            |FROM web""".stripMargin,
+      // mirrors web_url_dedup: base + variant rows both reduce to the
+      // arithmetic canonical (the variant filters guarantee base/variant
+      // canonical equality), then the same group/keep-first/multiplicity
+      "web_url_dedup" ->
+        s"""WITH b AS (
+           |  SELECT doc_id, $webCanonSql AS canon_url FROM documents),
+           |v AS (
+           |  SELECT doc_id + 5000000 AS doc_id, $webCanonSql AS canon_url
+           |  FROM documents
+           |  WHERE doc_id % 4 = 1 AND doc_id % 6 <> 3 AND doc_id % 11 <> 0),
+           |u AS (SELECT * FROM b UNION ALL SELECT * FROM v)
+           |SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           |  MIN(doc_id) AS kept_id
+           |FROM u GROUP BY canon_url HAVING COUNT(*) > 1""".stripMargin,
       // mirrors web_domain_concentration: same domain arithmetic, same
       // rank order, same exact-long shares / Gini, same quality-quota
       // row_number
