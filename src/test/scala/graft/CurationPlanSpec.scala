@@ -40,6 +40,42 @@ class CurationPlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("web_url_canonical plan: scan-side project only — no exchange, no UDF") {
+    // canonicalization is parse_url expressions in the scan's project;
+    // any Exchange means the URL work left the scan, any UDF breaks
+    // whole-stage codegen on a per-row hot path
+    val df = TextQueries.queries("web_url_canonical")(spark, Sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(3000))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(3000))
+  }
+
+  test("web_domain_concentration plan: quota is WindowGroupLimit, joins broadcast") {
+    // the ≤16-per-domain quota must plan as WindowGroupLimit (map-side
+    // top-k heaps), the per-domain join-back and 1-row totals must
+    // broadcast, and nothing may degenerate to a nested loop over data
+    val df = TextQueries.queries("web_domain_concentration")(spark, Sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("web_url_dedup plan: one partial-aggregating exchange on the canonical key") {
+    // group-by-canonical must partial-aggregate map-side (HashAggregate
+    // below the exchange), and exactly one data exchange may exist —
+    // the canonical-key one
+    val df = TextQueries.queries("web_url_dedup")(spark, Sf)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(3000))
+  }
+
   test("vocab_bpe_encode plan: vocabulary join carries no broadcast hint") {
     // the vocab is corpus-derived (unbounded) — the word-key join must
     // come from AQE's size check, not a forced hint; and no nested loop
