@@ -157,6 +157,45 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("IvfPq + keyHash120 expressions survive CODEGEN_ONLY (values pinned)") {
+    import graft.functions.{IvfPq, IvfPqKernels, Sketches}
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val vec = (0 until 64).map(i => (i - 32) / 40.0f)
+      val r = Seq((1L, vec)).toDF("id", "vec")
+        .select(IvfPq.gridQuant(col("vec")).as("cv"),
+          Sketches.keyHash120(lit("probe")).as("hh"))
+        .select(col("cv"), col("hh"),
+          IvfPq.ivfCell(col("cv")).as("cid"),
+          IvfPq.ivfScores(col("cv")).as("sc"))
+        .select(col("cv"), col("hh"), col("cid"), col("sc"),
+          IvfPq.ivfResidual(col("cv"), col("cid")).as("rv"))
+        .select(col("hh"), col("cid"), col("sc"), col("rv"),
+          IvfPq.pqEncode(col("rv")).as("codes"))
+        .select(col("hh"), col("cid"), col("sc"), col("codes"),
+          IvfPq.pqAdc(col("rv"), col("codes")).as("d"))
+        .collect()(0)
+      val cid = r.getLong(r.fieldIndex("cid"))
+      val sc = r.getSeq[Long](r.fieldIndex("sc"))
+      // cell == first argmax of the scores array (the declarative
+      // array_position(sc, array_max(sc)) convention)
+      assert(sc.length === 16)
+      assert(cid === sc.indexOf(sc.max) + 1)
+      assert(r.getSeq[Long](r.fieldIndex("codes")).length === 8)
+      assert(r.getLong(r.fieldIndex("d")) >= 0L)
+      // grid table matches the query-side IvfPqGrid derivation
+      assert(IvfPqKernels.Grid.map(_.toSeq).toSeq ===
+        graft.queries.VectorQueries.IvfPqGrid.map(_.toSeq).toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sketch plans are shuffle-free single-stage projects") {
     val docs = graft.engine.Tables.load(spark, Sf, "documents")
     val plan = Dedup.withSimHash(docs, "doc_id", "text")
