@@ -32,26 +32,49 @@ object IvfPq {
     * `Embeddings.grid64` applied to every element.
     */
   def gridQuant(vec: Column): Column =
-    GraftColumnBridge.column(GridQuantExpr(GraftColumnBridge.expression(vec)))
+    GraftColumnBridge.column(
+      GridQuantExpr(GraftColumnBridge.expression(vec), asDouble = false))
+
+  /** [[gridQuant]] emitting array<double> of the same integer values —
+    * for consumers whose downstream arithmetic (cosine dots) runs in
+    * doubles.
+    */
+  def gridQuantD(vec: Column): Column =
+    GraftColumnBridge.column(
+      GridQuantExpr(GraftColumnBridge.expression(vec), asDouble = true))
 
   /** All 16 coarse-centroid scores Σ_i cv[i]·grid[c][i] of a quantized
     * vector, as array<long> — the probe ranking's input.
     */
-  def ivfScores(cv: Column): Column =
-    GraftColumnBridge.column(IvfScoresExpr(GraftColumnBridge.expression(cv)))
+  def ivfScores(cv: Column,
+      grid: Array[Array[Int]] = IvfPqKernels.Grid): Column =
+    GraftColumnBridge.column(
+      IvfScoresExpr(GraftColumnBridge.expression(cv), grid))
 
   /** 1-based id of the best-scoring coarse centroid (first index on
     * ties — the `array_position(sc, array_max(sc))` convention).
     */
-  def ivfCell(cv: Column): Column =
-    GraftColumnBridge.column(IvfCellExpr(GraftColumnBridge.expression(cv)))
+  def ivfCell(cv: Column,
+      grid: Array[Array[Int]] = IvfPqKernels.Grid): Column =
+    GraftColumnBridge.column(
+      IvfCellExpr(GraftColumnBridge.expression(cv), grid))
+
+  /** Squared-L2 distance to every centroid of `grid`, as array<long> —
+    * the k-means inertia/margin input.
+    */
+  def ivfDistances(cv: Column,
+      grid: Array[Array[Int]] = IvfPqKernels.Grid): Column =
+    GraftColumnBridge.column(
+      IvfDistancesExpr(GraftColumnBridge.expression(cv), grid))
 
   /** Residual of a quantized vector against coarse centroid `cid`
     * (1-based): cv[i] − grid[cid−1][i].
     */
-  def ivfResidual(cv: Column, cid: Column): Column =
+  def ivfResidual(cv: Column, cid: Column,
+      grid: Array[Array[Int]] = IvfPqKernels.Grid): Column =
     GraftColumnBridge.column(IvfResidExpr(
-      GraftColumnBridge.expression(cv), GraftColumnBridge.expression(cid)))
+      GraftColumnBridge.expression(cv), GraftColumnBridge.expression(cid),
+      grid))
 
   /** PQ codes of an integer vector: per subspace m the 1-based index of
     * the L2-nearest codeword, first index on ties — the
@@ -94,6 +117,39 @@ object IvfPqKernels {
       if (q > 127L) q = 127L
       out(i) = q
       i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def gridQuantD(arr: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      var q = math.floor(v * 64 + 0.5)
+      if (q < -127.0) q = -127.0
+      if (q > 127.0) q = 127.0
+      out(i) = q
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def ivfDistances(cv: ArrayData, grid: Array[Array[Int]]): ArrayData = {
+    val out = new Array[Long](grid.length)
+    var c = 0
+    while (c < grid.length) {
+      val g = grid(c)
+      var s = 0L
+      var i = 0
+      while (i < g.length) {
+        val d = cv.getLong(i) - g(i)
+        s += d * d
+        i += 1
+      }
+      out(c) = s
+      c += 1
     }
     new GenericArrayData(out)
   }
@@ -182,9 +238,11 @@ object IvfPqKernels {
   }
 }
 
-case class GridQuantExpr(child: Expression) extends UnaryExpression {
+case class GridQuantExpr(child: Expression, asDouble: Boolean)
+    extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(if (asDouble) DoubleType else LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -197,18 +255,21 @@ case class GridQuantExpr(child: Expression) extends UnaryExpression {
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(input: Any): Any =
-    IvfPqKernels.gridQuant(input.asInstanceOf[ArrayData], isFloat)
+    if (asDouble) IvfPqKernels.gridQuantD(input.asInstanceOf[ArrayData], isFloat)
+    else IvfPqKernels.gridQuant(input.asInstanceOf[ArrayData], isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fl = if (isFloat) "true" else "false"
+    val fn = if (asDouble) "gridQuantD" else "gridQuant"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.IvfPqKernels.gridQuant($c, $fl)")
+      c => s"graft.functions.IvfPqKernels.$fn($c, $fl)")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class IvfScoresExpr(child: Expression) extends UnaryExpression {
+case class IvfScoresExpr(child: Expression, grid: Array[Array[Int]])
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -219,16 +280,42 @@ case class IvfScoresExpr(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    IvfPqKernels.ivfScores(input.asInstanceOf[ArrayData], IvfPqKernels.Grid)
+    IvfPqKernels.ivfScores(input.asInstanceOf[ArrayData], grid)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.IvfPqKernels.ivfScores($c, graft.functions.IvfPqKernels.Grid())")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("ivfGrid", grid, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfPqKernels.ivfScores($c, $g)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class IvfCellExpr(child: Expression) extends UnaryExpression {
+case class IvfDistancesExpr(child: Expression, grid: Array[Array[Int]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_distances expects array<long>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    IvfPqKernels.ivfDistances(input.asInstanceOf[ArrayData], grid)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("ivfGrid", grid, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfPqKernels.ivfDistances($c, $g)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class IvfCellExpr(child: Expression, grid: Array[Array[Int]])
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -239,17 +326,19 @@ case class IvfCellExpr(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    IvfPqKernels.ivfCell(input.asInstanceOf[ArrayData], IvfPqKernels.Grid)
+    IvfPqKernels.ivfCell(input.asInstanceOf[ArrayData], grid)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.IvfPqKernels.ivfCell($c, graft.functions.IvfPqKernels.Grid())")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("ivfGrid", grid, "int[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.IvfPqKernels.ivfCell($c, $g)")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-case class IvfResidExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class IvfResidExpr(left: Expression, right: Expression,
+    grid: Array[Array[Int]]) extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -263,11 +352,13 @@ case class IvfResidExpr(left: Expression, right: Expression)
 
   override def nullSafeEval(cv: Any, cid: Any): Any =
     IvfPqKernels.ivfResid(cv.asInstanceOf[ArrayData],
-      cid.asInstanceOf[Long], IvfPqKernels.Grid)
+      cid.asInstanceOf[Long], grid)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = ctx.addReferenceObj("ivfGrid", grid, "int[][]")
     defineCodeGen(ctx, ev, (cv, cid) =>
-      s"graft.functions.IvfPqKernels.ivfResid($cv, $cid, graft.functions.IvfPqKernels.Grid())")
+      s"graft.functions.IvfPqKernels.ivfResid($cv, $cid, $g)")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression =

@@ -612,13 +612,11 @@ object Similarity {
   def semanticDedupCells(df: DataFrame, idCol: String, vecCol: String,
       grid: Array[Array[Int]], threshold: Double,
       cellCap: Long = 0L, reliable: Boolean = false): DataFrame = {
-    val dims = grid(0).length
-    def score(vec: Column, c: Int): Column =
-      (0 until dims).map(i =>
-        Embeddings.grid64(vec, i) * lit(grid(c)(i).toLong)).reduce(_ + _)
-    val sc = array(grid.indices.map(c => score(col(vecCol), c)): _*)
-    val cv = array((0 until dims).map(i =>
-      Embeddings.grid64(col(vecCol), i).cast("double")): _*)
+    // native kernels (IvfPq): quantization, the |grid| scores, and the
+    // argmax are one expression node each — the unrolled |grid|×dims
+    // term chains this replaces carried a measured driver-side plan-
+    // optimization cost (the ann_ivfpq_fixed finding), value-identical
+    val cv = IvfPq.gridQuantD(col(vecCol))
     // the assignment frame is referenced FOUR times downstream (cell
     // sizes, both pair-join sides, the final keep join) and Spark never
     // shares common subtrees, so the expensive |grid|×dims argmax would
@@ -631,7 +629,7 @@ object Similarity {
     // writer's second pass reads the cache instead of recomputing the
     // argmax, then dropping the cache once the files exist).
     val assigned = df.select(col(idCol),
-        array_position(sc, array_max(sc)).cast("long").as("cid"),
+        IvfPq.ivfCell(IvfPq.gridQuant(col(vecCol)), grid).as("cid"),
         cv.as("cv"))
       .withColumn("n", sqrt(dot(col("cv"), col("cv"))))
     val v =

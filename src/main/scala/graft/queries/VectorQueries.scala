@@ -217,22 +217,14 @@ object VectorQueries {
     // distance is a sum of squared longs — no float order-dependence
     // anywhere. One scan, per-row expressions, one 16-key groupBy
     "ann_kmeans_quality" -> ((s, dir) => {
-      import graft.functions.Embeddings
+      import graft.functions.IvfPq
       val e = emb(s, dir)
-      val gridArr = array((0 until 64).map(i =>
-        Embeddings.grid64(col("embedding"), i)): _*)
-      // one distance column per centroid in its own projection (the
-      // ann_pq_fixed codegen-limit lesson: never inline the grid into
-      // all 1024 terms at once)
-      def d2C(cv: Column, c: Int): Column =
-        (0 until 64).map { i =>
-          val d = element_at(cv, i + 1) - lit(IvfPqGrid(c)(i).toLong)
-          d * d
-        }.reduce(_ + _)
-      e.select(col("vec_id"), gridArr.as("cv"))
-        .select(Seq(col("vec_id")) ++
-          (0 until 16).map(c => d2C(col("cv"), c).as(s"__d$c")): _*)
-        .withColumn("__ds", array((0 until 16).map(c => col(s"__d$c")): _*))
+      // native kernels: quantization and the 16 squared distances are
+      // each one expression node (was a 1024-term unrolled projection —
+      // the same driver-side plan-optimization cost the IvfPq pass
+      // measured on ann_ivfpq_fixed), value-identical
+      e.select(col("vec_id"),
+          IvfPq.ivfDistances(IvfPq.gridQuant(col("embedding"))).as("__ds"))
         .withColumn("__sorted", array_sort(col("__ds")))
         .select(
           array_position(col("__ds"), element_at(col("__sorted"), 1))
