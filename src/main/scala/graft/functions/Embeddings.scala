@@ -235,7 +235,7 @@ object Embeddings {
       vecCol: String, labelCol: String, dims: Int = 64): DataFrame = {
     def sums(df: DataFrame) = df
       .select(col(labelCol).as("label"),
-        posexplode(array((0 until dims).map(i => q64(col(vecCol), i)): _*))
+        posexplode(slice(IvfPq.gridQuant(col(vecCol)), 1, dims))
           .as(Seq("pos", "g")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("g")).as("s"), count(lit(1)).as("n"))
@@ -280,8 +280,8 @@ object Embeddings {
   def isotropyStats(df: DataFrame, vecCol: String, labelCol: String,
       dims: Int = 64): DataFrame =
     df.select(col(labelCol).as("label"),
-        posexplode(array((0 until dims).map(i =>
-          q64(col(vecCol), i).cast("long")): _*)).as(Seq("pos", "g")))
+        posexplode(slice(IvfPq.gridQuant(col(vecCol)), 1, dims))
+          .as(Seq("pos", "g")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("g")).as("s"),
         sum(col("g") * col("g")).as("e"),

@@ -148,8 +148,7 @@ object Similarity {
       .orderBy(col("coarse").desc, col("neighbor_id"))
     val short = pairs.withColumn("__r", row_number().over(wS))
       .filter(col("__r") <= shortlist).select("query_id", "neighbor_id")
-    val gridArr = array((0 until 64).map(i =>
-      Embeddings.grid64(col(vecCol), i).cast("double")): _*)
+    val gridArr = IvfPq.gridQuantD(col(vecCol))
     val cv = corpus.select(col(idCol).as("neighbor_id"), gridArr.as("__cv"))
       .withColumn("__cn", norm(col("__cv")))
     val qv = queries.select(col(idCol).as("query_id"), gridArr.as("__qv"))
