@@ -46,7 +46,13 @@ object Graphs {
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 20, "need 1 <= iters <= 20")
     require(damping > 0 && damping < 1, "need 0 < damping < 1")
+    // materialize the caller's edge pipeline ONCE: ed and nodes are two
+    // separate checkpoint actions, and without this barrier each replays
+    // the full upstream edge derivation (for the covisitation-graph
+    // callers that upstream is a pair self-join — the most expensive
+    // stage of the whole query, measured running twice)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, Seq("src")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -101,7 +107,11 @@ object Graphs {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 20, "need 1 <= iters <= 20")
     require(damping > 0 && damping < 1, "need 0 < damping < 1")
+    // one edge-pipeline materialization, as in [[pageRank]]: ed and the
+    // seed-marked node frame each checkpoint, and both would otherwise
+    // replay the caller's edge self-join
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, Seq("src")).localCheckpoint()
     val nodes0 = e.select(col("src").as("node"))
