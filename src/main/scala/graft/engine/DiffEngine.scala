@@ -650,9 +650,14 @@ object DiffEngine {
       opts: DiffOptions = DiffOptions(), digestBuckets: Int = 4096,
       token: Seq[Column] => Column = defaultToken): DataFrame = {
     val spec = spec0.bind(src)
+    // ≤ digestBuckets narrow rows, referenced by BOTH restrict sides —
+    // materialized once, else each side's broadcast re-runs the whole
+    // phase-1 digest subtree (2 full scans + 2 digest shuffles per
+    // reference; the digestTree barrier, applied here)
     val dirty = digestCompare(src, tgt, spec, digestBuckets, token)
       .filter(!col("digest_match"))
       .select(col("bucket").as("__dirty_bucket"))
+      .localCheckpoint()
     def restrict(df: DataFrame): DataFrame =
       df.join(broadcast(dirty),
         digestBucket(df, token(spec.pk.map(col)), digestBuckets) ===
@@ -779,8 +784,13 @@ object DiffEngine {
       token: Seq[Column] => Column = defaultToken): DataFrame = {
     val spec = spec0.bind(src)
     val cur = sideDigests(src, tgt, spec, digestBuckets, token)
+    // ≤ digestBuckets narrow rows behind THREE broadcasts (both fresh
+    // sides + the replay semi-join): one materialization, or each
+    // broadcast replays the current-digest scans AND the caller's
+    // prior-digest derivation
     val unchanged = unchangedDigestBuckets(cur, priorDigests)
       .select(col("bucket").as("__same_bucket"))
+      .localCheckpoint()
     def fresh(df: DataFrame): DataFrame =
       df.join(broadcast(unchanged),
         digestBucket(df, token(spec.pk.map(col)), digestBuckets) ===
@@ -867,10 +877,15 @@ object DiffEngine {
     val t = bucketDigest(ft, spec, digestBuckets, token, partitionCounts = true)
       .select(col("bucket"), col("rows").as("__tr"),
         col("hash_sum").as("__ts"), col("hash_xor").as("__tx"))
+    // ≤ digestBuckets narrow rows feeding THREE consumers (the clean
+    // credit aggregate, and the dirty set behind both restrict sides) —
+    // without the barrier each consumer re-runs phase 1's two full
+    // digest scans
     val cmp = s.join(t, Seq("bucket"), "full_outer")
       .withColumn("__match",
         col("__sr") <=> col("__tr") && col("__ss") <=> col("__ts") &&
           col("__sx") <=> col("__tx"))
+      .localCheckpoint()
     val clean = cmp.filter(col("__match")).agg(
       coalesce(sum(col("__sp")), lit(0L)).as("__clean_parts"),
       coalesce(sum(col("__sr")), lit(0L)).as("__clean_rows"))
