@@ -196,6 +196,47 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("denseLongArray matches the map_from_entries + transform reference") {
+    // the declarative formulation bloomFilterRow used before the kernel
+    // (interpreted O(entries x size) densify); values must be identical
+    val df = Seq(
+      (Seq((0L, 7L), (3L, -1L), (7L, Long.MaxValue))), // sparse, edges
+      (Seq.empty[(Long, Long)])                        // no entries: all zeros
+    ).toDF("es")
+      .select(col("es"), transform(col("es"),
+        e => struct(e("_1").as("w"), e("_2").as("b"))).as("entries"))
+    val want = df.select(transform(sequence(lit(0L), lit(7L)),
+        i => coalesce(element_at(
+          map_from_entries(col("entries")), i), lit(0L))).as("a"))
+      .as[Seq[Long]].collect().toSeq
+    val got = df.select(
+        graft.functions.Sketches.denseLongArray(col("entries"), 8).as("a"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got === want)
+    // codegen-only pin: the kernel must never fall back to interpreted
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val r = df.select(
+          graft.functions.Sketches.denseLongArray(col("entries"), 8).as("a"))
+        .as[Seq[Long]].collect().toSeq
+      assert(r === want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // bloomFilterRow end-to-end: one row, words zeros-filled
+    val bloom = graft.functions.Decontaminate.bloomFilterRow(
+        Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+        "text", n = 2, mBits = 256, k = 3)
+      .as[Seq[Long]].collect()
+    assert(bloom.length === 1 && bloom(0).length === 8)
+    assert(bloom(0).exists(_ != 0L)) // some bits set
+  }
+
   test("sketch plans are shuffle-free single-stage projects") {
     val docs = graft.engine.Tables.load(spark, Sf, "documents")
     val plan = Dedup.withSimHash(docs, "doc_id", "text")
