@@ -116,12 +116,20 @@ object Bench {
     }
     val results = runs.collect { case (n, ts) if ts.nonEmpty => n -> ts.min }
     val failed = runs.collect { case (n, ts) if ts.isEmpty => n }.toSeq
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: 243 queries at full double precision made the one-line
+    // JSON ~9 KB and the driver's stdout tail capture truncated its head —
+    // PERF had parsed:null (no per-query comparison) for three straight
+    // rounds. Sub-ms digits are far below this VM's run-to-run noise, so
+    // nothing real is lost; the full-precision report still lands in
+    // SPARK_GRAFT_BENCH_OUT below.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"""" +
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"""" +
         s""","shuffle_read_bytes":${footprint.shuffleRead.get}""" +
         s""","shuffle_write_bytes":${footprint.shuffleWrite.get}""" +
         s""","spilled_bytes":${footprint.spill.get}}"""

@@ -653,7 +653,12 @@ object DiffEngine {
     // ≤ digestBuckets narrow rows, referenced by BOTH restrict sides —
     // materialized once, else each side's broadcast re-runs the whole
     // phase-1 digest subtree (2 full scans + 2 digest shuffles per
-    // reference; the digestTree barrier, applied here)
+    // reference). EAGER deliberately: the first consumer is a forced
+    // broadcast, and a lazy checkpoint would run the full phase-1 scans
+    // inside the broadcast build, racing spark.sql.broadcastTimeout at
+    // scale (guide: compute/cache the small side first). Executor-local
+    // blocks are not recomputable — on a decommission-prone cluster,
+    // swap in reliable checkpoints as dupClusters' reliable=true does.
     val dirty = digestCompare(src, tgt, spec, digestBuckets, token)
       .filter(!col("digest_match"))
       .select(col("bucket").as("__dirty_bucket"))
@@ -787,7 +792,8 @@ object DiffEngine {
     // ≤ digestBuckets narrow rows behind THREE broadcasts (both fresh
     // sides + the replay semi-join): one materialization, or each
     // broadcast replays the current-digest scans AND the caller's
-    // prior-digest derivation
+    // prior-digest derivation. EAGER — same broadcast-timeout rationale
+    // (and same executor-local-block caveat) as digestDiff's dirty set.
     val unchanged = unchangedDigestBuckets(cur, priorDigests)
       .select(col("bucket").as("__same_bucket"))
       .localCheckpoint()
@@ -880,7 +886,8 @@ object DiffEngine {
     // ≤ digestBuckets narrow rows feeding THREE consumers (the clean
     // credit aggregate, and the dirty set behind both restrict sides) —
     // without the barrier each consumer re-runs phase 1's two full
-    // digest scans
+    // digest scans. EAGER — the dirty set broadcasts, same
+    // broadcast-timeout rationale as digestDiff.
     val cmp = s.join(t, Seq("bucket"), "full_outer")
       .withColumn("__match",
         col("__sr") <=> col("__tr") && col("__ss") <=> col("__ts") &&

@@ -758,13 +758,13 @@ object Dedup {
     * to one group even when A~C was never emitted).
     *
     * Min-label propagation to a fixpoint with an ACTIVE FRONTIER plus
-    * per-round POINTER HALVING. Propagation: a label can only lower a
-    * neighbor's label in the round after it moved, so each round joins
-    * the edges against just the labels that changed last round (initially
-    * the nodes whose fused-init label dropped below their id), not the
-    * whole label frame. Halving: each round every node also adopts its
-    * label's label (`lbl ← lbl(lbl)`, a self-join of the persisted label
-    * frame — labels are node ids, so the lookup always lands), the
+    * per-round POINTER HALVING, FUSED into one lookup join + one
+    * aggregation per round. Propagation: a label can only lower a
+    * neighbor's label in the round after it moved, so edge offers are
+    * filtered to labels that changed last round (initially the nodes
+    * whose fused-init label dropped below their id). Halving: each
+    * round every node also adopts its label's label (`lbl ← lbl(lbl)` —
+    * labels are node ids, so the lookup always lands), the
     * pointer-jumping step of parallel connectivity algorithms (Shiloach–
     * Vishkin; the same device that gives MapReduce CC algorithms à la
     * Kiveris et al.'s two-phase/large-star their round bound). Plain
@@ -772,15 +772,17 @@ object Dedup {
     * docs takes 1000 rounds; with halving the label-pointer chains halve
     * while propagation extends them, so the distance a label covers
     * doubles per round and convergence is O(log diameter) rounds
-    * regardless of component shape. Near-dup clusters are shallow
-    * (pairs/stars), so the frontier still collapses to a handful of rows
-    * after round one and the per-round edge join stays frontier-sized;
-    * the halving self-join reads the persisted label frame, two narrow
-    * columns. Fixpoint is reached iff the frontier empties (any
-    * improvement — propagated or halved — re-enters the frontier and is
-    * re-offered, so an empty frontier certifies stability), bounded by
-    * `maxIters`. Output: (id, cluster_id) for every id appearing in a
-    * pair.
+    * regardless of component shape. Both lookups (edge offers keyed on
+    * the neighbor id, pointer offers keyed on the current label) share
+    * ONE join against the persisted label frame, and the node's own
+    * label enters the min-aggregation as a direct self offer — so a
+    * round is exactly one join + one groupBy, not the three joins the
+    * unfused shape paid (frontier propagation, halving self-join,
+    * candidate attach-back). Fixpoint is reached iff no label moves
+    * (any improvement — propagated or halved — re-enters the frontier
+    * set and is re-offered, so a moveless round certifies stability),
+    * bounded by `maxIters`. Output: (id, cluster_id) for every id
+    * appearing in a pair.
     *
     * Lineage: each round's plan references the previous round's labels
     * AND frontier, so Catalyst's analysis cost doubles per round if never
@@ -834,8 +836,7 @@ object Dedup {
       .agg(min(col("dst")).as("__mn"))
       .select(col("id"), least(col("id"), col("__mn")).as("lbl"),
         (col("__mn") < col("id")).as("__moved")))
-    var frontier = state.filter(col("__moved")).select(col("id"), col("lbl"))
-    var nMoved = frontier.count()
+    var nMoved = state.filter(col("__moved")).count()
     // persisted intermediate rounds stay alive until the NEXT checkpoint
     // truncates the lineage past them (a persist's recompute path reaches
     // back to the last cut, so freeing it earlier would be unsafe on a
@@ -843,38 +844,44 @@ object Dedup {
     var sinceCut: List[DataFrame] = Nil
     var iter = 1
     while (iter < maxIters && nMoved > 0) {
-      // propagate ONLY the moved labels across edges; everything else was
-      // already offered to its neighbors in the round it last moved
-      val cand = edges
-        .join(frontier.select(col("id").as("__fid"), col("lbl").as("__flbl")),
-          edges("dst") === col("__fid"))
-        .groupBy(edges("src").as("id")).agg(min(col("__flbl")).as("__cand"))
-      // pointer halving: every node also adopts its label's label from
-      // the persisted state — both references hit the cache, and the
-      // left_outer is formal (labels are node ids, the lookup matches).
-      // Skipped in the FIRST loop round: near-dup graphs are mostly
-      // pairs/stars that converge before halving could help, and the
-      // extra self-join is a per-round fixed cost (~2 scheduled stages)
-      // those graphs would pay for nothing; deep chains still halve
-      // from round 2 on, keeping the O(log diameter) bound (+1 round).
-      val halved = iter >= 2
-      val base = state.select(col("id"), col("lbl"))
-      val withHop =
-        if (halved) base.join(
-          state.select(col("id").as("__pid"), col("lbl").as("__plbl")),
-          col("lbl") === col("__pid"), "left_outer")
-        else base.withColumn("__plbl", col("lbl"))
-      val stepped = withHop
-        .join(cand, Seq("id"), "left_outer")
-        .select(col("id"), col("lbl").as("__old"),
-          least(col("lbl"), coalesce(col("__plbl"), col("lbl")),
-            coalesce(col("__cand"), col("lbl"))).as("lbl"))
-        .select(col("id"), col("lbl"),
+      // FUSED propagation + pointer halving: ONE lookup join + ONE
+      // aggregation per round (previously three joins — frontier
+      // propagation, halving self-join, candidate attach-back). All
+      // lookups read the PRE-round state. Offers to node u:
+      //   - edge offers: lbl(w) for each neighbor w that moved last
+      //     round (a label can only improve a neighbor in the round
+      //     after it moved, so non-moved labels were already offered);
+      //   - pointer offer: lbl(lbl(u)) — the halving hop, now from
+      //     round 1 (it shares the lookup join, so it no longer costs
+      //     the extra self-join that round 1 used to skip);
+      //   - self offer: u's own lbl, injected straight into the
+      //     aggregation so the new state needs no join back against
+      //     the old one (min(__v) over {self, pointer, edge offers}
+      //     = the old least(lbl, halved, cand); the self row also
+      //     carries the old label out for the __moved flag).
+      // The pointer lookup always lands (labels are node ids, every
+      // node id is a state key), so the inner join drops nothing the
+      // old left_outer + coalesce kept.
+      val lkp = state.select(col("id").as("__k"), col("lbl").as("__v"),
+        col("__moved").as("__mv"))
+      val reqs = edges
+        .select(col("dst").as("__k"), col("src").as("__u"),
+          lit(false).as("__ptr"))
+        .unionByName(state.select(col("lbl").as("__k"),
+          col("id").as("__u"), lit(true).as("__ptr")))
+      val offers = reqs.join(lkp, Seq("__k"))
+        .filter(col("__ptr") || col("__mv"))
+        .select(col("__u"), col("__v"), lit(false).as("__self"))
+        .unionByName(state.select(col("id").as("__u"),
+          col("lbl").as("__v"), lit(true).as("__self")))
+      val stepped = offers.groupBy(col("__u"))
+        .agg(min(col("__v")).as("lbl"),
+          min(when(col("__self"), col("__v"))).as("__old"))
+        .select(col("__u").as("id"), col("lbl"),
           (col("lbl") < col("__old")).as("__moved"))
       val isCut = iter % checkpointEvery == 0
       state = if (isCut) cut(stepped) else stepped.persist()
-      frontier = state.filter(col("__moved")).select(col("id"), col("lbl"))
-      nMoved = frontier.count() // ONE action: materializes this round's state
+      nMoved = state.filter(col("__moved")).count() // ONE action: materializes this round's state
       if (isCut) {
         sinceCut.foreach(_.unpersist()); sinceCut = Nil
         auxPersists.foreach(_.unpersist()); auxPersists = Nil

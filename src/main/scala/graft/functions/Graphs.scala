@@ -50,7 +50,13 @@ object Graphs {
     // separate checkpoint actions, and without this barrier each replays
     // the full upstream edge derivation (for the covisitation-graph
     // callers that upstream is a pair self-join — the most expensive
-    // stage of the whole query, measured running twice)
+    // stage of the whole query, measured running twice). EAGER
+    // deliberately: r15 measured the lazy variant (localCheckpoint(false))
+    // at 1.14-1.16x WORSE — under AQE the stage-materialization jobs run
+    // at toRdd time either way, so laziness saves no action and only
+    // moves the final-stage compute into concurrently-blocked consumer
+    // tasks; eager also keeps broadcast(nTot) building from materialized
+    // blocks instead of racing spark.sql.broadcastTimeout at scale
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -109,7 +115,8 @@ object Graphs {
     require(damping > 0 && damping < 1, "need 0 < damping < 1")
     // one edge-pipeline materialization, as in [[pageRank]]: ed and the
     // seed-marked node frame each checkpoint, and both would otherwise
-    // replay the caller's edge self-join
+    // replay the caller's edge self-join (eager for the same measured
+    // reason as pageRank)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -218,7 +225,8 @@ object Graphs {
     * Scale shape: per round, one partial-aggregating degree count and
     * two semi-joins on the node key; the surviving edge list
     * localCheckpoints each round so round r+1's three references replay
-    * nothing (the pageRank barrier). Output: (round, n_nodes,
+    * nothing (the pageRank barrier; eager — the lazy variant measured
+    * 1.08x worse, see pageRank's note). Output: (round, n_nodes,
     * n_directed_edges) over the symmetric simple edge list.
     */
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,

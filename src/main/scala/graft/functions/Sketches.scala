@@ -199,13 +199,22 @@ object SketchKernels {
 
   /** One-pass dense fill: `out[idx] = v` for each (idx, v) entry, zeros
     * elsewhere. See [[Sketches.denseLongArray]] for why this exists.
+    * Null entries and null idx/value fields are REJECTED loudly: the
+    * replaced map_from_entries path failed on null keys, and a silent
+    * null-as-0 read here would clobber word 0's real bits.
     */
   def denseLongArray(entries: ArrayData, size: Int): GenericArrayData = {
     val out = new Array[Long](size)
     val n = entries.numElements()
     var i = 0
     while (i < n) {
+      if (entries.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dense_long_array: null entry at position $i")
       val e = entries.getStruct(i, 2)
+      if (e.isNullAt(0) || e.isNullAt(1))
+        throw new IllegalArgumentException(
+          s"dense_long_array: null idx/value field at position $i")
       val idx = e.getLong(0)
       if (idx < 0 || idx >= size)
         throw new IllegalArgumentException(
@@ -500,6 +509,11 @@ case class DenseLongArrayExpr(child: Expression, size: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // nullable SCHEMAS are accepted (the bloom caller's hash/agg columns
+  // are formally nullable even though no null value can occur), but the
+  // kernel rejects an actual null element/field with a descriptive
+  // error rather than NPE-ing or silently reading a null field as 0
+  // (which would clobber word 0's real bits).
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StructType(fields), _)
         if fields.length == 2 && fields(0).dataType == LongType &&

@@ -23,22 +23,25 @@ object OpsQueries {
   private val Disallowed = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L)
   private val disallowedSqlList = Disallowed.mkString(", ")
 
-  /** ONE diff computation per table, shared by every journal-shaped query
-    * that derives from per-partition stats — the same
-    * persist-once-derive-all shape DiffRunner uses in production. Without
-    * it, api_mismatch_summary and api_results_by_table would each re-run
-    * both table diffs (4 joins instead of 2).
+  /** Per-table partitionStats frame for the journal-shaped queries.
+    * Built FRESH on every call: each query invocation recomputes the
+    * diff from the parquet inputs. (An earlier JVM-lifetime persisted
+    * cache here — the production persist-once-derive-all shape
+    * DiffRunner still uses — let repeated bench/verify invocations of
+    * api_mismatch_summary / api_results_by_table skip the diff
+    * entirely, so their timings no longer measured the engine. Within
+    * a single query plan each frame is referenced exactly once, so
+    * nothing is lost by rebuilding.)
     */
-  private val psCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def sharedPs(s: SparkSession, dir: String, table: String): DataFrame =
-    psCache.computeIfAbsent(s"$dir#$table", _ => (table match {
+  private def tablePs(s: SparkSession, dir: String, table: String): DataFrame =
+    table match {
       case "lineitem" =>
         DiffEngine.partitionStats(li(s, dir), Perturb.lineitemTarget(li(s, dir)),
           lineitemSpec, idTok)
       case "orders" =>
         DiffEngine.partitionStats(ord(s, dir), Perturb.ordersTarget(ord(s, dir)),
           ordersSpec, idTok)
-    }).persist())
+    }
 
   private def noSkips(s: SparkSession): DataFrame =
     s.range(1).select(lit(0L).as("skipped_partitions"))
@@ -97,12 +100,12 @@ object OpsQueries {
         .toDF("table_name")
     }),
     // O22: mismatch summary across a two-table job (group-merge of
-    // DBService.java:215-228) — derived from the shared per-table diff
+    // DBService.java:215-228) — one per-table diff each
     "api_mismatch_summary" -> ((s, dir) => {
       val m1 = DiffEngine.mismatchesFromPartitions(
-        sharedPs(s, dir, "lineitem"), lineitemSpec, buckets = 100)
+        tablePs(s, dir, "lineitem"), lineitemSpec, buckets = 100)
       val m2 = DiffEngine.mismatchesFromPartitions(
-        sharedPs(s, dir, "orders"), ordersSpec, buckets = 100)
+        tablePs(s, dir, "orders"), ordersSpec, buckets = 100)
       m1.select("table_name", "mismatch_type")
         .unionByName(m2.select("table_name", "mismatch_type"))
         .groupBy("table_name", "mismatch_type").agg(count(lit(1)).as("n"))
@@ -120,12 +123,12 @@ object OpsQueries {
             .select("origin", "error", "n"))
     }),
     // O22/O8: per-table job results (job_results rows of a two-table job),
-    // derived from the same shared per-table diff as the mismatch summary
+    // from its own per-table diffs — same derivation as the mismatch summary
     "api_results_by_table" -> ((s, dir) => {
       val r1 = DiffEngine.rangeStatsFromPartitions(
-        sharedPs(s, dir, "lineitem"), lineitemSpec, noSkips(s))
+        tablePs(s, dir, "lineitem"), lineitemSpec, noSkips(s))
       val r2 = DiffEngine.rangeStatsFromPartitions(
-        sharedPs(s, dir, "orders"), ordersSpec, noSkips(s))
+        tablePs(s, dir, "orders"), ordersSpec, noSkips(s))
       r1.unionByName(r2)
     }),
   )

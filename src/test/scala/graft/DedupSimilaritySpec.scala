@@ -345,6 +345,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(native === declarative)
   }
 
+  test("dupClusters: fused round matches driver-side union-find on random graphs") {
+    // property canary for the fused propagate+halve round (one lookup
+    // join + one aggregation): on arbitrary graphs the fixpoint labels
+    // must equal the connected-component minimum computed independently
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12 + rnd.nextInt(30)
+      val m = 5 + rnd.nextInt(40)
+      val raw = (0 until m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      if (raw.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        raw.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = raw.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .map(id => id -> find(id.toInt).toLong).toMap
+        val got = Dedup.dupClusters(raw.toDF("id_a", "id_b"), maxIters = 10)
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"seed=$seed n=$n m=$m")
+      }
+    }
+  }
+
   test("dupClusters: empty pair set returns an empty frame, correct schema") {
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b").filter(col("id_a") < 0)
     val got = Dedup.dupClusters(pairs)

@@ -237,6 +237,32 @@ class SketchesSpec extends SparkSpec {
     assert(bloom(0).exists(_ != 0L)) // some bits set
   }
 
+  test("denseLongArray rejects null entries and null fields loudly") {
+    // a null idx/value must never silently read as 0 (it would clobber
+    // word 0's real bits) and a null struct element must not NPE — both
+    // throw descriptive errors instead
+    val nullField = Seq((Seq((0L, 7L)), 1))
+      .toDF("es", "tag")
+      .select(transform(col("es"), e => struct(
+        when(col("tag") === 99, e("_1")).as("w"),   // always-null long
+        e("_2").as("b"))).as("entries"))
+    val exField = intercept[Exception] {
+      nullField.select(
+        graft.functions.Sketches.denseLongArray(col("entries"), 8))
+        .collect()
+    }
+    assert(exField.getMessage.contains("dense_long_array"))
+    val nullEntry = Seq(1).toDF("tag")
+      .select(array(when(col("tag") === 99,
+        struct(lit(0L).as("w"), lit(1L).as("b")))).as("entries"))
+    val exEntry = intercept[Exception] {
+      nullEntry.select(
+        graft.functions.Sketches.denseLongArray(col("entries"), 8))
+        .collect()
+    }
+    assert(exEntry.getMessage.contains("dense_long_array"))
+  }
+
   test("sketch plans are shuffle-free single-stage projects") {
     val docs = graft.engine.Tables.load(spark, Sf, "documents")
     val plan = Dedup.withSimHash(docs, "doc_id", "text")
