@@ -1052,17 +1052,32 @@ object TextQueries {
     // stratified mix — every stage one of this engine's operators, the
     // whole composition one declarative plan
     "curate_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // quality/langId evaluated ONCE per row: the previous
+      // compute-columns-then-filter shape let Catalyst push the filter
+      // below the projection, duplicating both interpreted-HOF lambda
+      // expressions into the scan's Filter (plan-verified, r15). The
+      // gate folds into the canonical window instead — canonical =
+      // min(doc_id) among QUALIFYING members of the identical-text
+      // group (filter-then-canonical, the oracle's exact semantics;
+      // lower/trim-normalized hash groups can mix verdicts, so the
+      // when() must stay inside the min) — and a predicate on
+      // non-partition columns cannot be pushed below a window. Text is
+      // still projected away before the window shuffle; the trade is
+      // shuffling rejected rows' narrow columns too.
+      val w = Window.partitionBy(col("__h"))
       val base = dupCorpus(docs(s, dir))
-        .withColumn("quality", TA.qualityScore(col("text")))
-        .withColumn("lang_pred", TA.langId(col("text")))
-        .filter(col("quality") >= 0.3 && col("lang_pred") =!= "unknown")
-        // project the text away before the dedup window: score/lang/hash
-        // are computed in the scan, so the canonical shuffle carries a
-        // 32-byte hash, not the documents
-        .select(col("doc_id"), col("lang_pred"), col("quality"),
+        .select(col("doc_id"),
+          TA.langId(col("text")).as("lang_pred"),
+          TA.qualityScore(col("text")).as("quality"),
           Dedup.contentHash(col("text")).as("__h"))
-      Sampling.stratifiedSample(
-          Dedup.keepCanonicalByKey(base, "doc_id", "__h"),
+        .withColumn("__q",
+          col("quality") >= 0.3 && col("lang_pred") =!= "unknown")
+        .withColumn("__canon",
+          min(when(col("__q"), col("doc_id"))).over(w))
+        .filter(col("__q") && col("doc_id") === col("__canon"))
+        .select("doc_id", "lang_pred", "quality")
+      Sampling.stratifiedSample(base,
           "doc_id", "lang_pred", Map("en" -> 500), defaultNum = 300)
         .select("doc_id", "lang_pred", "quality")
     }),
@@ -1077,17 +1092,34 @@ object TextQueries {
       val contaminated = Decontaminate
         .ngramHits(corpus, bench, "doc_id", "text", n = 5)
         .filter(col("hit_frac") >= 0.5).select("doc_id")
+      // every per-document expression evaluated ONCE per row: the
+      // previous compute-then-filter shape let Catalyst push the gate
+      // below the projection, duplicating the interpreted-HOF
+      // quality/langId lambdas into the scan's Filter (plan-verified,
+      // r15). The gate folds into the canonical window — canonical =
+      // min(doc_id) among QUALIFYING members of the identical-text
+      // group, the oracle's exact filter-then-canonical semantics
+      // (lower/trim-normalized hash groups can mix verdicts, so the
+      // when() must stay inside the min) — and a predicate on
+      // non-partition columns cannot be pushed below a window. Text is
+      // still projected away before the window shuffle.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__h"))
       val base = corpus
-        .withColumn("quality", TA.qualityScore(col("text")))
-        .withColumn("lang_pred", TA.langId(col("text")))
-        .filter(col("quality") >= 0.3 && col("lang_pred") =!= "unknown" &&
-          TA.dupFrac(TA.tokenNgrams(col("text"), 2)) <= 0.08)
-        .select(col("doc_id"), col("lang_pred"), col("quality"),
+        .select(col("doc_id"),
+          TA.langId(col("text")).as("lang_pred"),
+          TA.qualityScore(col("text")).as("quality"),
+          (TA.dupFrac(TA.tokenNgrams(col("text"), 2)) <= 0.08).as("__dupok"),
           TA.piiCount(col("text")).as("n_pii"),
           md5(TA.redactPii(col("text"))).as("clean_fp"),
           Dedup.contentHash(col("text")).as("__h"))
-      // the anti-join sits ABOVE the canonical window, not on `base`:
-      // below it Catalyst pushes the join into each union leg of the
+        .withColumn("__q", col("quality") >= 0.3 &&
+          col("lang_pred") =!= "unknown" && col("__dupok"))
+        .withColumn("__canon",
+          min(when(col("__q"), col("doc_id"))).over(w))
+        .filter(col("__q") && col("doc_id") === col("__canon"))
+      // the anti-join sits ABOVE the canonical window, not below it:
+      // below, Catalyst pushes the join into each union leg of the
       // dup-injected corpus and evaluates the whole contamination branch
       // once per leg (no exchange reuse across legs). Equivalent result
       // either way — the verdict is a pure function of the text, so an
@@ -1100,8 +1132,7 @@ object TextQueries {
       // join stays an equi anti-join either way (plan-asserted in
       // CurationPlanSpec), never a nested loop
       Sampling.weightedSample(
-          Dedup.keepCanonicalByKey(base, "doc_id", "__h")
-            .join(contaminated, Seq("doc_id"), "left_anti"),
+          base.join(contaminated, Seq("doc_id"), "left_anti"),
           "doc_id", col("quality"))
         .select("doc_id", "lang_pred", "quality", "n_pii", "clean_fp")
     }),
