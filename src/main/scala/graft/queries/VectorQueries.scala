@@ -109,14 +109,22 @@ object VectorQueries {
     // the quantized vector (exact cross-engine — integer arithmetic)
     "embed_quantize" -> ((s, dir) => {
       import graft.functions.Embeddings
-      val e = emb(s, dir)
-      val sc = Embeddings.absMax(col("embedding"))
-      val q = Embeddings.quantizeInt8(col("embedding"), sc)
-        .cast("array<double>")
-      e.select(col("vec_id"), sc.as("scale"),
-        aggregate(Embeddings.quantizeInt8(col("embedding"), sc),
-          lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
-        Similarity.dot(q, q).cast("long").as("q_norm2"))
+      // scale and the quantized vector materialize as COLUMNS first:
+      // inlining absMax (an O(dims) interpreted array fold) inside
+      // quantizeInt8's per-element lambda re-evaluated it per element —
+      // O(dims²) interpreted work per row, and the doubled dot/aggregate
+      // references doubled that again (the decontaminate_bloom
+      // interpreted-lambda lesson, §4). Same expressions, same values —
+      // the oracle hash is unchanged.
+      emb(s, dir)
+        .withColumn("scale", Embeddings.absMax(col("embedding")))
+        .withColumn("__qi",
+          Embeddings.quantizeInt8(col("embedding"), col("scale")))
+        .withColumn("__q", col("__qi").cast("array<double>"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("__qi"), lit(0L),
+            (acc, x) => acc + x.cast("long")).as("q_sum"),
+          Similarity.dot(col("__q"), col("__q")).cast("long").as("q_norm2"))
     }),
     // brute-force top-k over the QUANTIZED vectors: int8 dot products
     // are integer-exact, so unlike trained-float ANN the whole search
@@ -124,11 +132,13 @@ object VectorQueries {
     // bounded in ScalaTest
     "ann_topk_q8" -> ((s, dir) => {
       import graft.functions.Embeddings
-      val e = emb(s, dir)
-      val sc = Embeddings.absMax(col("embedding"))
-      val qe = e.select(col("vec_id"),
-        Embeddings.quantizeInt8(col("embedding"), sc)
-          .cast("array<double>").as("qv"))
+      // scale as a column first — same O(dims²)-interpreted-inlining fix
+      // as embed_quantize
+      val qe = emb(s, dir)
+        .withColumn("scale", Embeddings.absMax(col("embedding")))
+        .select(col("vec_id"),
+          Embeddings.quantizeInt8(col("embedding"), col("scale"))
+            .cast("array<double>").as("qv"))
       Similarity.bruteForceTopK(
         qe.filter(col("vec_id") < 8), qe, "vec_id", "qv", k = 5)
     }),
